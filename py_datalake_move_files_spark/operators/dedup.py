@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and exact n-gram Jaccard. All JVM-side Column expressions — no
+Python UDFs in the hot path.
+
+Portability convention: every hash is derived from ``md5(string)`` hex, which
+is identical across engines, so each operator has a bit-for-bit DuckDB oracle
+(see queries.py). A native pipeline would swap ``xxhash64``/``crc32`` in for
+speed; md5 keeps correctness auditable cross-engine and is still fully
+distributed + codegen'd.
+
+Scale notes (100 TB):
+- exact dedup is one shuffle on the digest — the groupBy key is the 32-char
+  md5, not the document body, so shuffle volume is O(rows · 32B), not O(data).
+- minhash signatures: one explode + one groupBy per corpus; band buckets are
+  the classic LSH trick so candidate generation never compares all pairs.
+- the pair-verify join is bounded by bucket sizes; skewed buckets (stop-shingle
+  pathologies) are handled by AQE skew-join splitting (session default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, " ")
+
+
+def _shingle_expr(text_sql: str, k: int = 3) -> str:
+    """SQL text for distinct k-shingles of the column ``text_sql``."""
+    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN size(split({text_sql}, ' ')) < {k} THEN array({text_sql}) "
+        f"ELSE array_distinct(transform(sequence(0, size(split({text_sql}, ' ')) - {k}), "
+        f"i -> {joined})) END"
+    ).replace("__t", f"split({text_sql}, ' ')")
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingle_set") -> DataFrame:
+    return df.withColumn(out, F.expr(_shingle_expr(text_col, k)))
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup: one representative (min id) per identical text.
+
+    Returns ``(digest, keep_id, n_copies)``. Shuffles 32-byte digests only.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed ``i``, the lexicographic min
+    of ``md5(i:shingle)`` over the doc's distinct shingles — a valid
+    min-wise permutation family over the md5 codomain.
+
+    One explode + one groupBy; signature columns ``mh0..mh{n-1}``.
+    """
+    exploded = with_shingles(df, text_col, k).select(
+        F.col(id_col), F.explode("shingle_set").alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing ANY band signature become a candidate pair.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. The per-band
+    self-join is on the band digest — equi-join, hash-partitioned, no
+    all-pairs comparison anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{b}:"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, "band_key")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join on shingles (never all-pairs): intersection counts
+    come from co-occurring shingles; union from per-doc set sizes. If
+    ``candidates`` (id_a, id_b) is given — e.g. from LSH — only those pairs
+    are verified, which is the 100 TB path.
+    """
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("doc"), F.col("shingle_set")
+    )
+    sizes = sh.select("doc", F.size("shingle_set").alias("n_sh"))
+    inv = sh.select("doc", F.explode("shingle_set").alias("shingle"))
+
+    pair_inter = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        pair_inter = pair_inter.join(candidates, ["id_a", "id_b"], "left_semi")
+
+    return (
+        pair_inter.join(F.broadcast(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def hex_value_sql(col_sql: str, nibbles: int) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) for the integer value of the
+    first ``nibbles`` hex chars of ``col_sql`` — substr + instr arithmetic
+    only, so the simhash oracle is bit-for-bit portable."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({col_sql}, {i + 1}, 1)) - 1) * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint (``bits`` ≤ 32) per document.
+
+    Bit ``j`` of the fingerprint is the sign of ``Σ_tokens (bit_j(md5(tok))
+    ? +1 : -1)``. Bits are pulled from md5 hex nibbles with pure integer
+    arithmetic (portable to the SQL oracle). Near-dup docs get fingerprints
+    at small Hamming distance; identical token multisets collide exactly.
+    """
+    nibbles = (bits + 3) // 4
+    tok = F.explode(tokens(F.col(text_col))).alias("tok")
+    e = (
+        df.select(F.col(id_col), tok)
+        .withColumn("h", F.md5(F.col("tok")))
+        .withColumn("hv", F.expr(hex_value_sql("h", nibbles)))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"CAST(floor(hv / {2 ** j}) AS BIGINT) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = e.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))

@@ -1,0 +1,138 @@
+"""Filter predicates (SURVEY.md §2.2 P9-P13).
+
+Date-range with the reference's inverted null semantics, the JSON content
+probe in both a fast declarative form and an exact pandas_udf form, and the
+ordered reason-cascade.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def date_range_predicate(
+    ts: Column,
+    *,
+    after: _dt.datetime | None = None,
+    before: _dt.datetime | None = None,
+    missing_passes: bool = True,
+) -> Column:
+    """P9 (reference app/main.py:119-136): keep iff ``after <= ts <= before``,
+    each bound independently optional. The reference treats a missing
+    timestamp as PASSING ("upload date unknown", app/main.py:135-136) —
+    inverted vs SQL three-valued logic, hence the explicit coalesce.
+    """
+    pred = F.lit(True)
+    if after is not None:
+        pred = pred & (ts >= F.lit(after))
+    if before is not None:
+        pred = pred & (ts <= F.lit(before))
+    if missing_passes:
+        pred = F.coalesce(pred, F.lit(True))
+    else:
+        pred = F.coalesce(pred, F.lit(False))
+    return pred
+
+
+def json_key_probe_fast(doc: Column, key: str, target: str) -> Column:
+    """P10 fast path (reference check_file_content, app/main.py:49-106).
+
+    Declarative probe: the key at top level (``$.key``); else ANY depth-1
+    nested object carrying it; else the head of ANY depth-1 list of objects;
+    else an array root's head — string-coerced equality; miss/parse failure
+    ⇒ False (the reference returns False on not-found/mismatch/non-JSON when
+    a filter is set, app/main.py:85-106).
+
+    Divergence from the reference: its nested walk stops at the FIRST dict
+    containing the key in insertion order (app/main.py:73-77); this fast path
+    matches if ANY does. ``make_json_key_probe_exact`` reproduces the
+    reference bit-for-bit; use it when adversarial documents (two nested
+    dicts carrying the key with different values) matter.
+    """
+    starget = F.lit(str(target))
+
+    def eq(c: Column) -> Column:
+        return F.coalesce(c.cast("string") == starget, F.lit(False))
+
+    top = F.get_json_object(doc, f"$.{key}")
+    # depth-1 nested objects / lists: parse to map<string,string> (nested
+    # values come back as raw JSON strings) and probe each value.
+    m = F.from_json(doc, "map<string,string>")
+    nested_any = F.coalesce(
+        F.exists(F.map_values(m), lambda v: eq(F.get_json_object(v, f"$.{key}"))),
+        F.lit(False),
+    )
+    list_any = F.coalesce(
+        F.exists(F.map_values(m), lambda v: eq(F.get_json_object(v, f"$[0].{key}"))),
+        F.lit(False),
+    )
+    root_list = F.get_json_object(doc, f"$[0].{key}")
+    return (
+        F.when(top.isNotNull(), eq(top))
+        .when(nested_any, F.lit(True))
+        .when(list_any, F.lit(True))
+        .otherwise(eq(root_list))
+    )
+
+
+def make_json_key_probe_exact(key: str, target: str):
+    """P10 exact path: a vectorized (Arrow) pandas_udf replicating the
+    reference's probe order bit-for-bit (app/main.py:68-106):
+
+    1. top-level ``key``;
+    2. first depth-1 dict containing ``key``, in dict insertion order
+       (app/main.py:73-77);
+    3. first depth-1 list whose head is a dict containing ``key``
+       (app/main.py:78-82);
+    not found / mismatch / non-JSON / decode error ⇒ False.
+    """
+    starget = str(target)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(docs: pd.Series) -> pd.Series:
+        def one(txt) -> bool:
+            if txt is None:
+                return False
+            try:
+                data = json.loads(txt)
+            except (ValueError, TypeError):
+                return False
+            if isinstance(data, dict):
+                if key in data:
+                    return str(data[key]) == starget
+                for v in data.values():
+                    if isinstance(v, dict) and key in v:
+                        return str(v[key]) == starget
+                    if (
+                        isinstance(v, list)
+                        and v
+                        and isinstance(v[0], dict)
+                        and key in v[0]
+                    ):
+                        return str(v[0][key]) == starget
+            elif isinstance(data, list) and data and isinstance(data[0], dict):
+                if key in data[0]:
+                    return str(data[0][key]) == starget
+            return False
+
+        return docs.map(one)
+
+    return probe
+
+
+def reason_cascade(*checks: tuple[Column, str], default: str = "Matches all criteria") -> Column:
+    """P12 (reference should_process_file, app/main.py:109-146): evaluate
+    ``(predicate, reject_reason)`` pairs in order; the reason column is the
+    FIRST failing predicate's message (cheap-before-expensive ordering is the
+    caller's responsibility, as in the reference)."""
+    expr: Column | None = None
+    for pred, reason in reversed(checks):
+        tail = expr if expr is not None else F.lit(default)
+        expr = F.when(~F.coalesce(pred, F.lit(False)), F.lit(reason)).otherwise(tail)
+    return expr if expr is not None else F.lit(default)

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen). Each has an exact DuckDB
+oracle (queries.py) — the heuristics are deliberately deterministic:
+marker-token scoring for language, arithmetic ratios for quality, md5-min
+shingle fingerprints (a simplified winnowing) for near-dup sketching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker tokens per language for the n-gram/stopword language-ID heuristic.
+#: Real pipelines use character n-gram profiles (e.g. CLD-style); the harness
+#: corpus is synthetic-English so markers demonstrate the mechanism.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space —
+#: a regex sketch of GPT-2-style pretokenization.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _in_list(tok: Column, words: tuple[str, ...]) -> Column:
+    return tok.isin(*words)
+
+
+def marker_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens that are in ``words``."""
+    return F.size(F.filter(F.split(text, " "), lambda t: _in_list(t, words)))
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-hit ratios, plus the argmax prediction
+    (ties broken by language code order, 'unknown' when all scores are 0)."""
+    t = F.col(text_col)
+    n = F.size(F.split(t, " "))
+    out = df
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        out = out.withColumn(
+            f"score_{lang}", F.round(marker_hits(t, LANG_MARKERS[lang]) / n, 6)
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best.isNull() | (best == 0), F.lit("unknown"))
+    for lang in langs:  # alphabetical priority breaks score ties
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("pred_lang", pred)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens."""
+    t = F.col(text_col)
+    return df.withColumn("n_ws_tokens", F.size(F.split(t, " "))).withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, mean token length, stopword ratio,
+    punctuation ratio, and a composite [0,1] score.
+
+    Composite = 0.4·min(n_tokens/100, 1) + 0.3·stopword_ratio·4 (capped at
+    0.3) + 0.3·(1 − punct_ratio) — a toy version of Gopher/C4-style filters,
+    fully deterministic and oracle-checkable.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    stop_ratio = marker_hits(t, STOPWORDS) / n
+    punct_ratio = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9 ]"), 0)) / F.length(t)
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_tok_len", F.round((F.length(t) - (n - 1)) / n, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn(
+            "quality",
+            F.round(
+                0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
+                + F.least(0.3 * stop_ratio * 4, F.lit(0.3))
+                + 0.3 * (1 - punct_ratio),
+                6,
+            ),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", *, k: int = 5) -> DataFrame:
+    """Document fingerprint: lexicographic min of md5 over the doc's k-word
+    shingles — a one-permutation MinHash / simplified winnowing selection of
+    a representative rolling window. Equal fingerprints ⇒ candidate dups."""
+    from py_datalake_move_files_spark.operators.dedup import _shingle_expr
+
+    sh = df.select(
+        F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, k))).alias("shingle")
+    )
+    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

@@ -1,0 +1,121 @@
+"""Plan-then-execute move/copy sink (SURVEY.md §2.1 S7-S10, §2.11 E1-E5).
+
+The reference mutates the lake inside hand-rolled thread batches
+(app/app.py:174-187 copy; app/main.py:278-303 download→upload→delete) and
+reports via prints. Here mutation is split into:
+
+1. a pure **plan DataFrame** ``(source_path, target_path, ...)`` — the
+   dry-run, satisfying the reference's interactive-confirm gate
+   (app/main.py:269-272) as an inspectable artifact instead of ``input()``;
+2. :func:`execute_plan`, which runs the side effects distributed via
+   ``mapInPandas`` (one task per partition replaces MAX_WORKERS threads;
+   Spark's scheduler + AQE replace BATCH_SIZE/gc, app/app.py:33,174) and
+   returns an **audit DataFrame** ``(source_path, target_path, action,
+   status, reason)`` — the reference's success/failure tally
+   (app/main.py:305-309) becomes ``audit.groupBy("status").count()``.
+
+Move gates the source delete on a verified copy (the reference deletes
+blindly after upload, app/main.py:184-185 — SURVEY.md §7.3.2). Copy is
+idempotent: re-running a plan overwrites targets (upload ``overwrite=True``
+semantics, app/main.py:179-182).
+
+I/O here uses ``fsspec``-style local file ops through plain Python ``os`` /
+``shutil`` so it runs anywhere tests run; against a real lake the same
+partition function swaps in the Hadoop FileSystem / cloud SDK — the plan and
+audit contracts don't change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("source_path", T.StringType()),
+        T.StructField("target_path", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+
+def _copy_one(src: str, dst: str, *, overwrite: bool) -> None:
+    if not overwrite and os.path.exists(dst):
+        raise FileExistsError(dst)
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)  # mkdir-if-needed, ref app/main.py:167-172
+    shutil.copyfile(src, dst)
+
+
+def execute_plan(
+    plan: DataFrame,
+    *,
+    mode: str = "copy",
+    overwrite: bool = True,
+    dry_run: bool = False,
+    source_col: str = "source_path",
+    target_col: str = "target_path",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Execute a move/copy plan; return the audit DataFrame.
+
+    ``mode``: ``"copy"`` (S8) or ``"move"`` (S7+S9 — delete gated on a
+    verified copy: target must exist and match source size before the source
+    is removed). ``dry_run=True`` returns the audit with status ``planned``
+    and touches nothing (E5).
+    """
+    if mode not in ("copy", "move"):
+        raise ValueError(f"mode must be copy|move, got {mode!r}")
+
+    rows = plan.select(
+        F.col(source_col).alias("source_path"),
+        F.col(target_col).alias("target_path"),
+    )
+    if parallelism:
+        rows = rows.repartition(parallelism)
+
+    if dry_run:
+        return rows.select(
+            "source_path",
+            "target_path",
+            F.lit(mode).alias("action"),
+            F.lit("planned").alias("status"),
+            F.lit(None).cast("string").alias("reason"),
+        )
+
+    do_move = mode == "move"
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for src, dst in zip(batch["source_path"], batch["target_path"]):
+                try:
+                    if dst is None:
+                        raise ValueError("no target path (source not found)")
+                    _copy_one(src, dst, overwrite=overwrite)
+                    if do_move:
+                        # verified-write gate before delete (SURVEY §7.3.2)
+                        if os.path.getsize(dst) != os.path.getsize(src):
+                            raise OSError(f"size mismatch after copy: {dst}")
+                        os.remove(src)
+                    out.append((src, dst, mode, "ok", None))
+                except Exception as exc:  # per-file error-as-status, ref app/main.py:190-192
+                    out.append((src, dst, mode, "error", f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                out,
+                columns=["source_path", "target_path", "action", "status", "reason"],
+            )
+
+    return rows.mapInPandas(run_partition, AUDIT_SCHEMA)
+
+
+def audit_summary(audit: DataFrame) -> DataFrame:
+    """A2/S10: success/failure totals as a DataFrame."""
+    return audit.groupBy("action", "status").count().orderBy("action", "status")

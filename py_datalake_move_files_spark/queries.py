@@ -1,0 +1,1098 @@
+"""Named query registry — the driver contract (SURVEY.md §2 coverage).
+
+Each entry pairs a Spark DataFrame callable ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string for DuckDB over the same parquet
+tables. The driver hash-compares them (row count + schema + order-insensitive
+value hash), so every computed column is aliased identically on both sides
+and floating-point is handled by one of three portability rules:
+
+1. money/2-decimal columns aggregate via exact ``decimal(18,2)`` (or
+   ``decimal(9,2)`` products) and only then cast to double + round(2);
+2. ratios/divisions are computed with the SAME operation order in both
+   engines (IEEE doubles are deterministic given identical op order) and
+   rounded to 6 dp;
+3. vector math uses explicit left-associative arithmetic chains generated
+   by the helpers below — bit-identical in any engine.
+
+File-pipeline operators (manifest semi-join, path rewrite — the reference's
+pipelines, app/app.py + app/main.py) are exercised on a file catalog DERIVED
+from the ``documents`` table so the oracle can check them in pure SQL; the
+same operators run against real directories in tests/ and plans/movecopy.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.operators import dedup as D
+from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.operators import text as TXT
+from py_datalake_move_files_spark.operators.asof import asof_join, range_join
+from py_datalake_move_files_spark.operators.manifest import build_archive_plan
+from py_datalake_move_files_spark.operators.paths import (
+    basename,
+    parent_dir,
+    prefix_qualify,
+    rewrite_prefix,
+)
+from py_datalake_move_files_spark.operators.predicates import (
+    date_range_predicate,
+    json_key_probe_fast,
+    make_json_key_probe_exact,
+    reason_cascade,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+EMB_DIM = 64
+N_PLANES = 8
+MINHASHES = 8
+BANDS = 4
+JACCARD_T = 0.5
+NEAR_DUP_T = 0.30
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# portable SQL fragment generators (DuckDB side; Spark mirrors via operators)
+# --------------------------------------------------------------------------
+
+def dd_shingles(text: str, k: int = 3) -> str:
+    """DuckDB distinct k-word shingles (1-based list indexing)."""
+    toks = f"string_split({text}, ' ')"
+    joined = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) < {k} THEN [{text}] "
+        f"ELSE list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> {joined})) END"
+    )
+
+
+def dd_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Left-associative explicit dot product — IEEE-identical to Spark's
+    sequential ``aggregate`` fold."""
+    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+
+
+def dd_norm(a: str, dim: int = EMB_DIM) -> str:
+    return "sqrt(" + " + ".join(f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1)) + ")"
+
+
+def dd_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return f"round(({dd_dot(a, b, dim)}) / (({dd_norm(a, dim)}) * ({dd_norm(b, dim)})), 6)"
+
+
+def dd_bucket(a: str, planes: list[list[int]]) -> str:
+    cases = []
+    for p, row in enumerate(planes):
+        chain = " + ".join(f"{a}[{i + 1}]::DOUBLE * {v}.0" for i, v in enumerate(row))
+        cases.append(f"(CASE WHEN ({chain}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(cases) + " AS BIGINT)"
+
+
+_PLANES = SIM.hyperplanes(N_PLANES, EMB_DIM)
+
+#: derived file catalog over `documents` (shared by manifest/path queries)
+_DD_FILENAME = "source || '/doc_' || doc_id::VARCHAR || '.json'"
+
+
+# ==========================================================================
+# A. Reference-pipeline operators (manifest semi-join, path rewrite, filters)
+# ==========================================================================
+
+_ARCHIVE_ORACLE = f"""
+WITH manifest AS (SELECT {_DD_FILENAME} AS filename FROM documents),
+q AS (SELECT filename, 'lake/raw/' || filename AS source_path FROM manifest),
+listing AS (
+  SELECT 'lake/raw/' || {_DD_FILENAME} AS path FROM documents WHERE doc_id % 3 != 0
+)
+SELECT q.filename, q.source_path,
+  CASE WHEN l.path IS NOT NULL THEN 'lake/archive/' || q.filename END AS target_path,
+  CASE WHEN l.path IS NOT NULL THEN 'found' ELSE 'not_found' END AS status
+FROM q LEFT JOIN listing l ON q.source_path = l.path
+"""
+
+
+def _derived_manifest(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".json")
+    )
+    manifest = docs.select(fname.alias("filename"))
+    listing = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.concat(F.lit("lake/raw/"), fname).alias("path")
+    )
+    return manifest, listing
+
+
+@register("manifest_archive_plan", _ARCHIVE_ORACLE)
+def q_manifest_archive_plan(spark, sf_dir):
+    """Flagship: the reference's pipeline A (app/app.py:156-196) as one plan —
+    manifest → prefix-qualify → broadcast semi/anti join vs listing → rewrite."""
+    manifest, listing = _derived_manifest(spark, sf_dir)
+    return build_archive_plan(
+        manifest, listing, source_prefix="lake/raw", target_prefix="lake/archive"
+    )
+
+
+@register(
+    "manifest_status_counts",
+    f"WITH plan AS ({_ARCHIVE_ORACLE}) "
+    "SELECT status, CAST(count(*) AS BIGINT) AS n FROM plan GROUP BY status",
+)
+def q_manifest_status_counts(spark, sf_dir):
+    """A1/A2: found/not-found reconciliation totals (app/app.py:133-152)."""
+    return (
+        q_manifest_archive_plan(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "path_rewrite_ops",
+    f"""
+WITH m AS (SELECT doc_id, source, {_DD_FILENAME} AS filename FROM documents)
+SELECT filename,
+  'lake/raw/' || filename AS source_path,
+  'lake/archive/' || filename AS target_path,
+  'doc_' || doc_id::VARCHAR || '.json' AS base_name,
+  'lake/raw/' || source AS parent
+FROM m
+""",
+)
+def q_path_rewrite_ops(spark, sf_dir):
+    """P4-P8 in one projection (reference app/app.py:45-53,104-111;
+    app/main.py:152-159,168)."""
+    manifest, _ = _derived_manifest(spark, sf_dir)
+    qualified = prefix_qualify(F.col("filename"), "lake/raw")
+    return manifest.select(
+        "filename",
+        qualified.alias("source_path"),
+        rewrite_prefix(qualified, "lake/raw", "lake/archive").alias("target_path"),
+        basename(qualified).alias("base_name"),
+        parent_dir(qualified).alias("parent"),
+    )
+
+
+@register(
+    "date_range_filter",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20' "
+    "GROUP BY event_type",
+)
+def q_date_range_filter(spark, sf_dir):
+    """P9 date-range with optional bounds (reference app/main.py:119-136)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            date_range_predicate(
+                F.col("ts"),
+                after=dt.datetime(2024, 1, 10),
+                before=dt.datetime(2024, 1, 20),
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_JSON_ORACLE = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events "
+    "WHERE coalesce(json_extract_string(props, '$.k') = '42', FALSE) "
+    "GROUP BY event_type"
+)
+
+
+@register("json_content_predicate", _JSON_ORACLE)
+def q_json_content_predicate(spark, sf_dir):
+    """P10 fast path: declarative JSON key probe (reference
+    check_file_content, app/main.py:49-106)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(json_key_probe_fast(F.col("props"), "k", "42"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register("json_probe_exact", _JSON_ORACLE)
+def q_json_probe_exact(spark, sf_dir):
+    """P10 exact path: Arrow pandas_udf replicating the reference's probe
+    order bit-for-bit (app/main.py:68-106)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = make_json_key_probe_exact("k", "42")
+    return (
+        ev.where(probe(F.col("props")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "filter_reason_cascade",
+    "SELECT CASE "
+    "WHEN NOT coalesce(ts >= TIMESTAMP '2024-01-08', FALSE) THEN 'before date range' "
+    "WHEN NOT coalesce(ts <= TIMESTAMP '2024-01-25', FALSE) THEN 'after date range' "
+    "WHEN NOT coalesce(CAST(json_extract_string(props, '$.k') AS INT) <= 80, FALSE) "
+    "THEN 'content mismatch' ELSE 'Matches all criteria' END AS reason, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
+)
+def q_filter_reason_cascade(spark, sf_dir):
+    """P12: ordered predicate conjunction with first-failure reason
+    (reference should_process_file, app/main.py:109-146)."""
+    ev = _t(spark, sf_dir, "events")
+    reason = reason_cascade(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 1, 8)), "before date range"),
+        (F.col("ts") <= F.lit(dt.datetime(2024, 1, 25)), "after date range"),
+        (
+            F.get_json_object(F.col("props"), "$.k").cast("int") <= 80,
+            "content mismatch",
+        ),
+    )
+    return ev.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ==========================================================================
+# B. Relational core (joins, aggregations, windows, sorts, set ops)
+# ==========================================================================
+
+_DEC = "decimal(18,2)"
+_D9 = "decimal(9,2)"
+
+
+def _m2(col: str) -> F.Column:
+    """Exact 2-dp money: cast→decimal, aggregate exactly, see module doc."""
+    return F.col(col).cast(_DEC)
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9}) * CAST(1 + l_tax AS {_D9})) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS {_DEC})) AS DOUBLE) / count(*), 6) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy grouped aggregate; decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    charge = disc * (1 + F.col("l_tax")).cast(_D9)
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_m2("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(_m2("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+        F.round(F.sum(_m2("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(_m2("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+        F.round(F.sum(_m2("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+  round(CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})) AS DOUBLE), 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""",
+)
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective join + grouped agg + deterministic top-k.
+    customer is small → broadcast; the lineitem⋈orders join shuffles on the
+    orderkey only after filters prune both sides."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    disc = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(disc).cast("double"), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    f"""
+SELECT r_name, n_name,
+  round(CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join; all dims broadcast, one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(disc).cast("double"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "top_customers",
+    f"""
+SELECT o_custkey AS custkey, any_value(c_name) AS c_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY total_spent DESC, custkey ASC LIMIT 10
+""",
+)
+def q_top_customers(spark, sf_dir):
+    """Grouped agg + broadcast dim join + deterministic top-k."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.any_value(F.col("c_name")).alias("c_name"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_m2("o_totalprice")).cast("double"), 2).alias("total_spent"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "window_latest_order",
+    """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def q_window_latest_order(spark, sf_dir):
+    """Latest-row-per-key dedup — the manifest latest-per-QuoteId pattern
+    (SURVEY.md §2.7) on orders."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@register(
+    "window_running_revenue",
+    f"""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spent
+FROM orders
+""",
+)
+def q_window_running_revenue(spark, sf_dir):
+    """Running aggregate over an explicit row frame (decimal-exact)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum(_m2("o_totalprice")).over(w).cast("double"), 2).alias(
+            "running_spent"
+        ),
+    )
+
+
+@register(
+    "window_rank_parts",
+    f"""
+SELECT p_partkey, p_brand,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+  round(CAST(lag(CAST(p_retailprice AS {_DEC})) OVER w AS DOUBLE), 2) AS prev_price
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+""",
+)
+def q_window_rank_parts(spark, sf_dir):
+    """rank / dense_rank / lag over one window definition."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.lag(_m2("p_retailprice")).over(w).cast("double"), 2).alias(
+            "prev_price"
+        ),
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)",
+)
+def q_semi_join_active_customers(spark, sf_dir):
+    """J1 generalized: left-semi membership (the existence probe,
+    reference app/app.py:115-131)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def q_anti_join_inactive_customers(spark, sf_dir):
+    """J2: left-anti 'not found' set (reference app/app.py:127-135)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "set_ops_segments",
+    """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT SELECT o_custkey FROM orders)
+UNION
+(SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ EXCEPT SELECT o_custkey FROM orders)
+""",
+)
+def q_set_ops_segments(spark, sf_dir):
+    """§2.6: INTERSECT / EXCEPT / UNION (distinct forms)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    negative = c.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return building.intersect(o).union(negative.subtract(o)).distinct()
+
+
+@register(
+    "agg_distinct_stats",
+    f"""
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+  round(CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE), 2) AS total_bal,
+  round(CAST(min(CAST(c_acctbal AS {_DEC})) AS DOUBLE), 2) AS min_bal,
+  round(CAST(max(CAST(c_acctbal AS {_DEC})) AS DOUBLE), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_agg_distinct_stats(spark, sf_dir):
+    """Distinct aggregate + min/max/sum in one grouped pass."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum(_m2("c_acctbal")).cast("double"), 2).alias("total_bal"),
+        F.round(F.min(_m2("c_acctbal")).cast("double"), 2).alias("min_bal"),
+        F.round(F.max(_m2("c_acctbal")).cast("double"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "rollup_nation_region",
+    """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup_nation_region(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation → grand)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "cube_priority_status",
+    f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+  coalesce(o_orderstatus, 'ALL') AS status,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q_cube_priority_status(spark, sf_dir):
+    """CUBE over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_m2("o_totalprice")).cast("double"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "orders_by_month",
+    f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / count(*), 6) AS avg_price
+FROM orders GROUP BY 1
+""",
+)
+def q_orders_by_month(spark, sf_dir):
+    """Date bucketing + grouped aggregates (§2.8 date functions)."""
+    o = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    s = F.sum(_m2("o_totalprice")).cast("double")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        n.cast("long").alias("n_orders"),
+        F.round(s, 2).alias("total"),
+        F.round(s / n, 6).alias("avg_price"),
+    )
+
+
+@register(
+    "asof_purchase_prior_view",
+    """
+SELECT p.event_id, p.user_id,
+  epoch_ms(p.ts) AS purchase_ms,
+  v.event_id AS asof_event_id,
+  epoch_ms(v.ts) AS asof_view_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_purchase_prior_view(spark, sf_dir):
+    """As-of join (Spark-missing operator): latest prior 'view' per
+    'purchase', built union+window — one shuffle, no inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("asof_event_id"),
+        F.unix_millis("asof_ts").alias("asof_view_ms"),
+    )
+
+
+@register(
+    "range_join_value_buckets",
+    f"""
+SELECT b.label,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(e.value AS {_DEC})) AS DOUBLE), 2) AS total_value
+FROM events e JOIN (VALUES
+  ('p00_10', 0.0, 10.0), ('p10_50', 10.0, 50.0),
+  ('p50_100', 50.0, 100.0), ('p100_up', 100.0, 1e9)
+) AS b(label, lo, hi) ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.label
+""",
+)
+def q_range_join_value_buckets(spark, sf_dir):
+    """Range join against a broadcast interval dim."""
+    ev = _t(spark, sf_dir, "events")
+    spark_buckets = spark.createDataFrame(
+        [
+            ("p00_10", 0.0, 10.0),
+            ("p10_50", 10.0, 50.0),
+            ("p50_100", 50.0, 100.0),
+            ("p100_up", 100.0, 1e9),
+        ],
+        ["label", "lo", "hi"],
+    )
+    joined = range_join(
+        ev, spark_buckets, point_col="value", start_col="lo", end_col="hi"
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_m2("value")).cast("double"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH x AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+  FROM events
+), f AS (
+  SELECT user_id, ts, ms,
+    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS nf
+  FROM x
+), s AS (
+  SELECT user_id, ms,
+    sum(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(ms) AS start_ms, max(ms) AS end_ms
+FROM s GROUP BY user_id, sid
+""",
+)
+def q_sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity) — the batch twin
+    of the streaming tier's session_window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis("ts")
+    x = ev.select("user_id", "ts", ms.alias("ms")).withColumn(
+        "prev_ms", F.lag("ms").over(w)
+    )
+    f = x.withColumn(
+        "nf",
+        F.when(
+            F.col("prev_ms").isNull() | (F.col("ms") - F.col("prev_ms") > 1800000), 1
+        ).otherwise(0),
+    )
+    s = f.withColumn("sid", F.sum("nf").over(wrun))
+    return s.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+    )
+
+
+@register(
+    "hourly_event_stats",
+    f"""
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(value AS {_DEC})) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_hourly_event_stats(spark, sf_dir):
+    """Tumbling-window aggregate (batch form; streaming/ runs the same plan
+    incrementally with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_m2("value")).cast("double"), 2).alias("total_value"),
+    )
+
+
+@register("approx_distinct_users")  # no SQL-exact oracle: HLL sketch differs
+def q_approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HLL) — rows-only check; the exact twin is in
+    agg_distinct_stats."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# ==========================================================================
+# C. LLM-data-pipeline operators (dedup, similarity, text analysis)
+# ==========================================================================
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS digest, min(doc_id) AS keep_id, "
+    "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY 1",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content digest — shuffle carries 32B digests only."""
+    return D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(MINHASHES)
+    )
+    rpb = MINHASHES // BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, 'b{b}:' || md5({cols}) AS band_key FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle FROM documents
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r USING (band_key) WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
+FROM inter i
+JOIN cand USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {JACCARD_T}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified: shingle → minhash
+    signature → band buckets → candidate pairs → verify ≥ threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS)
+    return D.jaccard_pairs(docs, "doc_id", threshold=JACCARD_T, candidates=cands)
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", _jaccard_oracle())
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs via shingle inverted index (no all-pairs)."""
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", threshold=JACCARD_T)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN CAST(floor(hv / {2 ** j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+hv AS (SELECT doc_id, {D.hex_value_sql('h', 4)} AS hv FROM h),
+s AS (SELECT doc_id, {sums} FROM hv GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+"""
+
+
+@register("simhash_fingerprints", _simhash_oracle())
+def q_simhash_fingerprints(spark, sf_dir):
+    """SimHash (16-bit) document fingerprints."""
+    return D.simhash(_t(spark, sf_dir, "documents"), "doc_id", bits=16)
+
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {dd_cosine('q.qv', 'e.embedding')} AS cosine_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 10
+"""
+
+
+@register("ann_brute_force", _ANN_ORACLE)
+def q_ann_brute_force(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors — the ANN correctness
+    baseline; corpus scan is shuffle-free, queries broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+def _ann_lsh_oracle() -> str:
+    b = dd_bucket("embedding", _PLANES)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {dd_cosine('q.qv', 'c.embedding')} AS cosine_sim
+  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 10
+"""
+
+
+@register("ann_lsh_bucketed", _ann_lsh_oracle())
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Approximate top-k: sign-random-projection LSH buckets limit each
+    query's candidate set — the 100 TB scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_bucketed_topk(emb, queries, k=10, n_planes=N_PLANES, dim=EMB_DIM)
+
+
+def _near_dup_oracle() -> str:
+    b = dd_bucket("embedding", _PLANES)
+    cos = dd_cosine("a.embedding", "x.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b, {cos} AS cosine_sim
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+WHERE {cos} >= {NEAR_DUP_T}
+"""
+
+
+@register("embedding_near_dup", _near_dup_oracle())
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets (no all-pairs)."""
+    return SIM.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_T,
+        n_planes=N_PLANES,
+        dim=EMB_DIM,
+    )
+
+
+def _lang_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    scores = {}
+    for lang, words in sorted(TXT.LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = (
+            f"round(len(list_filter({toks}, t -> t IN ({inlist})))::DOUBLE"
+            f" / len({toks}), 6)"
+        )
+    gr = "greatest(" + ", ".join(f"score_{lang}" for lang in sorted(scores)) + ")"
+    case = (
+        f"CASE WHEN {gr} IS NULL OR {gr} = 0 THEN 'unknown' "
+        + " ".join(
+            f"WHEN score_{lang} = {gr} THEN '{lang}'" for lang in sorted(scores)
+        )
+        + " END"
+    )
+    inner = ", ".join(f"{sql} AS score_{lang}" for lang, sql in sorted(scores.items()))
+    return (
+        f"SELECT doc_id, score_de, score_en, score_es, score_fr, {case} AS pred_lang "
+        f"FROM (SELECT doc_id, {inner} FROM documents)"
+    )
+
+
+@register("lang_id", _lang_oracle())
+def q_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic with per-language scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.lang_scores(docs).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "pred_lang"
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id, n_tokens,
+  round((length(text) - (n_tokens - 1)) / n_tokens, 6) AS mean_tok_len,
+  round(stop_hits / n_tokens, 6) AS stopword_ratio,
+  round(punct_hits / length(text), 6) AS punct_ratio,
+  round(0.4 * least(n_tokens / 100.0, 1.0)
+        + least(0.3 * (stop_hits / n_tokens) * 4, 0.3)
+        + 0.3 * (1 - punct_hits / length(text)), 6) AS quality
+FROM (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_IN}))) AS stop_hits,
+    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS punct_hits
+  FROM documents
+)
+"""
+
+
+@register("quality_scores", _QUALITY_ORACLE)
+def q_quality_scores(spark, sf_dir):
+    """Gopher/C4-style quality heuristics + composite score."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_tok_len", "stopword_ratio", "punct_ratio", "quality"
+    )
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TXT.BPE_ISH_PATTERN}')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.token_stats(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dd_shingles('text', 5)}) AS shingle FROM documents
+)
+SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Min-hash document fingerprint over 5-word shingles (winnowing-style)."""
+    return TXT.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", k=5)

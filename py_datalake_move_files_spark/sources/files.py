@@ -1,0 +1,55 @@
+"""File-catalog sources (SURVEY.md §2.1 S2/S4/S5/S6).
+
+The reference lists a lake path recursively via the ADLS SDK
+(app/main.py:195-216) and fetches per-file properties one RPC at a time
+(app/main.py:219-226). Spark's ``binaryFile`` source does both in one
+distributed scan: columns ``path, modificationTime, length, content``, with
+directories excluded and ``content`` only materialized if referenced (column
+pruning — the metadata-only listing never reads file bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def list_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """S2+S4: recursive file catalog of ``path``.
+
+    Metadata-only projection (``path, length, modificationTime``) — do NOT
+    select ``content`` here; Spark prunes the byte reads away entirely.
+    """
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", str(recursive).lower()
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).select("path", "length", "modificationTime")
+
+
+def read_files_with_content(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """S5: whole-file bytes as a ``content: binary`` column."""
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", str(recursive).lower()
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_decoded_text(df: DataFrame, *, content_col: str = "content") -> DataFrame:
+    """S6 first half: UTF-8 decode of file bytes (reference app/main.py:61)."""
+    return df.withColumn("text", F.decode(F.col(content_col), "UTF-8"))

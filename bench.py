@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count of the final plan) — limit/top-k
+queries still execute their whole upstream plan. A JVM/session warm-up scan
+runs first so measured times are query time, not session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from py_datalake_move_files_spark.queries import QUERIES  # noqa: E402
+from py_datalake_move_files_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "manifest_archive_plan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_running_revenue",
+    "sessionize_events",
+    "hourly_event_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
+    "simhash_fingerprints",
+    "quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pdmfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every table once (JVM/codegen/FS cache)
+    from py_datalake_move_files_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,24 +24,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens."""
     return F.split(text, " ")
 
 
-def _shingle_expr(text_sql: str, k: int = 3) -> str:
-    """SQL text for distinct k-shingles of the column ``text_sql``."""
-    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
-    return (
-        f"CASE WHEN size(split({text_sql}, ' ')) < {k} THEN array({text_sql}) "
-        f"ELSE array_distinct(transform(sequence(0, size(split({text_sql}, ' ')) - {k}), "
-        f"i -> {joined})) END"
-    ).replace("__t", f"split({text_sql}, ' ')")
-
-
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingle_set") -> DataFrame:
-    return df.withColumn(out, F.expr(_shingle_expr(text_col, k)))
+    """Add a distinct k-word-shingle array column.
+
+    The token array is materialized ONCE per row before the shingle
+    ``transform`` — referencing ``split(...)`` inside the lambda would
+    re-split the text for every element access (quadratic per document).
+    Documents shorter than ``k`` tokens yield the whole text as one shingle.
+    """
+    toks = f"__toks_{out}"
+    joined = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    shingle = (
+        f"CASE WHEN size({toks}) < {k} THEN array({text_col}) "
+        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {k}), "
+        f"i -> {joined})) END"
+    )
+    return (
+        df.withColumn(toks, F.split(F.col(text_col), " "))
+        .withColumn(out, F.expr(shingle))
+        .drop(toks)
+    )
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -71,16 +81,21 @@ def minhash_signatures(
     of ``md5(i:shingle)`` over the doc's distinct shingles — a valid
     min-wise permutation family over the md5 codomain.
 
-    One explode + one groupBy; signature columns ``mh0..mh{n-1}``.
+    Computed entirely PER ROW (``transform`` + ``array_min`` inside codegen):
+    no explode, no groupBy, ZERO shuffles — the signature stage is
+    embarrassingly parallel at any scale. Signature columns ``mh0..mh{n-1}``.
     """
-    exploded = with_shingles(df, text_col, k).select(
-        F.col(id_col), F.explode("shingle_set").alias("shingle")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+    sh = with_shingles(ensure_parallelism(df), text_col, k)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingle_set"),
+                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+            )
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return sh.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -143,17 +158,43 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
-    Inverted-index join on shingles (never all-pairs): intersection counts
-    come from co-occurring shingles; union from per-doc set sizes. If
-    ``candidates`` (id_a, id_b) is given — e.g. from LSH — only those pairs
-    are verified, which is the 100 TB path.
+    Two physical strategies, same result set:
+
+    - with ``candidates`` (id_a, id_b) — e.g. from LSH banding — only those
+      pairs are scored: two joins bring in both shingle sets and
+      ``array_intersect`` computes the overlap per pair. Cost is
+      O(candidates), the 100 TB path.
+    - without candidates: inverted-index join on shingles (never all-pairs);
+      intersection counts come from co-occurring shingles, union from
+      per-doc set sizes.
     """
-    sh = with_shingles(df, text_col, k).select(
+    sh = with_shingles(ensure_parallelism(df), text_col, k).select(
         F.col(id_col).alias("doc"), F.col("shingle_set")
     )
+
+    if candidates is not None:
+        a = sh.select(
+            F.col("doc").alias("id_a"), F.col("shingle_set").alias("set_a")
+        )
+        b = sh.select(
+            F.col("doc").alias("id_b"), F.col("shingle_set").alias("set_b")
+        )
+        inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    inter / (F.size("set_a") + F.size("set_b") - inter), 6
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sizes = sh.select("doc", F.size("shingle_set").alias("n_sh"))
     inv = sh.select("doc", F.explode("shingle_set").alias("shingle"))
-
     pair_inter = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
@@ -164,9 +205,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        pair_inter = pair_inter.join(candidates, ["id_a", "id_b"], "left_semi")
-
     return (
         pair_inter.join(F.broadcast(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
         .join(F.broadcast(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
@@ -204,23 +242,28 @@ def simhash(
     ? +1 : -1)``. Bits are pulled from md5 hex nibbles with pure integer
     arithmetic (portable to the SQL oracle). Near-dup docs get fingerprints
     at small Hamming distance; identical token multisets collide exactly.
+
+    Computed per row — one md5 per token into an int array, then ``bits``
+    array-aggregates; no explode, no groupBy, zero shuffles.
     """
     nibbles = (bits + 3) // 4
-    tok = F.explode(tokens(F.col(text_col))).alias("tok")
-    e = (
-        df.select(F.col(id_col), tok)
-        .withColumn("h", F.md5(F.col("tok")))
-        .withColumn("hv", F.expr(hex_value_sql("h", nibbles)))
+    hv_of = hex_value_sql("md5(t)", nibbles)
+    e = ensure_parallelism(df).withColumn(
+        "hvs",
+        F.expr(
+            f"transform(split({text_col}, ' '), t -> CAST({hv_of} AS BIGINT))"
+        ),
     )
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"CAST(floor(hv / {2 ** j}) AS BIGINT) % 2") == 1, 1).otherwise(-1)
+        F.expr(
+            f"aggregate(hvs, 0L, (acc, x) -> acc + "
+            f"(CASE WHEN CAST(floor(x / {2 ** j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
         ).alias(f"s{j}")
         for j in range(bits)
     ]
-    agg = e.groupBy(id_col).agg(*bit_sums)
+    s = e.select(F.col(id_col), *bit_sums)
     fingerprint = None
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return s.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i], double, sequential — ``zip_with`` + ``aggregate``."""
@@ -69,7 +71,8 @@ def brute_force_topk(
         )
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        ensure_parallelism(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -135,7 +138,7 @@ def lsh_bucketed_topk(
     at scale you'd multi-probe or band multiple tables).
     """
     planes = hyperplanes(n_planes, dim)
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         bucket_expr(vec_col, planes).alias("bucket"),
@@ -179,7 +182,7 @@ def embedding_near_dup_pairs(
     the same bucket are compared (no all-pairs at scale); exact cosine then
     filters to ≥ threshold."""
     planes = hyperplanes(n_planes, dim)
-    b = corpus.select(
+    b = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         bucket_expr(vec_col, planes).alias("bucket"),

@@ -98,9 +98,11 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", *, k: int = 
     """Document fingerprint: lexicographic min of md5 over the doc's k-word
     shingles — a one-permutation MinHash / simplified winnowing selection of
     a representative rolling window. Equal fingerprints ⇒ candidate dups."""
-    from py_datalake_move_files_spark.operators.dedup import _shingle_expr
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+    from py_datalake_move_files_spark.operators.dedup import with_shingles
 
-    sh = df.select(
-        F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, k))).alias("shingle")
+    sh = with_shingles(ensure_parallelism(df), text_col, k)
+    return sh.select(
+        F.col(id_col),
+        F.array_min(F.transform(F.col("shingle_set"), F.md5)).alias("fingerprint"),
     )
-    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

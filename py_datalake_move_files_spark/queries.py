@@ -834,7 +834,8 @@ def q_dedup_exact(spark, sf_dir):
 
 def _minhash_oracle() -> str:
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(MINHASHES)
+        f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(MINHASHES)
     )
     rpb = MINHASHES // BANDS
     band_selects = " UNION ALL ".join(
@@ -845,10 +846,9 @@ def _minhash_oracle() -> str:
         for b in range(BANDS)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle FROM documents
-),
-sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+WITH d AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
+sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
+sig AS (SELECT doc_id, {sig_cols} FROM d),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -905,17 +905,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _simhash_oracle(bits: int = 16) -> str:
+    hv_of = D.hex_value_sql("md5(t)", 4)
     sums = ", ".join(
-        f"sum(CASE WHEN CAST(floor(hv / {2 ** j}) AS BIGINT) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS s{j}"
+        f"list_aggregate(list_transform(hvs, x -> CASE WHEN "
+        f"CAST(floor(x / {2 ** j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END), 'sum') AS s{j}"
         for j in range(bits)
     )
     fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
     return f"""
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-hv AS (SELECT doc_id, {D.hex_value_sql('h', 4)} AS hv FROM h),
-s AS (SELECT doc_id, {sums} FROM hv GROUP BY doc_id)
+WITH hv AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), t -> CAST({hv_of} AS BIGINT)) AS hvs
+  FROM documents
+),
+s AS (SELECT doc_id, {sums} FROM hv)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
 """
 
@@ -1087,10 +1090,10 @@ def q_token_counts(spark, sf_dir):
 @register(
     "doc_fingerprint",
     f"""
-WITH sh AS (
-  SELECT doc_id, unnest({dd_shingles('text', 5)}) AS shingle FROM documents
-)
-SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+SELECT doc_id,
+  list_aggregate(list_transform({dd_shingles('text', 5)}, s -> md5(s)), 'min')
+    AS fingerprint
+FROM documents
 """,
 )
 def q_doc_fingerprint(spark, sf_dir):

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by target SIZE, not parallelism:
+        # at 100 TB the 64 MB advisory still yields thousands of partitions,
+        # while locally it collapses tiny shuffles instead of paying 32-task
+        # scheduling overhead per microscopic stage (Spark's own production
+        # recommendation for this knob).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -27,8 +27,6 @@ audit contracts don't change.
 
 from __future__ import annotations
 
-import os
-import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,13 +43,6 @@ AUDIT_SCHEMA = T.StructType(
         T.StructField("reason", T.StringType()),
     ]
 )
-
-
-def _copy_one(src: str, dst: str, *, overwrite: bool) -> None:
-    if not overwrite and os.path.exists(dst):
-        raise FileExistsError(dst)
-    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)  # mkdir-if-needed, ref app/main.py:167-172
-    shutil.copyfile(src, dst)
 
 
 def execute_plan(
@@ -93,22 +84,37 @@ def execute_plan(
     do_move = mode == "move"
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained worker closure (stdlib imports + locals only) so it
+        # deserializes on executors that cannot import this package
+        import os as _os
+        import shutil as _shutil
+
+        import pandas as _pd
+
+        def local(p: str) -> str:
+            return p[5:] if p.startswith("file:") else p
+
         for batch in batches:
             out = []
             for src, dst in zip(batch["source_path"], batch["target_path"]):
                 try:
                     if dst is None:
                         raise ValueError("no target path (source not found)")
-                    _copy_one(src, dst, overwrite=overwrite)
+                    lsrc, ldst = local(src), local(dst)
+                    if not overwrite and _os.path.exists(ldst):
+                        raise FileExistsError(ldst)
+                    # mkdir-if-needed, ref app/main.py:167-172
+                    _os.makedirs(_os.path.dirname(ldst) or ".", exist_ok=True)
+                    _shutil.copyfile(lsrc, ldst)
                     if do_move:
                         # verified-write gate before delete (SURVEY §7.3.2)
-                        if os.path.getsize(dst) != os.path.getsize(src):
+                        if _os.path.getsize(ldst) != _os.path.getsize(lsrc):
                             raise OSError(f"size mismatch after copy: {dst}")
-                        os.remove(src)
+                        _os.remove(lsrc)
                     out.append((src, dst, mode, "ok", None))
                 except Exception as exc:  # per-file error-as-status, ref app/main.py:190-192
                     out.append((src, dst, mode, "error", f"{type(exc).__name__}: {exc}"))
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 out,
                 columns=["source_path", "target_path", "action", "status", "reason"],
             )

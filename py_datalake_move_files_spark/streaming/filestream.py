@@ -1,0 +1,141 @@
+"""Incremental tier (SURVEY.md §2.9 / §7 phase 6): Structured Streaming.
+
+The reference is batch-only but carries two incremental hooks: a hand-rolled
+"last extracted timestamp" checkpoint slot (reference app/config.py:12,28)
+and batch windows of 50 files (app/app.py:174, app/main.py:278). Spark
+replaces both wholesale:
+
+- file-arrival source with ``maxFilesPerTrigger`` (= BATCH_SIZE, but pull-
+  based and restart-safe),
+- checkpointing (= the timestamp file, but transactional),
+- ``withWatermark`` + tumbling / sliding / session windows for event-time
+  aggregation over late data,
+- ``foreachBatch`` to reuse the batch move/copy sink per micro-batch.
+
+All builders return unstarted streams/queries so tests and callers control
+triggers (``availableNow`` for deterministic drains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def file_arrival_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 50,
+) -> DataFrame:
+    """File-arrival source: new files under ``path`` become micro-batches.
+
+    ``max_files_per_trigger`` is the streaming analogue of the reference's
+    BATCH_SIZE=50 (app/app.py:174) — bounded work per trigger, but with
+    exactly-once tracking in the checkpoint instead of a manual loop.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_event_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark for late data — the
+    streaming twin of the batch ``hourly_event_stats`` query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the streaming twin of the batch
+    ``sessionize_events`` gaps-and-islands query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def to_parquet_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    output_mode: str = "append",
+) -> DataStreamWriter:
+    """Parquet sink with checkpoint (the transactional replacement for the
+    reference's timestamp file, app/config.py:12). Caller starts it with the
+    trigger of their choice (tests use ``trigger(availableNow=True)``)."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+    )
+
+
+def foreach_batch_movecopy(
+    plan_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    mode: str = "copy",
+    overwrite: bool = True,
+    audit_path: str | None = None,
+):
+    """Drive the batch move/copy executor per micro-batch (``foreachBatch``):
+    each arriving plan chunk is executed and its audit appended — the
+    streaming version of the reference's batch loop (app/main.py:278-303)."""
+    from py_datalake_move_files_spark.plans.movecopy import execute_plan
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        audit = execute_plan(batch_df, mode=mode, overwrite=overwrite)
+        if audit_path is not None:
+            audit.write.mode("append").parquet(audit_path)
+        else:
+            audit.count()  # force side effects
+
+    return (
+        plan_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: binary media columns, Arrow-batched decode
+stubs, pooled features, frame sampling — schema, batch shape, determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_images,
+    resize_features,
+    sample_frames,
+    synth_media,
+)
+
+
+def _media(spark, sf_small, n=50):
+    docs = load_table(spark, sf_small, "documents").where(F.col("doc_id") < n)
+    return synth_media(docs, "doc_id")
+
+
+def test_media_column_is_binary_with_metadata(spark, sf_small):
+    m = _media(spark, sf_small)
+    assert dict(m.dtypes) == {
+        "media_id": "bigint",
+        "mime": "string",
+        "content": "binary",
+        "n_bytes": "bigint",
+    }
+    row = m.orderBy("media_id").first()
+    assert isinstance(row.content, (bytes, bytearray)) and row.n_bytes == 64
+
+
+def test_decode_schema_and_determinism(spark, sf_small):
+    m = _media(spark, sf_small)
+    d1 = decode_images(m).orderBy("media_id").collect()
+    d2 = decode_images(m).orderBy("media_id").collect()
+    assert d1 == d2  # stub decode is deterministic
+    assert all(len(r.feature) == FEATURE_DIM for r in d1)
+    assert all(16 <= r.width < 80 and r.channels == 3 for r in d1)
+
+
+def test_arrow_batch_shape_respects_conf(spark, sf_small):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        m = _media(spark, sf_small).coalesce(1)
+
+        def sizes(batches):
+            for b in batches:
+                yield pd.DataFrame({"n": [len(b)]})
+
+        out = [r.n for r in m.mapInPandas(sizes, "n int").collect()]
+        assert max(out) <= 7 and sum(out) == 50
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_pooled_features(spark, sf_small):
+    d = resize_features(decode_images(_media(spark, sf_small)), out_dim=8)
+    row = d.orderBy("media_id").first()
+    assert len(row.feature_pooled) == 8
+    # pooled value = mean of the stride-2 slices
+    want = [
+        (row.feature[2 * i] + row.feature[2 * i + 1]) / 2 for i in range(8)
+    ]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(row.feature_pooled, want))
+
+
+def test_frame_sampling_is_udtf_shaped(spark, sf_small):
+    m = _media(spark, sf_small, n=20)
+    frames = sample_frames(m, every_ms=500, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "frame_ms", "frame_digest"}
+    per = pdf.groupby("media_id").frame_idx.count()
+    assert (per >= 1).all() and (per <= 4).all()
+    assert (pdf.frame_ms == pdf.frame_idx * 500).all()

@@ -1,0 +1,117 @@
+"""Behavioral unit tests for dedup / similarity / as-of operators on crafted
+inputs (the oracle-parity suite covers the harness tables; these pin the
+semantics on controlled corners)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators.asof import asof_join, range_join
+from py_datalake_move_files_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from py_datalake_move_files_spark.operators.similarity import brute_force_topk
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    rows = {r.keep_id: r.n_copies for r in dedup_exact(df, "doc_id").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_exact_dup_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here now ok yes")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(df, "doc_id")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = jaccard_pairs(df, "doc_id", threshold=0.99, candidates=cands).collect()
+    assert [(v.id_a, v.id_b, v.jaccard) for v in verified] == [(1, 2, 1.0)]
+
+
+def test_jaccard_inverted_index_no_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "z y x w v u")],
+        ["doc_id", "text"],
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(df, "doc_id", threshold=0.1).collect()}
+    # docs 1,2: shingles {abc,bcd,cde,def} vs {abc,bcd,cde,deg}: 3/5
+    assert got == {(1, 2): 0.6}
+
+
+def test_simhash_identical_tokens_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3"), (2, "w3 w2 w1"), (3, "entirely different tokens")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.simhash for r in simhash(df, "doc_id").collect()}
+    assert rows[1] == rows[2]  # order-insensitive token multiset
+    assert rows[1] != rows[3]
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(corpus, queries, k=2).orderBy("rnk").collect()
+    assert [r.neighbor_id for r in got] == [1, 3]
+    assert got[0].cosine_sim > got[1].cosine_sim > 0
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1, 10, 0), "p1"),
+            ("u1", dt.datetime(2024, 1, 1, 12, 0), "p2"),
+            ("u2", dt.datetime(2024, 1, 1, 9, 0), "p3"),  # no prior right row
+        ],
+        ["user", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1, 9, 30), "v1"),
+            ("u1", dt.datetime(2024, 1, 1, 10, 0), "v2"),   # ties left p1 exactly
+            ("u1", dt.datetime(2024, 1, 1, 11, 0), "v3"),
+            ("u2", dt.datetime(2024, 1, 1, 9, 30), "v4"),   # after p3
+        ],
+        ["user", "ts", "vid"],
+    )
+    out = {
+        r.pid: r.asof_vid
+        for r in asof_join(
+            left, right, on="user", left_ts="ts", right_ts="ts", right_cols=["vid"]
+        ).collect()
+    }
+    assert out == {"p1": "v2", "p2": "v3", "p3": None}  # inclusive <=, latest prior
+
+
+def test_range_join_buckets(spark):
+    facts = spark.createDataFrame([(5.0,), (15.0,), (150.0,)], ["v"])
+    iv = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("mid", 10.0, 100.0), ("hi", 100.0, 1e9)],
+        ["label", "lo", "hi"],
+    )
+    got = {
+        r.v: r.label
+        for r in range_join(facts, iv, point_col="v", start_col="lo", end_col="hi").collect()
+    }
+    assert got == {5.0: "lo", 15.0: "mid", 150.0: "hi"}

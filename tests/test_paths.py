@@ -1,0 +1,107 @@
+"""Property-style tests for the path-transform expressions (P4-P8), checked
+against Python reference implementations that mirror the reference repo's
+semantics (app/app.py:45-53,104-111; app/main.py:152-159,168) — evaluated in
+one Spark job over a seeded random corpus."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators.paths import (
+    basename,
+    parent_dir,
+    prefix_qualify,
+    rewrite_prefix,
+    strip_prefix_rewrite,
+)
+
+SRC = "lake/raw"
+TGT = "lake/archive"
+
+
+def _gen_paths(n=300, seed=42):
+    rng = random.Random(seed)
+    segs = ["a", "bb", "c-1", "doc_7", "x.json", "UPPER", "2024", "q"]
+    out = []
+    for _ in range(n):
+        depth = rng.randint(1, 4)
+        name = "/".join(rng.choice(segs) for _ in range(depth))
+        if rng.random() < 0.4:
+            name = f"{SRC}/{name}"
+        if rng.random() < 0.1:
+            name = f"other/{SRC}/{name}"  # prefix appears mid-path
+        out.append(name)
+    return out
+
+
+def _py_qualify(name: str) -> str:
+    # reference app/app.py:104-111
+    if name.startswith(SRC):
+        return name
+    return SRC.rstrip("/") + "/" + name
+
+
+def _py_rewrite(path: str) -> str:
+    # anchored variant of app/app.py:45-53 (SURVEY §7.3.3 divergence)
+    tgt = TGT.rstrip("/") + "/"
+    if path.startswith(SRC):
+        out = tgt + path[len(SRC):]
+    else:
+        out = tgt + path.split("/")[-1]
+    while "//" in out:
+        out = out.replace("//", "/")
+    return out
+
+
+def _py_strip_rewrite(path: str) -> str:
+    # reference app/main.py:152-159
+    if path.startswith(SRC):
+        rel = path[len(SRC):].lstrip("/")
+    else:
+        rel = path.split("/")[-1]
+    out = TGT.rstrip("/") + "/" + rel
+    while "//" in out:
+        out = out.replace("//", "/")
+    return out
+
+
+def test_path_ops_match_reference_semantics(spark):
+    names = _gen_paths()
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    rows = df.select(
+        "name",
+        prefix_qualify(F.col("name"), SRC).alias("qualified"),
+        rewrite_prefix(F.col("name"), SRC, TGT).alias("rewritten"),
+        strip_prefix_rewrite(F.col("name"), SRC, TGT).alias("stripped"),
+        basename(F.col("name")).alias("base"),
+        parent_dir(F.col("name")).alias("parent"),
+    ).collect()
+    for r in rows:
+        assert r.qualified == _py_qualify(r.name), r.name
+        assert r.rewritten == _py_rewrite(r.name), r.name
+        assert r.stripped == _py_strip_rewrite(r.name), r.name
+        assert r.base == r.name.split("/")[-1], r.name
+        assert r.parent == "/".join(r.name.split("/")[:-1]), r.name
+
+
+def test_rewrite_is_anchored_not_replace_first(spark):
+    """Documented divergence: the reference's str.replace(src, tgt, 1)
+    would rewrite a mid-path occurrence; ours anchors and falls back to
+    basename (SURVEY §7.3.3)."""
+    tricky = f"other/{SRC}/x.json"
+    row = (
+        spark.createDataFrame([(tricky,)], ["p"])
+        .select(rewrite_prefix(F.col("p"), SRC, TGT).alias("out"))
+        .first()
+    )
+    assert row.out == f"{TGT}/x.json"  # basename fallback, NOT other/lake/archive/x.json
+
+
+def test_qualify_idempotent(spark):
+    names = _gen_paths(100, seed=7)
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    once = prefix_qualify(F.col("name"), SRC)
+    twice = prefix_qualify(once, SRC)
+    assert df.where(once != twice).count() == 0

@@ -1,0 +1,96 @@
+"""Streaming tier tests: file-arrival source → windowed aggregation →
+checkpointed sink, drained deterministically with availableNow, compared
+against the equivalent batch computation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.streaming.filestream import (
+    file_arrival_stream,
+    foreach_batch_movecopy,
+    session_window_stats,
+    to_parquet_sink,
+    tumbling_event_stats,
+)
+
+
+def _events_files(spark, sf_small, out_dir):
+    ev = load_table(spark, sf_small, "events")
+    # two "arrival batches" of files
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{out_dir}/b0")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{out_dir}/b1")
+    return ev
+
+
+def test_tumbling_stream_matches_batch(spark, sf_small, tmp_path):
+    src = tmp_path / "in"
+    ev = _events_files(spark, sf_small, str(src))
+    schema = ev.schema
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", schema, max_files_per_trigger=1
+    )
+    agg = tumbling_event_stats(stream)
+    q = to_parquet_sink(
+        agg, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = tumbling_event_stats(ev)
+    # append-mode watermark semantics: only windows closed by the final
+    # watermark are emitted; every emitted row must match the batch result
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert len(got_rows) > 0
+    assert got_rows <= batch_rows
+
+
+def test_session_window_stream_runs(spark, sf_small, tmp_path):
+    src = tmp_path / "in"
+    ev = _events_files(spark, sf_small, str(src))
+    stream = file_arrival_stream(spark, f"{src}/*", ev.schema)
+    sess = session_window_stats(stream)
+    q = to_parquet_sink(
+        sess, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert set(out.columns) == {"session_start", "session_end", "user_id", "n_events"}
+
+
+def test_streaming_movecopy_sink(spark, tmp_path):
+    """foreachBatch bridges arriving copy plans to the batch executor."""
+    files = tmp_path / "files"
+    files.mkdir()
+    for i in range(3):
+        (files / f"f{i}.txt").write_text(f"data{i}")
+    plans = tmp_path / "plans"
+    rows = [
+        (f"{files}/f{i}.txt", f"{tmp_path}/moved/f{i}.txt") for i in range(3)
+    ]
+    spark.createDataFrame(rows, ["source_path", "target_path"]).coalesce(1).write.parquet(str(plans / "p0"))
+
+    stream = file_arrival_stream(
+        spark,
+        f"{plans}/*",
+        "source_path string, target_path string",
+    )
+    q = foreach_batch_movecopy(
+        stream,
+        str(tmp_path / "ckpt"),
+        mode="copy",
+        audit_path=str(tmp_path / "audit"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert sorted(p.name for p in (tmp_path / "moved").iterdir()) == [
+        "f0.txt",
+        "f1.txt",
+        "f2.txt",
+    ]
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    assert audit.where(F.col("status") == "ok").count() == 3

@@ -1099,3 +1099,277 @@ FROM documents
 def q_doc_fingerprint(spark, sf_dir):
     """Min-hash document fingerprint over 5-word shingles (winnowing-style)."""
     return TXT.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", k=5)
+
+
+# ==========================================================================
+# D. Relational breadth (outer joins, set ops, grouping sets, subqueries,
+#    scalar function suites)
+# ==========================================================================
+
+
+@register(
+    "left_outer_customer_orders",
+    f"""
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+  round(CAST(coalesce(sum(CAST(o_totalprice AS {_DEC})), 0) AS DOUBLE), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def q_left_outer_customer_orders(spark, sf_dir):
+    """LEFT OUTER join keeping order-less customers (count=0, total=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(_m2("o_totalprice")), F.lit(0)).cast("double"), 2
+            ).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    """
+SELECT coalesce(c.k, s.k) AS nationkey,
+  CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+  CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer WHERE c_nationkey < 10 GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c.k = s.k
+""",
+)
+def q_full_outer_nation_presence(spark, sf_dir):
+    """FULL OUTER join over two aggregated sides (unmatched keys on both)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 10)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.k") == F.col("s.k"), "full")
+        .select(
+            F.coalesce(F.col("c.k"), F.col("s.k")).alias("nationkey"),
+            F.coalesce(F.col("c.n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("s.n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "union_all_activity",
+    """
+SELECT key, kind, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey AS key, 'order' AS kind FROM orders
+  UNION ALL
+  SELECT user_id AS key, 'event' AS kind FROM events
+) GROUP BY key, kind
+""",
+)
+def q_union_all_activity(spark, sf_dir):
+    """UNION ALL of two heterogeneous sources into one keyed tally."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.lit("order").alias("kind")
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.lit("event").alias("kind")
+    )
+    return o.unionByName(e).groupBy("key", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "grouping_sets_orders",
+    f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (via Spark SQL on a registered view)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "topk_per_group_parts",
+    f"""
+SELECT p_brand, p_partkey,
+  round(CAST(CAST(p_retailprice AS {_DEC}) AS DOUBLE), 2) AS price,
+  CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_group_parts(spark, sf_dir):
+    """Per-group top-k (window + filter — Spark's rank-pushdown pattern)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round(_m2("p_retailprice").cast("double"), 2).alias("price"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+@register(
+    "string_funcs_suite",
+    """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  substr(p_type, 1, 5) AS type_prefix,
+  replace(p_name, ' ', '_') AS name_snake,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+  CAST(length(p_name) AS INT) AS name_len,
+  reverse(p_brand) AS brand_rev,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  translate(p_name, 'aeiou', 'AEIOU') AS name_tr
+FROM part
+""",
+)
+def q_string_funcs_suite(spark, sf_dir):
+    """§2.8 scalar string breadth in one projection."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_tr"),
+    )
+
+
+@register(
+    "date_funcs_suite",
+    """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS y,
+  CAST(month(o_orderdate) AS INT) AS m,
+  CAST(day(o_orderdate) AS INT) AS d,
+  CAST(quarter(o_orderdate) AS INT) AS q,
+  CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since
+FROM orders
+""",
+)
+def q_date_funcs_suite(spark, sf_dir):
+    """§2.8 date/time breadth (weekday normalized to 0=Monday both sides)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+SELECT p_brand,
+  round(quantile_cont(p_retailprice, 0.5), 4) AS median_price,
+  round(quantile_cont(p_retailprice, 0.9), 4) AS p90_price,
+  CAST(count(*) AS BIGINT) AS n
+FROM part GROUP BY p_brand
+""",
+)
+def q_percentile_prices(spark, sf_dir):
+    """Exact interpolated percentiles per group."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("p_retailprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_above
+FROM part
+WHERE p_retailprice > (
+  SELECT CAST(sum(CAST(p_retailprice AS {_DEC})) AS DOUBLE) / count(*) FROM part
+)
+GROUP BY p_brand
+""",
+)
+def q_scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar-subquery filter (decimal-exact global average, broadcast)."""
+    p = _t(spark, sf_dir, "part")
+    avg_df = p.agg(
+        (F.sum(_m2("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        p.crossJoin(F.broadcast(avg_df))
+        .where(F.col("p_retailprice") > F.col("avg_price"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@register(
+    "props_key_stats",
+    """
+SELECT event_type,
+  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE) / count(*), 6) AS avg_k,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_props_key_stats(spark, sf_dir):
+    """JSON-extracted numeric aggregation over the dynamic props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

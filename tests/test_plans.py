@@ -1,0 +1,77 @@
+"""Physical-plan assertions: lock in the scale-critical plan shapes so a
+regression (lost pushdown, lost broadcast, accidental cartesian product,
+shuffle creep) fails CI — these properties are what make the engine viable
+at 100 TB, independent of result correctness."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from py_datalake_move_files_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan and "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruning: the scan reads only the 7 needed columns
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) == 7, cols
+
+
+def test_q3_uses_topk_and_broadcasts(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_manifest_plan_broadcast_semi_anti(spark):
+    plan = _plan(spark, "manifest_archive_plan")
+    assert "BuildRight" in plan
+    assert re.search(r"BroadcastHashJoin .* LeftSemi", plan)
+    assert re.search(r"BroadcastHashJoin .* LeftAnti", plan)
+    assert "SortMergeJoin" not in plan  # listing is never shuffled
+
+
+def test_ann_has_no_cartesian_product(spark):
+    plan = _plan(spark, "ann_brute_force")
+    # tiny query side must broadcast: BNLJ, never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact")
+    # one hash aggregation: exactly one exchange, keyed on the digest
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "partial_count" in plan  # map-side combine
+
+
+def test_minhash_signatures_have_no_shuffle(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.dedup import minhash_signatures
+
+    df = minhash_signatures(load_table(spark, SF, "documents"), "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-row signature computation: the only exchange is the parallelism
+    # guard's round-robin (local small-file case), never a hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_broadcast_hint_survives_in_star_join(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    # every dimension is broadcast; the only shuffles are for the final agg
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,166 @@
+"""Command-line entry points mirroring the reference's two pipelines, so a
+user of ``krben/py-datalake-move-files`` can switch 1:1:
+
+- ``archive``  — pipeline A (reference app/app.py): manifest CSV → existence
+  reconciliation against the lake listing → server-side-style copy of the
+  found set, with found/not-found samples and totals.
+- ``move``     — pipeline B (reference app/main.py): recursive listing →
+  date-range + optional JSON content predicate → move (copy + verified
+  delete). DRY-RUN by default; ``--execute`` replaces the reference's
+  interactive confirmation (app/main.py:269-272) with an explicit flag —
+  safer for automation, same gate.
+
+Both print the audit summary the reference printed per batch
+(app/app.py:133-152, app/main.py:305-309), but computed from the audit
+DataFrame. Paths are local-FS here; pointing at ABFS is a matter of Hadoop
+conf (see config.py) — the plans don't change.
+
+Usage:
+    python -m py_datalake_move_files_spark archive \
+        --manifest quotes.csv --source /lake/raw --target /lake/archive
+    python -m py_datalake_move_files_spark move \
+        --source /lake/raw --target /lake/archive \
+        --after 2024-01-01 --before 2024-02-01 \
+        --json-key SalesCompanyId --json-value 100 --execute
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="py_datalake_move_files_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("archive", help="manifest-driven copy (pipeline A)")
+    a.add_argument("--manifest", required=True, help=";-delimited CSV with a filename column")
+    a.add_argument("--source", required=True, help="source prefix")
+    a.add_argument("--target", required=True, help="target prefix")
+    a.add_argument("--execute", action="store_true", help="run the copies (default: dry-run)")
+    a.add_argument("--sample", type=int, default=10, help="sample rows to print")
+
+    m = sub.add_parser("move", help="list-filter-move (pipeline B)")
+    m.add_argument("--source", required=True)
+    m.add_argument("--target", required=True)
+    m.add_argument("--after", help="keep files modified on/after (YYYY-MM-DD)")
+    m.add_argument("--before", help="keep files modified on/before (YYYY-MM-DD)")
+    m.add_argument("--json-key", help="JSON content predicate key")
+    m.add_argument("--json-value", help="JSON content predicate value (string-coerced)")
+    m.add_argument("--execute", action="store_true", help="run the moves (default: dry-run)")
+    m.add_argument("--sample", type=int, default=10)
+    return p
+
+
+def cmd_archive(spark, args) -> int:
+    from py_datalake_move_files_spark.catalog import read_manifest_csv
+    from py_datalake_move_files_spark.operators.manifest import build_archive_plan
+    from py_datalake_move_files_spark.plans.movecopy import audit_summary, execute_plan
+    from py_datalake_move_files_spark.sources.files import list_files
+
+    manifest = read_manifest_csv(spark, args.manifest)
+    listing = list_files(spark, args.source)
+    plan = build_archive_plan(
+        manifest,
+        listing,
+        source_prefix=_as_uri(args.source),
+        target_prefix=_as_uri(args.target),
+    )
+    counts = {r["status"]: r["count"] for r in plan.groupBy("status").count().collect()}
+    print(f"found: {counts.get('found', 0)}  not_found: {counts.get('not_found', 0)}")
+    # found/not-found samples, as the reference reports (app/app.py:133-152)
+    for status in ("found", "not_found"):
+        rows = plan.where(F.col("status") == status).limit(args.sample).collect()
+        for r in rows:
+            print(f"  [{status}] {r.source_path}")
+
+    audit = execute_plan(
+        plan.where(F.col("status") == "found"),
+        mode="copy",
+        dry_run=not args.execute,
+    )
+    audit_summary(audit).show(truncate=False)
+    return 0
+
+
+def cmd_move(spark, args) -> int:
+    from py_datalake_move_files_spark.operators.paths import strip_prefix_rewrite
+    from py_datalake_move_files_spark.operators.predicates import (
+        date_range_predicate,
+        json_key_probe_fast,
+        reason_cascade,
+    )
+    from py_datalake_move_files_spark.plans.movecopy import audit_summary, execute_plan
+    from py_datalake_move_files_spark.sources.files import (
+        list_files,
+        read_files_with_content,
+        with_decoded_text,
+    )
+
+    after = dt.datetime.fromisoformat(args.after) if args.after else None
+    before = dt.datetime.fromisoformat(args.before) if args.before else None
+    checks = []
+    date_pred = date_range_predicate(
+        F.col("modificationTime"), after=after, before=before
+    )
+    checks.append((date_pred, "outside date range"))
+
+    if args.json_key:
+        files = with_decoded_text(read_files_with_content(spark, args.source))
+        content_pred = json_key_probe_fast(
+            "text", args.json_key, args.json_value or ""
+        )
+        checks.append((content_pred, "content mismatch"))
+    else:
+        files = list_files(spark, args.source)
+
+    # cheap-before-expensive predicate order, as the reference evaluates
+    # (app/main.py:109-146); Catalyst prunes the content read for rows the
+    # date filter rejects when only metadata columns are referenced
+    reason = reason_cascade(*checks)
+    annotated = files.withColumn("reason", reason)
+    plan = annotated.where(F.col("reason") == "Matches all criteria").select(
+        F.col("path").alias("source_path"),
+        strip_prefix_rewrite(
+            F.col("path"), _as_uri(args.source), _as_uri(args.target)
+        ).alias("target_path"),
+    )
+    rejected = annotated.where(F.col("reason") != "Matches all criteria")
+    n_move, n_skip = plan.count(), rejected.count()
+    print(f"to_move: {n_move}  skipped: {n_skip}")
+    for r in rejected.select("path", "reason").limit(args.sample).collect():
+        print(f"  [skip] {r.path}: {r.reason}")
+
+    audit = execute_plan(plan, mode="move", dry_run=not args.execute)
+    audit_summary(audit).show(truncate=False)
+    return 0
+
+
+def _as_uri(path: str) -> str:
+    """binaryFile listings yield ``file:/abs/path`` URIs for local paths —
+    qualify bare absolute paths the same way so prefixes line up."""
+    if "://" in path or path.startswith("file:"):
+        return path
+    return f"file:{path}"
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from py_datalake_move_files_spark.session import get_spark
+
+    spark = get_spark("pdmfs-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "archive":
+            return cmd_archive(spark, args)
+        return cmd_move(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 
+_UNIQ = iter(range(10**9))
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens."""
@@ -41,11 +43,12 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = 
     Documents shorter than ``k`` tokens yield the whole text as one shingle.
     """
     toks = f"__toks_{out}"
-    joined = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    u = f"i{next(_UNIQ)}"  # unique lambda var (see tests/test_lambda_safety.py)
+    joined = " || ' ' || ".join(f"{toks}[{u} + {j}]" for j in range(k))
     shingle = (
         f"CASE WHEN size({toks}) < {k} THEN array({text_col}) "
         f"ELSE array_distinct(transform(sequence(0, size({toks}) - {k}), "
-        f"i -> {joined})) END"
+        f"{u} -> {joined})) END"
     )
     return (
         df.withColumn(toks, F.split(F.col(text_col), " "))
@@ -86,12 +89,12 @@ def minhash_signatures(
     embarrassingly parallel at any scale. Signature columns ``mh0..mh{n-1}``.
     """
     sh = with_shingles(ensure_parallelism(df), text_col, k)
+    # SQL-text HOFs with UNIQUE lambda variables per column — python-lambda
+    # HOFs corrupt silently when several share a projection (see
+    # tests/test_lambda_safety.py)
     sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("shingle_set"),
-                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-            )
+        F.expr(
+            f"array_min(transform(shingle_set, s{i} -> md5(concat('{i}:', s{i}))))"
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
@@ -256,8 +259,8 @@ def simhash(
     )
     bit_sums = [
         F.expr(
-            f"aggregate(hvs, 0L, (acc, x) -> acc + "
-            f"(CASE WHEN CAST(floor(x / {2 ** j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
+            f"aggregate(hvs, 0L, (acc{j}, x{j}) -> acc{j} + "
+            f"(CASE WHEN CAST(floor(x{j} / {2 ** j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
         ).alias(f"s{j}")
         for j in range(bits)
     ]

@@ -40,8 +40,9 @@ def date_range_predicate(
     return pred
 
 
-def json_key_probe_fast(doc: Column, key: str, target: str) -> Column:
+def json_key_probe_fast(doc_sql: str, key: str, target: str) -> Column:
     """P10 fast path (reference check_file_content, app/main.py:49-106).
+    ``doc_sql`` is a SQL column reference (e.g. ``"props"``).
 
     Declarative probe: the key at top level (``$.key``); else ANY depth-1
     nested object carrying it; else the head of ANY depth-1 list of objects;
@@ -55,23 +56,31 @@ def json_key_probe_fast(doc: Column, key: str, target: str) -> Column:
     reference bit-for-bit; use it when adversarial documents (two nested
     dicts carrying the key with different values) matter.
     """
+    doc = F.col(doc_sql)
     starget = F.lit(str(target))
 
     def eq(c: Column) -> Column:
         return F.coalesce(c.cast("string") == starget, F.lit(False))
 
+    tgt_sql = str(target).replace("'", "''")
     top = F.get_json_object(doc, f"$.{key}")
     # depth-1 nested objects / lists: parse to map<string,string> (nested
-    # values come back as raw JSON strings) and probe each value.
-    m = F.from_json(doc, "map<string,string>")
-    nested_any = F.coalesce(
-        F.exists(F.map_values(m), lambda v: eq(F.get_json_object(v, f"$.{key}"))),
-        F.lit(False),
-    )
-    list_any = F.coalesce(
-        F.exists(F.map_values(m), lambda v: eq(F.get_json_object(v, f"$[0].{key}"))),
-        F.lit(False),
-    )
+    # values come back as raw JSON strings) and probe each value. HOFs are
+    # SQL text with unique lambda vars — python-lambda HOFs corrupt when
+    # several share a projection (tests/test_lambda_safety.py).
+    def any_match(path_prefix: str, u: str) -> Column:
+        return F.coalesce(
+            F.expr(
+                f"exists(map_values(from_json({doc_sql}, 'map<string,string>')), "
+                f"{u} -> coalesce("
+                f"CAST(get_json_object({u}, '{path_prefix}.{key}') AS STRING)"
+                f" = '{tgt_sql}', false))"
+            ),
+            F.lit(False),
+        )
+
+    nested_any = any_match("$", "v0n")
+    list_any = any_match("$[0]", "v0l")
     root_list = F.get_json_object(doc, f"$[0].{key}")
     return (
         F.when(top.isNotNull(), eq(top))

@@ -29,24 +29,41 @@ from pyspark.sql import Window
 from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ a[i]·b[i], double, sequential — ``zip_with`` + ``aggregate``."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+_UNIQ = iter(range(10**9))
+
+
+def _u() -> str:
+    """Unique lambda-variable suffix.
+
+    CRITICAL: higher-order functions here are built as SQL text via
+    ``F.expr`` with UNIQUE lambda variable names, never as PySpark Python
+    lambdas — multiple python-lambda HOFs in one projection silently corrupt
+    values (observed on Spark 4.1: colliding ``namedlambdavariable`` ids;
+    see tests/test_lambda_safety.py)."""
+    return str(next(_UNIQ))
+
+
+def dot(a: str, b: str) -> Column:
+    """Σ a[i]·b[i], double, sequential fold — args are SQL column refs."""
+    u = _u()
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x{u}, y{u}) -> "
+        f"CAST(x{u} AS DOUBLE) * CAST(y{u} AS DOUBLE)), 0D, "
+        f"(acc{u}, v{u}) -> acc{u} + v{u})"
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: str) -> Column:
+    u = _u()
     return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        F.expr(
+            f"aggregate({a}, 0D, (acc{u}, v{u}) -> "
+            f"acc{u} + CAST(v{u} AS DOUBLE) * CAST(v{u} AS DOUBLE))"
         )
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -78,7 +95,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -109,9 +126,10 @@ def bucket_expr(vec_col: str, planes: list[list[int]]) -> Column:
     bits = []
     for p, row in enumerate(planes):
         consts = "array(" + ", ".join(f"{v}D" for v in row) + ")"
+        u = _u()
         d = F.expr(
-            f"aggregate(zip_with({vec_col}, {consts}, (x, y) -> cast(x as double) * y),"
-            f" 0D, (acc, x) -> acc + x)"
+            f"aggregate(zip_with({vec_col}, {consts}, (x{u}, y{u}) -> "
+            f"cast(x{u} as double) * y{u}), 0D, (acc{u}, v{u}) -> acc{u} + v{u})"
         )
         bits.append(F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0)))
     out = bits[0]
@@ -156,7 +174,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -194,7 +212,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("x.vid").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("x.vec")), 6).alias("cosine_sim"),
+            F.round(cosine("a.vec", "x.vec"), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

@@ -29,25 +29,31 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
 BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
-def _in_list(tok: Column, words: tuple[str, ...]) -> Column:
-    return tok.isin(*words)
+_UNIQ = iter(range(10**9))
 
 
-def marker_hits(text: Column, words: tuple[str, ...]) -> Column:
-    """Count of whitespace tokens that are in ``words``."""
-    return F.size(F.filter(F.split(text, " "), lambda t: _in_list(t, words)))
+def marker_hits(text_sql: str, words: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens that are in ``words``.
+
+    Built as SQL text with a unique lambda variable — multiple python-lambda
+    HOFs in one projection corrupt silently (tests/test_lambda_safety.py).
+    """
+    u = next(_UNIQ)
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split({text_sql}, ' '), t{u} -> t{u} IN ({inlist})))"
+    )
 
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language marker-hit ratios, plus the argmax prediction
     (ties broken by language code order, 'unknown' when all scores are 0)."""
-    t = F.col(text_col)
-    n = F.size(F.split(t, " "))
+    n = F.size(F.split(F.col(text_col), " "))
     out = df
     langs = sorted(LANG_MARKERS)
     for lang in langs:
         out = out.withColumn(
-            f"score_{lang}", F.round(marker_hits(t, LANG_MARKERS[lang]) / n, 6)
+            f"score_{lang}", F.round(marker_hits(text_col, LANG_MARKERS[lang]) / n, 6)
         )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.when(best.isNull() | (best == 0), F.lit("unknown"))
@@ -75,7 +81,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = F.split(t, " ")
     n = F.size(toks)
-    stop_ratio = marker_hits(t, STOPWORDS) / n
+    stop_ratio = marker_hits(text_col, STOPWORDS) / n
     punct_ratio = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9 ]"), 0)) / F.length(t)
     return (
         df.withColumn("n_tokens", n)
@@ -102,7 +108,10 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", *, k: int = 
     from py_datalake_move_files_spark.operators.dedup import with_shingles
 
     sh = with_shingles(ensure_parallelism(df), text_col, k)
+    u = next(_UNIQ)
     return sh.select(
         F.col(id_col),
-        F.array_min(F.transform(F.col("shingle_set"), F.md5)).alias("fingerprint"),
+        F.expr(f"array_min(transform(shingle_set, f{u} -> md5(f{u})))").alias(
+            "fingerprint"
+        ),
     )

@@ -230,7 +230,7 @@ def q_json_content_predicate(spark, sf_dir):
     check_file_content, app/main.py:49-106)."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.where(json_key_probe_fast(F.col("props"), "k", "42"))
+        ev.where(json_key_probe_fast("props", "k", "42"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -1373,3 +1373,39 @@ def q_props_key_stats(spark, sf_dir):
         F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ==========================================================================
+# E. Multimodal (rows-only driver checks: binary decode is engine-side
+#    plumbing with a stubbed codec — no SQL-expressible oracle)
+# ==========================================================================
+
+
+@register("multimodal_decode_features")
+def q_multimodal_decode_features(spark, sf_dir):
+    """Binary media → Arrow-batched decode (stub codec) → pooled features.
+    Rows-only check: deterministic fake decode, schema + batch plumbing are
+    the object under test (see tests/test_multimodal.py)."""
+    from py_datalake_move_files_spark.operators.multimodal import (
+        decode_images,
+        resize_features,
+        synth_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs, "doc_id")
+    return resize_features(decode_images(media), out_dim=8).select(
+        "media_id", "mime", "width", "height", "channels", "feature_pooled"
+    )
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling (UDTF-shaped mapInPandas). Rows-only."""
+    from py_datalake_move_files_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(synth_media(docs, "doc_id"), every_ms=1000, max_frames=8)

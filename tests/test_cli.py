@@ -1,0 +1,77 @@
+"""Drive the CLI the way a reference user would — real subprocess, real
+files — covering both pipelines, dry-run default, and execute."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, **kw):
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "py_datalake_move_files_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env=env,
+        cwd=str(REPO),
+        **kw,
+    )
+
+
+def _mk_lake(tmp_path):
+    src = tmp_path / "raw"
+    (src / "q").mkdir(parents=True)
+    (src / "q" / "1.json").write_text('{"SalesCompanyId": 100}')
+    (src / "q" / "2.json").write_text('{"SalesCompanyId": 999}')
+    (src / "q" / "3.txt").write_text("not json")
+    return src
+
+
+def test_cli_archive_dry_run_then_execute(tmp_path):
+    src = _mk_lake(tmp_path)
+    dst = tmp_path / "archive"
+    manifest = tmp_path / "m.csv"
+    manifest.write_text(
+        "QuoteId;unixtimestamp;filename\nA;1;q/1.json\nB;2;q/2.json\nC;3;q/gone.json\n"
+    )
+    base = [
+        "archive",
+        "--manifest", str(manifest),
+        "--source", str(src),
+        "--target", str(dst),
+    ]
+    dry = _run(base)
+    assert dry.returncode == 0, dry.stderr[-2000:]
+    assert "found: 2  not_found: 1" in dry.stdout
+    assert "planned" in dry.stdout and not dst.exists()
+
+    ex = _run([*base, "--execute"])
+    assert ex.returncode == 0, ex.stderr[-2000:]
+    assert (dst / "q" / "1.json").exists() and (dst / "q" / "2.json").exists()
+    assert (src / "q" / "1.json").exists()  # archive copies, never deletes
+
+
+def test_cli_move_with_json_filter(tmp_path):
+    src = _mk_lake(tmp_path)
+    dst = tmp_path / "moved"
+    out = _run(
+        [
+            "move",
+            "--source", str(src),
+            "--target", str(dst),
+            "--json-key", "SalesCompanyId",
+            "--json-value", "100",
+            "--execute",
+        ]
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "to_move: 1  skipped: 2" in out.stdout
+    assert "content mismatch" in out.stdout
+    assert (dst / "q" / "1.json").exists()
+    assert not (src / "q" / "1.json").exists()  # move deletes source
+    assert (src / "q" / "2.json").exists()  # mismatched file untouched

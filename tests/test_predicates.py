@@ -48,7 +48,7 @@ def test_fast_probe_agrees_except_documented_divergence(spark):
     df = spark.createDataFrame([(d,) for d, _ in GOLDEN], ["doc"])
     got = [
         r.r
-        for r in df.select(json_key_probe_fast(F.col("doc"), KEY, TARGET).alias("r")).collect()
+        for r in df.select(json_key_probe_fast("doc", KEY, TARGET).alias("r")).collect()
     ]
     # identical on all but the adversarial any-vs-first case (last golden doc)
     assert got[:-1] == [e for _, e in GOLDEN][:-1]

@@ -1409,3 +1409,53 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return sample_frames(synth_media(docs, "doc_id"), every_ms=1000, max_frames=8)
+
+
+@register(
+    "window_range_frame",
+    f"""
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS {_DEC})) OVER (
+    PARTITION BY user_id ORDER BY epoch_ms(ts)
+    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+    AS trailing_1h_value
+FROM events
+""",
+)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame: per-user trailing-1-hour value sum (event-time sliding
+    aggregate — the batch twin of a sliding stream window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_m2("value")).over(w).cast("double"), 2).alias(
+            "trailing_1h_value"
+        ),
+    )
+
+
+@register(
+    "window_lead_gap",
+    """
+SELECT event_id, user_id,
+  CAST(lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) - epoch_ms(ts)
+    AS BIGINT) AS ms_to_next
+FROM events
+""",
+)
+def q_window_lead_gap(spark, sf_dir):
+    """lead(): time to the user's next event (null on their last)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.lead(ms).over(w) - ms).cast("long").alias("ms_to_next"),
+    )

@@ -63,28 +63,32 @@ def build_archive_plan(
 
     # Scale-critical join order: Spark can only broadcast the BUILD side of a
     # semi/anti join, and the manifest is the left (probe) side — so instead:
-    # 1. stream the huge listing once against a broadcast hash of the
-    #    manifest (left-semi, build right) → the small "found" key set;
-    # 2. resolve found/not-found with two broadcast joins of
-    #    manifest × found-keys (both tiny). The listing is scanned exactly
-    #    once and never shuffled.
+    # 1. stream the huge listing ONCE against a broadcast hash of the
+    #    manifest keys (left-semi, build right) → the small "found" key set;
+    # 2. one broadcast LEFT join of manifest × found-keys resolves found and
+    #    not-found in a single pass (no semi+anti+union re-scan).
+    # The listing is scanned exactly once and never shuffled.
     keys = qualified.select("source_path")
     if broadcast_manifest:
         keys = F.broadcast(keys)
-    found_keys = F.broadcast(listing_paths.join(keys, "source_path", "left_semi"))
-
-    found = qualified.join(found_keys, "source_path", "left_semi").withColumn(
-        "status", F.lit("found")
-    )
-    not_found = qualified.join(found_keys, "source_path", "left_anti").withColumn(
-        "status", F.lit("not_found")
+    found_keys = F.broadcast(
+        listing_paths.join(keys, "source_path", "left_semi").withColumn(
+            "__found", F.lit(1)
+        )
     )
 
-    plan = found.unionByName(not_found).withColumn(
-        "target_path",
-        F.when(
-            F.col("status") == "found",
-            rewrite_prefix(F.col("source_path"), source_prefix, target_prefix),
-        ),
+    plan = (
+        qualified.join(found_keys, "source_path", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("__found").isNotNull(), "found").otherwise("not_found"),
+        )
+        .withColumn(
+            "target_path",
+            F.when(
+                F.col("status") == "found",
+                rewrite_prefix(F.col("source_path"), source_prefix, target_prefix),
+            ),
+        )
     )
     return plan.select(filename_col, "source_path", "target_path", "status")

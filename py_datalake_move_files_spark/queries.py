@@ -832,7 +832,9 @@ def q_dedup_exact(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id")
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> tuple[str, str]:
+    """(CTE list, final pair-select) of the minhash-LSH oracle — shared by
+    the pair query and the recursive connected-components oracle."""
     sig_cols = ", ".join(
         f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min') AS mh{i}"
         for i in range(MINHASHES)
@@ -845,8 +847,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""
-WITH d AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
+    ctes = f"""d AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
 sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
 sig AS (SELECT doc_id, {sig_cols} FROM d),
 bands AS ({band_selects}),
@@ -859,14 +860,19 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
+)"""
+    final = f"""SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
 FROM inter i
 JOIN cand USING (id_a, id_b)
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {JACCARD_T}
-"""
+WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {JACCARD_T}"""
+    return ctes, final
+
+
+def _minhash_oracle() -> str:
+    ctes, final = _minhash_ctes()
+    return f"WITH {ctes}\n{final}"
 
 
 @register("dedup_minhash_lsh", _minhash_oracle())
@@ -1458,4 +1464,39 @@ def q_window_lead_gap(spark, sf_dir):
         "event_id",
         "user_id",
         (F.lead(ms).over(w) - ms).cast("long").alias("ms_to_next"),
+    )
+
+
+def _cluster_oracle() -> str:
+    ctes, final = _minhash_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_cluster_assignment", _cluster_oracle())
+def q_dedup_cluster_assignment(spark, sf_dir):
+    """Iterative min-label propagation (connected components) grouping the
+    MinHash-LSH near-dup pairs into dedup clusters — a genuinely iterative
+    DataFrame algorithm; the oracle is a recursive transitive-closure CTE."""
+    from py_datalake_move_files_spark.operators.clusters import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
+    cands = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS)
+    pairs = D.jaccard_pairs(docs, "doc_id", threshold=JACCARD_T, candidates=cands)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
     )

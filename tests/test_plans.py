@@ -36,11 +36,13 @@ def test_q3_uses_topk_and_broadcasts(spark):
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
 
 
-def test_manifest_plan_broadcast_semi_anti(spark):
+def test_manifest_plan_broadcast_single_pass(spark):
     plan = _plan(spark, "manifest_archive_plan")
     assert "BuildRight" in plan
+    # listing streamed once against broadcast manifest keys (semi), then one
+    # broadcast left-outer join resolves found/not-found — no anti re-scan
     assert re.search(r"BroadcastHashJoin .* LeftSemi", plan)
-    assert re.search(r"BroadcastHashJoin .* LeftAnti", plan)
+    assert re.search(r"BroadcastHashJoin .* LeftOuter", plan)
     assert "SortMergeJoin" not in plan  # listing is never shuffled
 
 

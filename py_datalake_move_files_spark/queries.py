@@ -1500,3 +1500,62 @@ def q_dedup_cluster_assignment(spark, sf_dir):
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+@register(
+    "array_funcs_suite",
+    """
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+  list_contains(toks, 'the') AS has_the,
+  CAST(list_position(toks, 'data') AS INT) AS data_pos
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+)
+def q_array_funcs_suite(spark, sf_dir):
+    """§2.8 array-function breadth: size/distinct/sort/slice/contains/position
+    (1-based position, 0 = absent — matching both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "data").cast("int").alias("data_pos"),
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+SELECT window_start_ms, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT epoch_ms(ts) - (epoch_ms(ts) % 1800000) - 1800000 AS window_start_ms,
+         event_type FROM events
+  UNION ALL
+  SELECT epoch_ms(ts) - (epoch_ms(ts) % 1800000), event_type FROM events
+) GROUP BY window_start_ms, event_type
+""",
+)
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding windows (1 h long, 30 min slide): each event lands in two
+    windows — Spark's window() generator; the oracle mirrors it as a UNION
+    ALL of the two half-hour-aligned starts. Batch twin of the streaming
+    sliding aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )

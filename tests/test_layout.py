@@ -1,0 +1,42 @@
+"""Partitioned-layout tests: hive-style directories, partition pruning
+visible in the plan, row-group-friendly sorting."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.plans.layout import read_pruned, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, partition_by=["event_type"], sort_within=["ts"])
+
+    # hive layout on disk
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+    assert dirs == [
+        "event_type=click",
+        "event_type=error",
+        "event_type=purchase",
+        "event_type=signup",
+        "event_type=view",
+    ]
+
+    back = read_pruned(spark, out)
+    clicks = back.where(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    # the filter lands in PartitionFilters → only one directory scanned
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert clicks.count() == ev.where(F.col("event_type") == "click").count()
+
+    # round trip is lossless (partition col comes back, value-identical)
+    assert back.count() == ev.count()
+    a = sorted(map(tuple, ev.select("event_id", "event_type").collect()))
+    b = sorted(map(tuple, back.select("event_id", "event_type").collect()))
+    assert a == b

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
 
 from py_datalake_move_files_spark.queries import QUERIES
 
@@ -77,3 +76,11 @@ def test_broadcast_hint_survives_in_star_join(spark):
     # every dimension is broadcast; the only shuffles are for the final agg
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_product_in_any_query(spark):
+    """Global invariant: no registered query may plan a CartesianProduct —
+    cross-join shapes must come from broadcast nested loops (tiny side)."""
+    for name in sorted(QUERIES):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name

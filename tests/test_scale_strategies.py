@@ -3,7 +3,6 @@ skew joins (same results as plain), connected-components convergence."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.catalog import load_table

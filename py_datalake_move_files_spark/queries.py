@@ -1559,3 +1559,114 @@ def q_sliding_window_counts(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "pivot_event_type_counts",
+    """
+SELECT user_id % 10 AS user_bucket,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+""",
+)
+def q_pivot_event_type_counts(spark, sf_dir):
+    """Pivot (crosstab): event-type counts per user bucket. Explicit value
+    list keeps the pivot a single pass (no distinct-values pre-scan)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    f"""
+SELECT l_orderkey, l_linenumber, metric,
+  round(CAST(CAST(value AS {_DEC}) AS DOUBLE), 2) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+) WHERE l_orderkey < 100
+""",
+)
+def q_unpivot_lineitem_metrics(spark, sf_dir):
+    """Unpivot (melt): wide metric columns → long (metric, value) rows via
+    stack() — one scan, no union re-reads."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (metric, raw)"
+        ),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round(F.col("raw").cast(_DEC).cast("double"), 2).alias("value"),
+    )
+
+
+@register(
+    "explode_token_topk",
+    """
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+""",
+)
+def q_explode_token_topk(spark, sf_dir):
+    """Generator + aggregate + deterministic top-k: most frequent tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "null_handling_suite",
+    f"""
+SELECT c_custkey,
+  round(CAST(CAST(coalesce(nullif(c_acctbal, 0), -1) AS {_DEC}) AS DOUBLE), 2)
+    AS bal_or_neg1,
+  CASE WHEN c_acctbal < 0 THEN NULL ELSE 'ok' END AS status_or_null,
+  coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE 'ok' END, 'flagged') AS status,
+  CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_is_null,
+  CAST((c_acctbal > 1000) IS NOT TRUE AS BOOLEAN) AS not_definitely_rich
+FROM customer
+""",
+)
+def q_null_handling_suite(spark, sf_dir):
+    """Three-valued-logic breadth: nullif/coalesce/IS NULL/IS NOT TRUE."""
+    c = _t(spark, sf_dir, "customer")
+    status_or_null = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.lit("ok"))
+    return c.select(
+        "c_custkey",
+        F.round(
+            F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0)), F.lit(-1))
+            .cast(_DEC)
+            .cast("double"),
+            2,
+        ).alias("bal_or_neg1"),
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("flagged")).alias("status"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        (~F.coalesce(F.col("c_acctbal") > 1000, F.lit(False))).alias(
+            "not_definitely_rich"
+        ),
+    )

@@ -37,13 +37,20 @@ def connected_components(
     Returns ``(node, cluster_id)`` where ``cluster_id`` is the minimum node
     id reachable from ``node`` (deterministic representative).
     """
+    # materialize the edge list ONCE — every iteration joins against it, and
+    # without persistence the whole upstream pair pipeline (minhash, LSH,
+    # verify) would re-execute per round
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
     )
 
     for _ in range(max_iterations):
@@ -56,17 +63,25 @@ def connected_components(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
                 "label",
             )
         )
+        new_labels = updated.select(
+            "node", F.col("new_label").alias("label")
+        ).persist()
         changed = updated.where(F.col("new_label") != F.col("label")).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
 
+    edges.unpersist()
+    # the returned frame reads from the final persisted labels (one row per
+    # clustered node); Spark evicts it LRU — callers that iterate further
+    # should checkpoint or unpersist explicitly
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

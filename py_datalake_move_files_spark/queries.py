@@ -1670,3 +1670,51 @@ def q_null_handling_suite(spark, sf_dir):
             "not_definitely_rich"
         ),
     )
+
+
+def _corr_oracle() -> str:
+    # decimal-exact component sums, then IDENTICAL double arithmetic in both
+    # engines — avoids engine-specific corr()/stddev() summation orders
+    sx = f"CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE)"
+    sy = f"CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)"
+    sxx = f"CAST(sum(CAST(l_quantity AS {_D9}) * CAST(l_quantity AS {_D9})) AS DOUBLE)"
+    syy = f"CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(l_extendedprice AS {_D9})) AS DOUBLE)"
+    sxy = f"CAST(sum(CAST(l_quantity AS {_D9}) * CAST(l_extendedprice AS {_D9})) AS DOUBLE)"
+    n = "count(*)"
+    return f"""
+SELECT l_returnflag,
+  CAST({n} AS BIGINT) AS n,
+  round(({sxy} - {sx} * {sy} / {n}) / {n}, 4) AS covar_pop,
+  round(sqrt(({sxx} - {sx} * {sx} / {n}) / {n}), 6) AS stddev_pop_qty,
+  round(({sxy} - {sx} * {sy} / {n})
+    / (sqrt({sxx} - {sx} * {sx} / {n}) * sqrt({syy} - {sy} * {sy} / {n})), 6)
+    AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("stats_corr_quantity_price", _corr_oracle())
+def q_stats_corr_quantity_price(spark, sf_dir):
+    """Statistical aggregates (covar_pop / stddev_pop / corr) assembled from
+    decimal-exact component sums so both engines compute identical doubles —
+    built-in corr()/stddev() aggregate in engine-specific order and are not
+    hash-stable cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    q9 = F.col("l_quantity").cast(_D9)
+    p9 = F.col("l_extendedprice").cast(_D9)
+    sx = F.sum(_m2("l_quantity")).cast("double")
+    sy = F.sum(_m2("l_extendedprice")).cast("double")
+    sxx = F.sum(q9 * q9).cast("double")
+    syy = F.sum(p9 * p9).cast("double")
+    sxy = F.sum(q9 * p9).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("n"),
+        F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
+        F.round(F.sqrt((sxx - sx * sx / n) / n), 6).alias("stddev_pop_qty"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )

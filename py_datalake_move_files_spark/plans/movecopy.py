@@ -57,14 +57,17 @@ def execute_plan(
 ) -> DataFrame:
     """Execute a move/copy plan; return the audit DataFrame.
 
-    ``mode``: ``"copy"`` (S8) or ``"move"`` (S7+S9 — delete gated on a
+    ``mode``: ``"copy"`` (S8), ``"move"`` (S7+S9 — delete gated on a
     verified copy: target must exist and match source size before the source
-    is removed). ``dry_run=True`` returns the audit with status ``planned``
-    and touches nothing (E5).
+    is removed), or ``"delete"`` (retention/vacuum: removes the source;
+    ``target_path`` is ignored and may be absent). ``dry_run=True`` returns
+    the audit with status ``planned`` and touches nothing (E5).
     """
-    if mode not in ("copy", "move"):
-        raise ValueError(f"mode must be copy|move, got {mode!r}")
+    if mode not in ("copy", "move", "delete"):
+        raise ValueError(f"mode must be copy|move|delete, got {mode!r}")
 
+    if mode == "delete" and target_col not in plan.columns:
+        plan = plan.withColumn(target_col, F.lit(None).cast("string"))
     rows = plan.select(
         F.col(source_col).alias("source_path"),
         F.col(target_col).alias("target_path"),
@@ -81,7 +84,17 @@ def execute_plan(
             F.lit(None).cast("string").alias("reason"),
         )
 
+    # Plans are usually derived from a live file listing (binaryFile) that
+    # this very execution mutates. Two defenses:
+    # 1. scans tolerate files deleted between listing and read (a re-executed
+    #    stale plan sees the survivors instead of crashing);
+    # 2. localCheckpoint materializes the (source, target) paths and cuts the
+    #    lineage, so replaying the returned audit never re-scans.
+    plan.sparkSession.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    rows = rows.localCheckpoint(eager=True)
+
     do_move = mode == "move"
+    do_delete = mode == "delete"
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained worker closure (stdlib imports + locals only) so it
@@ -98,6 +111,10 @@ def execute_plan(
             out = []
             for src, dst in zip(batch["source_path"], batch["target_path"]):
                 try:
+                    if do_delete:
+                        _os.remove(local(src))
+                        out.append((src, dst, mode, "ok", None))
+                        continue
                     if dst is None:
                         raise ValueError("no target path (source not found)")
                     lsrc, ldst = local(src), local(dst)

@@ -53,6 +53,17 @@ def _build_parser() -> argparse.ArgumentParser:
     m.add_argument("--json-value", help="JSON content predicate value (string-coerced)")
     m.add_argument("--execute", action="store_true", help="run the moves (default: dry-run)")
     m.add_argument("--sample", type=int, default=10)
+
+    v = sub.add_parser("vacuum", help="delete files older than a cutoff (retention)")
+    v.add_argument("--source", required=True)
+    v.add_argument("--older-than-days", type=int, required=True)
+    v.add_argument("--execute", action="store_true", help="run the deletes (default: dry-run)")
+
+    c = sub.add_parser("compact", help="rewrite small files into target-sized files")
+    c.add_argument("--source", required=True)
+    c.add_argument("--target", required=True)
+    c.add_argument("--target-file-mb", type=int, default=128)
+    c.add_argument("--format", default="parquet")
     return p
 
 
@@ -140,6 +151,34 @@ def cmd_move(spark, args) -> int:
     return 0
 
 
+def cmd_vacuum(spark, args) -> int:
+    import datetime as _dt
+
+    from py_datalake_move_files_spark.plans.maintenance import retention_plan
+    from py_datalake_move_files_spark.plans.movecopy import audit_summary, execute_plan
+
+    cutoff = _dt.datetime.now() - _dt.timedelta(days=args.older_than_days)
+    plan = retention_plan(spark, args.source, older_than=cutoff)
+    print(f"to_delete: {plan.count()} (older than {cutoff.date()})")
+    audit = execute_plan(plan, mode="delete", dry_run=not args.execute)
+    audit_summary(audit).show(truncate=False)
+    return 0
+
+
+def cmd_compact(spark, args) -> int:
+    from py_datalake_move_files_spark.plans.maintenance import compact
+
+    n = compact(
+        spark,
+        args.source,
+        args.target,
+        fmt=args.format,
+        target_file_mb=args.target_file_mb,
+    )
+    print(f"compacted into {n} file(s) at {args.target}")
+    return 0
+
+
 def _as_uri(path: str) -> str:
     """binaryFile listings yield ``file:/abs/path`` URIs for local paths —
     qualify bare absolute paths the same way so prefixes line up."""
@@ -157,7 +196,15 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "archive":
             return cmd_archive(spark, args)
+        if args.cmd == "vacuum":
+            return cmd_vacuum(spark, args)
+        if args.cmd == "compact":
+            return cmd_compact(spark, args)
         return cmd_move(spark, args)
+    except Exception as exc:  # one clean line instead of a JVM traceback
+        msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+        print(f"error: {msg}", file=sys.stderr)
+        return 1
     finally:
         spark.stop()
 

@@ -75,3 +75,22 @@ def test_cli_move_with_json_filter(tmp_path):
     assert (dst / "q" / "1.json").exists()
     assert not (src / "q" / "1.json").exists()  # move deletes source
     assert (src / "q" / "2.json").exists()  # mismatched file untouched
+
+
+def test_cli_vacuum_and_compact(tmp_path):
+    import time as _time
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "old.txt").write_text("old")
+    (lake / "new.txt").write_text("new")
+    past = _time.time() - 90 * 86400
+    os.utime(lake / "old.txt", (past, past))
+
+    dry = _run(["vacuum", "--source", str(lake), "--older-than-days", "30"])
+    assert dry.returncode == 0, dry.stderr[-2000:]
+    assert "to_delete: 1" in dry.stdout and (lake / "old.txt").exists()
+
+    ex = _run(["vacuum", "--source", str(lake), "--older-than-days", "30", "--execute"])
+    assert ex.returncode == 0, ex.stderr[-2000:]
+    assert not (lake / "old.txt").exists() and (lake / "new.txt").exists()

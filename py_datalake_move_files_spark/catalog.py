@@ -85,14 +85,30 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def read_manifest_csv(
-    spark: SparkSession, path: str, *, schema: T.StructType = MANIFEST_SCHEMA
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: T.StructType = MANIFEST_SCHEMA,
+    required_cols: tuple[str, ...] = ("filename",),
 ) -> DataFrame:
     """Read a ``;``-delimited manifest CSV with a fixed schema (operator S1).
 
-    Replaces the reference's pandas read + column check
-    (app/app.py:80-89): schema mismatch fails at load, and the
-    null-``filename`` drop (P2) is the caller's explicit filter.
+    Replaces the reference's pandas read + required-column check
+    (app/app.py:80-89). A fixed schema reads by POSITION, so the header is
+    validated by name first — a manifest missing ``filename`` fails fast
+    with the available columns listed (the reference's P3 assertion,
+    app/app.py:83-86) instead of silently loading misaligned data.
     """
+    if required_cols:
+        header = (
+            spark.read.option("header", True).option("sep", ";").csv(path).columns
+        )
+        missing = [c for c in required_cols if c not in header]
+        if missing:
+            raise ValueError(
+                f"manifest {path} is missing required column(s) {missing}; "
+                f"available: {header}"
+            )
     return (
         spark.read.option("header", True)
         .option("sep", ";")

@@ -1718,3 +1718,17 @@ def q_stats_corr_quantity_price(spark, sf_dir):
             6,
         ).alias("corr_qty_price"),
     )
+
+
+@register("approx_percentile_prices")  # sketch-based: rows-only driver check
+def q_approx_percentile_prices(spark, sf_dir):
+    """approx_percentile (KLL-style sketch) — the at-scale companion of the
+    exact interpolated percentile_prices query; sketch internals differ
+    across engines so this takes the rows-only check."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.percentile_approx("p_retailprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -116,3 +116,14 @@ def test_pipeline_a_end_to_end(spark, tmp_path):
     summary = {(r.action, r.status): r["count"] for r in audit_summary(audit).collect()}
     assert summary == {("copy", "ok"): 2}
     assert (dst / "q" / "1.json").exists() and (dst / "q" / "2.json").exists()
+
+
+def test_manifest_missing_column_fails_fast(spark, tmp_path):
+    """P3 (reference app/app.py:83-86): a manifest without `filename` is
+    rejected by name before the positional schema could misalign it."""
+    bad = tmp_path / "bad.csv"
+    bad.write_text("QuoteId;when;file\nq1;1;a.json\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="missing required column.*filename"):
+        read_manifest_csv(spark, str(bad))

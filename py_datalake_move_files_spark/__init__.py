@@ -20,4 +20,16 @@ Layout:
 
 __version__ = "0.1.0"
 
+from py_datalake_move_files_spark.catalog import (  # noqa: F401
+    load_table,
+    read_manifest_csv,
+    register_tables,
+)
+from py_datalake_move_files_spark.operators.manifest import (  # noqa: F401
+    build_archive_plan,
+)
+from py_datalake_move_files_spark.plans.movecopy import (  # noqa: F401
+    audit_summary,
+    execute_plan,
+)
 from py_datalake_move_files_spark.session import get_spark  # noqa: F401

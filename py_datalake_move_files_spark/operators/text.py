@@ -115,3 +115,38 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", *, k: int = 
             "fingerprint"
         ),
     )
+
+
+def normalize(df: DataFrame, text_col: str = "text", out: str = "text_norm") -> DataFrame:
+    """Training-corpus text normalization: lowercase, strip non-alphanumeric
+    (keeping spaces), collapse whitespace runs, trim. Pure column exprs."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return df.withColumn(out, t)
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weights: dict[str, int] | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic, reproducible train/val/test assignment: the first two
+    md5 hex digits of the id (0..255) are bucketed by cumulative weights.
+    Stable across runs, engines, and partitionings — the property random
+    ``sample()`` can't give a training pipeline."""
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    w = weights or {"train": 90, "val": 5, "test": 5}
+    total = sum(w.values())
+    hv = hex_value_sql(f"md5(CAST({id_col} AS STRING))", 2)
+    expr = None
+    acc = 0
+    for name, weight in w.items():
+        acc += weight
+        bound = 256 * acc // total
+        cond = F.expr(f"({hv}) < {bound}")
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr)

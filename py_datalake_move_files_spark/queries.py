@@ -1732,3 +1732,44 @@ def q_approx_percentile_prices(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "text_normalize",
+    """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+    AS text_norm
+FROM documents
+""",
+)
+def q_text_normalize(spark, sf_dir):
+    """Corpus normalization: lowercase / strip punctuation / collapse
+    whitespace (C4-style cleanup, pure column exprs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.normalize(docs).select("doc_id", "text_norm")
+
+
+def _split_oracle() -> str:
+    hv = D.hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+    # weights train/val/test = 90/5/5 -> bounds 230, 243, 256
+    return f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN ({hv}) < 230 THEN 'train'
+              WHEN ({hv}) < 243 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) GROUP BY split
+"""
+
+
+@register("dataset_split_counts", _split_oracle())
+def q_dataset_split_counts(spark, sf_dir):
+    """Deterministic md5-bucketed train/val/test assignment — reproducible
+    across engines/partitionings, unlike random sample()."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TXT.dataset_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -28,48 +28,68 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
-    tolerance: None = None,
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` and the same ``on`` key (backward as-of).
+    """pandas ``merge_asof``-style join on Spark.
 
-    Right payload columns come back as ``asof_<name>``; left rows with no
-    prior right row get nulls (left-outer semantics).
+    ``direction="backward"`` (default): latest right row with
+    ``right_ts <= left_ts``; ``"forward"``: earliest right row with
+    ``right_ts >= left_ts``. ``tolerance_ms`` drops matches farther than the
+    given event-time distance. Right payload columns come back as
+    ``asof_<name>`` plus ``asof_ts`` when requested; left rows with no match
+    get nulls (left-outer semantics). One shuffle + one sort per side — no
+    inequality join, no per-key nested loop.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    rstruct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols
+        )
+        + f",__rts:{right.schema[right_ts].dataType.simpleString()}>"
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols)
-            + ">"
-        )
-        .alias("__r"),
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__l"].dataType.simpleString()).alias("__l"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+        ).alias("__r"),
     )
-    # right rows sort BEFORE left rows at equal ts (__is_left asc) so a
-    # same-timestamp right row is visible to the left row — matches the
-    # inclusive <= bound.
+    # right rows sort BEFORE left rows at equal ts (__is_left asc for
+    # backward, desc order for forward flips it symmetrically) so a
+    # same-timestamp right row is visible to the left row — inclusive bound.
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__is_left").asc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(
         "__match", F.last("__r", ignorenulls=True).over(w)
     )
+    match = F.col("__match")
+    if tolerance_ms is not None:
+        # distance between left ts and the matched right ts, in ms
+        mts = F.col("__match")["__rts"]
+        dist = F.abs(F.unix_millis(F.col("__ts")) - F.unix_millis(mts))
+        match = F.when(dist <= tolerance_ms, F.col("__match"))
     out = merged.where(F.col("__is_left") == 1).select(
         F.col("__l.*"),
-        *[F.col("__match")[c].alias(f"asof_{c}") for c in right_cols],
+        *[match[c].alias(f"asof_{c}") for c in right_cols],
     )
     return out
 

@@ -5,19 +5,18 @@ Design for 100 TB: media bytes live in a ``BinaryType`` column (or a
 pointer column + ``binaryFile`` scan); Spark never interprets them — all
 decode/feature work happens in vectorized Pandas UDF batches on executors,
 sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``. Partitioning,
-schema, and batch shape here are real and tested; the actual codec calls are
-STUBBED (this container ships no PIL/ffmpeg/torchaudio): each decoder first
-tries the real library and otherwise uses a deterministic fake derived from
-the content hash, clearly marked below. Swapping in the real codec changes
-ONE inner function, not the Spark plumbing.
+schema, and batch shape here are real and tested. The image path decodes
+with PIL when it is importable on the worker (width/height/bands + grayscale
+thumbnail features) and falls back per-row to a deterministic content-hash
+STUB otherwise (this container ships no PIL/ffmpeg/torchaudio); the stub is
+SQL-expressible on purpose so the DuckDB oracle can verify the full decode →
+pool pipeline bit-for-bit (see :func:`make_image_decoder`).
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,40 +73,77 @@ def synth_media(df: DataFrame, id_col: str, *, mime: str = "image/fake") -> Data
     )
 
 
+def make_image_decoder(feature_dim: int = FEATURE_DIM):
+    """Build the per-content image decoder: ``decode(content, pil_image)``.
+
+    Real path first: when a PIL ``Image`` module is handed in, decode the
+    bytes with it (width/height/band-count + a 4×4 grayscale thumbnail as the
+    feature vector). Any undecodable payload — or no codec at all — falls
+    through to the deterministic STUB: expand the md5 of the content's hex
+    string into dimensions and features. Two properties are deliberate:
+
+    * the stub hashes ``content.hex()`` (an ASCII string), not the raw bytes,
+      so a SQL oracle with only ``md5(VARCHAR)`` (DuckDB 1.0) can reproduce it;
+    * features are digest bytes ``/ 256.0`` — every value k/256 is exactly
+      representable in BOTH float32 and float64, so downstream pooled means
+      are bit-identical across engines with no rounding epsilon.
+
+    Returned as a nested closure (pickled by value) so worker code can carry
+    it to executors that cannot import this package.
+    """
+
+    def decode(content, pil_image=None):
+        import hashlib as _hashlib
+        import io as _io
+
+        import numpy as _np
+
+        data = bytes(content)
+        if pil_image is not None:
+            try:
+                img = pil_image.open(_io.BytesIO(data))
+                width, height = img.size
+                channels = max(1, len(img.getbands()))
+                thumb = img.convert("L").resize((4, 4))
+                feat = (
+                    _np.asarray(thumb, dtype=_np.float32).reshape(-1)
+                    / _np.float32(256.0)
+                )
+                return int(width), int(height), int(channels), _np.resize(
+                    feat, feature_dim
+                )
+            except Exception:
+                pass  # not a decodable image -> deterministic stub below
+        h = _hashlib.md5(data.hex().encode("ascii")).digest()
+        width = 16 + h[0] % 64
+        height = 16 + h[1] % 64
+        rng = _np.frombuffer(h, dtype=_np.uint8).astype(_np.float32)
+        return width, height, 3, _np.resize(rng / _np.float32(256.0), feature_dim)
+
+    return decode
+
+
 def decode_images(media: DataFrame) -> DataFrame:
     """Image decode + feature extraction over Arrow batches (``mapInPandas``).
 
-    Tries the real decoder (PIL) per executor; falls back to a deterministic
-    STUB (content-hash expansion) — swap the marked inner function for
-    ``PIL.Image.open(io.BytesIO(content))`` when the codec ships. Batch sizes
-    follow ``spark.sql.execution.arrow.maxRecordsPerBatch`` (tested).
+    Tries the real decoder (PIL) once per worker; each row falls back to the
+    deterministic stub when the codec is absent or the bytes don't decode
+    (see :func:`make_image_decoder`). Batch sizes follow
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (tested).
 
     The worker closure is fully self-contained (locals + stdlib/site-packages
     imports only) so it runs on executors that cannot import this package —
-    module-level references would be pickled by name and fail there.
+    ``decode`` is a nested closure and ships by value with the task.
     """
-    feature_dim = FEATURE_DIM
+    decode = make_image_decoder(FEATURE_DIM)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
-        import numpy as _np
         import pandas as _pd
 
-        try:  # pragma: no cover - codec not shipped in this container
-            import PIL.Image  # noqa: F401
-
-            real = True
+        try:
+            from PIL import Image as pil_image  # pragma: no cover - no codec here
         except ImportError:
-            real = False
-
-        def fake_decode(content: bytes):
-            # STUB decoder — deterministic fake; replace with PIL here.
-            h = _hashlib.md5(content).digest()
-            width = 16 + h[0] % 64
-            height = 16 + h[1] % 64
-            rng = _np.frombuffer(h, dtype=_np.uint8).astype(_np.float32)
-            return width, height, 3, _np.resize(rng / 255.0, feature_dim)
+            pil_image = None
 
         for batch in batches:
             out = {
@@ -119,11 +155,7 @@ def decode_images(media: DataFrame) -> DataFrame:
                 "feature": [],
             }
             for content in batch["content"]:
-                if real:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real PIL decode path: wire Image.open here"
-                    )
-                w, h, c, feat = fake_decode(bytes(content))
+                w, h, c, feat = decode(content, pil_image)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
@@ -148,9 +180,10 @@ def resize_features(decoded: DataFrame, *, out_dim: int = 8) -> DataFrame:
 
 def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
     """Video frame sampling stub over ``mapInPandas``: emits one row per
-    sampled frame (UDTF shape — output rows ≠ input rows). Frame count is
-    derived deterministically from content length; digests stand in for the
-    decoded frames (ffmpeg would produce them in the real path)."""
+    sampled frame (UDTF shape — output rows ≠ input rows). Frame count and
+    digests are derived deterministically from the content's md5 (over its
+    hex string, so a ``md5(VARCHAR)``-only SQL oracle reproduces them);
+    ffmpeg would produce real frames in the production path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained worker closure: see decode_images
@@ -161,10 +194,13 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8
         for batch in batches:
             rows = []
             for mid, content in zip(batch["media_id"], batch["content"]):
-                data = bytes(content)
-                n = min(max_frames, 1 + len(data) % max_frames)
+                hexdata = bytes(content).hex()
+                h = _hashlib.md5(hexdata.encode("ascii")).digest()
+                n = min(max_frames, 1 + h[2] % max_frames)
                 for i in range(n):
-                    digest = _hashlib.md5(data + i.to_bytes(4, "big")).hexdigest()
+                    digest = _hashlib.md5(
+                        (hexdata + ":" + str(i)).encode("ascii")
+                    ).hexdigest()
                     rows.append((int(mid), i, i * every_ms, digest))
             yield _pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame_ms", "frame_digest"]

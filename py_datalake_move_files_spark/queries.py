@@ -102,6 +102,18 @@ def dd_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
     return f"round(({dd_dot(a, b, dim)}) / (({dd_norm(a, dim)}) * ({dd_norm(b, dim)})), 6)"
 
 
+def dd_hexbyte(h: str, i: int) -> str:
+    """DuckDB: byte ``i`` (0-based) of a lowercase md5 hex string as INT —
+    DuckDB 1.0 has no md5-over-BLOB or hex→int cast, so nibbles are looked
+    up positionally (the multimodal stub hashes hex STRINGS for exactly this
+    reason, operators/multimodal.py make_image_decoder)."""
+
+    def nib(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+
+    return f"({nib(2 * i + 1)} * 16 + {nib(2 * i + 2)})"
+
+
 def dd_bucket(a: str, planes: list[list[int]]) -> str:
     cases = []
     for p, row in enumerate(planes):
@@ -1382,16 +1394,46 @@ def q_props_key_stats(spark, sf_dir):
 
 
 # ==========================================================================
-# E. Multimodal (rows-only driver checks: binary decode is engine-side
-#    plumbing with a stubbed codec — no SQL-expressible oracle)
+# E. Multimodal — the stub codec is md5-derived on purpose, so the full
+#    binary → Arrow decode → pool pipeline has a bit-exact SQL oracle (the
+#    same trick simhash uses, operators/dedup.py). Features are digest
+#    bytes / 256 (exact in float32 AND float64), pooled means are k/512 —
+#    no rounding epsilon anywhere.
 # ==========================================================================
 
+#: DuckDB replica of operators/multimodal.synth_media's content, as hex text
+_DD_MEDIA_HEX = " || ".join(
+    f"md5('m{i}:' || doc_id::VARCHAR)" for i in range(4)
+)
 
-@register("multimodal_decode_features")
+
+def _dd_decode_oracle() -> str:
+    b = [dd_hexbyte("h", i) for i in range(16)]
+    pooled = ",\n  ".join(
+        f"CAST({b[2 * i]} + {b[2 * i + 1]} AS DOUBLE) / 512.0 AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {_DD_MEDIA_HEX} AS hex FROM documents
+), d AS (
+  SELECT media_id, md5(hex) AS h FROM m
+)
+SELECT media_id, 'image/fake' AS mime,
+  CAST(16 + {b[0]} % 64 AS INTEGER) AS width,
+  CAST(16 + {b[1]} % 64 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  {pooled}
+FROM d
+"""
+
+
+@register("multimodal_decode_features", _dd_decode_oracle())
 def q_multimodal_decode_features(spark, sf_dir):
-    """Binary media → Arrow-batched decode (stub codec) → pooled features.
-    Rows-only check: deterministic fake decode, schema + batch plumbing are
-    the object under test (see tests/test_multimodal.py)."""
+    """Binary media → Arrow-batched decode (stub codec) → pooled features,
+    projected to driver-hashable scalars (f0..f7 doubles, exact k/512 values;
+    arrays stay in the operator API and are covered by tests/test_multimodal).
+    Oracle recomputes the md5-stub decode + stride-2 mean pooling in SQL."""
     from py_datalake_move_files_spark.operators.multimodal import (
         decode_images,
         resize_features,
@@ -1400,14 +1442,44 @@ def q_multimodal_decode_features(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     media = synth_media(docs, "doc_id")
-    return resize_features(decode_images(media), out_dim=8).select(
-        "media_id", "mime", "width", "height", "channels", "feature_pooled"
+    decoded = resize_features(decode_images(media), out_dim=8)
+    return decoded.select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        "channels",
+        *[F.element_at("feature_pooled", i + 1).alias(f"f{i}") for i in range(8)],
     )
 
 
-@register("multimodal_frame_sample")
+def _dd_frames_oracle() -> str:
+    b2 = dd_hexbyte("h", 2)
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {_DD_MEDIA_HEX} AS hex FROM documents
+), d AS (
+  SELECT media_id, hex, least(8, 1 + {b2} % 8) AS n_frames FROM (
+    SELECT media_id, hex, md5(hex) AS h FROM m
+  )
+), f AS (
+  SELECT media_id, hex,
+         unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM d
+)
+SELECT media_id,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(frame_idx * 1000 AS BIGINT) AS frame_ms,
+  md5(hex || ':' || frame_idx::VARCHAR) AS frame_digest
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", _dd_frames_oracle())
 def q_multimodal_frame_sample(spark, sf_dir):
-    """Video-style frame sampling (UDTF-shaped mapInPandas). Rows-only."""
+    """Video-style frame sampling (UDTF-shaped mapInPandas — output rows ≠
+    input rows). Frame count + digests are md5-derived from the content hex,
+    so the SQL oracle reproduces the whole expansion."""
     from py_datalake_move_files_spark.operators.multimodal import (
         sample_frames,
         synth_media,

@@ -10,6 +10,7 @@ from py_datalake_move_files_spark.catalog import load_table
 from py_datalake_move_files_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_images,
+    make_image_decoder,
     resize_features,
     sample_frames,
     synth_media,
@@ -67,6 +68,66 @@ def test_pooled_features(spark, sf_small):
         (row.feature[2 * i] + row.feature[2 * i + 1]) / 2 for i in range(8)
     ]
     assert all(abs(a - b) < 1e-6 for a, b in zip(row.feature_pooled, want))
+
+
+class _FakeImage:
+    """Minimal PIL.Image stand-in: any payload 'decodes' to a 10×12 RGB
+    image whose grayscale 4×4 thumbnail is all-zero pixels."""
+
+    size = (10, 12)
+
+    def getbands(self):
+        return ("R", "G", "B")
+
+    def convert(self, mode):
+        return self
+
+    def resize(self, wh):
+        import numpy as np
+
+        return np.zeros((wh[1], wh[0]), dtype=np.uint8)
+
+    @staticmethod
+    def open(buf):
+        return _FakeImage()
+
+
+class _RaisingImage:
+    """PIL stand-in whose open() always fails (undecodable payload)."""
+
+    @staticmethod
+    def open(buf):
+        raise OSError("cannot identify image file")
+
+
+def test_real_codec_path_does_not_raise():
+    # VERDICT r01 bug: the old guard raised NotImplementedError precisely
+    # when PIL WAS importable. Prove the real branch works with a codec.
+    decode = make_image_decoder(FEATURE_DIM)
+    w, h, c, feat = decode(b"\x01\x02pretend-image-bytes", _FakeImage)
+    assert (w, h, c) == (10, 12, 3)
+    assert len(feat) == FEATURE_DIM and all(f == 0.0 for f in feat)
+
+
+def test_undecodable_payload_falls_back_to_stub():
+    decode = make_image_decoder(FEATURE_DIM)
+    with_codec = decode(b"not-an-image", _RaisingImage)
+    without_codec = decode(b"not-an-image", None)
+    assert with_codec[0] == without_codec[0]
+    assert with_codec[1] == without_codec[1]
+    assert (with_codec[3] == without_codec[3]).all()
+
+
+def test_stub_decode_matches_spark_pipeline(spark, sf_small):
+    # the decoder handed to mapInPandas is the same closure — pin that the
+    # distributed result equals a local recomputation
+    decode = make_image_decoder(FEATURE_DIM)
+    rows = decode_images(_media(spark, sf_small, n=10)).orderBy("media_id").collect()
+    media = _media(spark, sf_small, n=10).orderBy("media_id").collect()
+    for mrow, drow in zip(media, rows):
+        w, h, c, feat = decode(mrow.content, None)
+        assert (drow.width, drow.height, drow.channels) == (w, h, c)
+        assert list(drow.feature) == [float(f) for f in feat]
 
 
 def test_frame_sampling_is_udtf_shaped(spark, sf_small):

@@ -4,9 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count of the final plan) — limit/top-k
-queries still execute their whole upstream plan. A JVM/session warm-up scan
-runs first so measured times are query time, not session start.
+Each query is fully materialized through the built-in ``noop`` sink, which
+consumes EVERY output column — unlike ``count()``, which lets Catalyst prune
+the very projections being benchmarked down to a near-metadata row count for
+map-only queries (ADVICE r01). A JVM/session warm-up runs first so measured
+times are query time, not session start.
 """
 
 from __future__ import annotations
@@ -32,10 +34,20 @@ HEADLINE = [
     "hourly_event_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assignment",
+    "asof_purchase_prior_view",
     "ann_brute_force",
     "simhash_fingerprints",
     "quality_scores",
 ]
+
+
+def materialize(df) -> None:
+    """Evaluate every output column: write to the no-op sink (executes the
+    full plan, discards rows). count() would let Catalyst prune all
+    projections not needed for counting."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -53,12 +65,12 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for name in HEADLINE:
-        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        materialize(QUERIES[name](spark, "/root/testdata/sf0.001"))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        materialize(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)

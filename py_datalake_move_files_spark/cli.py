@@ -70,7 +70,7 @@ def _build_parser() -> argparse.ArgumentParser:
 def cmd_archive(spark, args) -> int:
     from py_datalake_move_files_spark.catalog import read_manifest_csv
     from py_datalake_move_files_spark.operators.manifest import build_archive_plan
-    from py_datalake_move_files_spark.plans.movecopy import audit_summary, execute_plan
+    from py_datalake_move_files_spark.plans.movecopy import audit_summary
     from py_datalake_move_files_spark.sources.files import list_files
 
     manifest = read_manifest_csv(spark, args.manifest)
@@ -89,7 +89,8 @@ def cmd_archive(spark, args) -> int:
         for r in rows:
             print(f"  [{status}] {r.source_path}")
 
-    audit = execute_plan(
+    audit = _execute_with_progress(
+        spark,
         plan.where(F.col("status") == "found"),
         mode="copy",
         dry_run=not args.execute,
@@ -105,7 +106,7 @@ def cmd_move(spark, args) -> int:
         json_key_probe_fast,
         reason_cascade,
     )
-    from py_datalake_move_files_spark.plans.movecopy import audit_summary, execute_plan
+    from py_datalake_move_files_spark.plans.movecopy import audit_summary
     from py_datalake_move_files_spark.sources.files import (
         list_files,
         read_files_with_content,
@@ -146,7 +147,7 @@ def cmd_move(spark, args) -> int:
     for r in rejected.select("path", "reason").limit(args.sample).collect():
         print(f"  [skip] {r.path}: {r.reason}")
 
-    audit = execute_plan(plan, mode="move", dry_run=not args.execute)
+    audit = _execute_with_progress(spark, plan, mode="move", dry_run=not args.execute)
     audit_summary(audit).show(truncate=False)
     return 0
 
@@ -157,7 +158,12 @@ def cmd_vacuum(spark, args) -> int:
     from py_datalake_move_files_spark.plans.maintenance import retention_plan
     from py_datalake_move_files_spark.plans.movecopy import audit_summary, execute_plan
 
-    cutoff = _dt.datetime.now() - _dt.timedelta(days=args.older_than_days)
+    # naive-UTC cutoff: the session timezone is pinned to UTC, so a naive
+    # local-time now() on a non-UTC host would shift the delete boundary by
+    # the host offset (ADVICE r01); binaryFile modificationTime is UTC-based
+    cutoff = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) - _dt.timedelta(
+        days=args.older_than_days
+    )
     plan = retention_plan(spark, args.source, older_than=cutoff)
     print(f"to_delete: {plan.count()} (older than {cutoff.date()})")
     audit = execute_plan(plan, mode="delete", dry_run=not args.execute)
@@ -177,6 +183,36 @@ def cmd_compact(spark, args) -> int:
     )
     print(f"compacted into {n} file(s) at {args.target}")
     return 0
+
+
+def _execute_with_progress(spark, plan, *, mode: str, dry_run: bool):
+    """execute_plan plus the reference's running tally (app/main.py:280-303):
+    a reporter thread prints accumulator-backed ok/error counts once a second
+    while the blocking execute call runs."""
+    from py_datalake_move_files_spark.plans.movecopy import PlanProgress, execute_plan
+
+    if dry_run:
+        return execute_plan(plan, mode=mode, dry_run=True)
+
+    import threading
+
+    progress = PlanProgress(spark)
+    stop = threading.Event()
+
+    def report():
+        while not stop.wait(1.0):
+            ok, err = progress.snapshot()
+            print(f"  progress: ok={ok} error={err}")
+
+    reporter = threading.Thread(target=report, daemon=True)
+    reporter.start()
+    try:
+        return execute_plan(plan, mode=mode, progress=progress)
+    finally:
+        stop.set()
+        reporter.join()
+        ok, err = progress.snapshot()
+        print(f"  progress: ok={ok} error={err} (final)")
 
 
 def _as_uri(path: str) -> str:

@@ -45,6 +45,31 @@ AUDIT_SCHEMA = T.StructType(
 )
 
 
+class PlanProgress:
+    """Running ok/error tallies for an in-flight :func:`execute_plan` —
+    the reference's per-batch running summaries (app/main.py:280-303) as
+    task-level accumulators. Executor tasks add their per-file outcomes;
+    Spark delivers updates as each task completes, so any driver thread can
+    poll ``.ok`` / ``.error`` while the plan is still executing (the CLI
+    prints them once a second)."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._ok = sc.accumulator(0)
+        self._error = sc.accumulator(0)
+
+    @property
+    def ok(self) -> int:
+        return self._ok.value
+
+    @property
+    def error(self) -> int:
+        return self._error.value
+
+    def snapshot(self) -> tuple[int, int]:
+        return self._ok.value, self._error.value
+
+
 def execute_plan(
     plan: DataFrame,
     *,
@@ -54,14 +79,22 @@ def execute_plan(
     source_col: str = "source_path",
     target_col: str = "target_path",
     parallelism: int | None = None,
+    progress: PlanProgress | None = None,
+    _stagger_s: float = 0.0,
 ) -> DataFrame:
-    """Execute a move/copy plan; return the audit DataFrame.
+    """Execute a move/copy plan; return the (eager) audit DataFrame.
 
     ``mode``: ``"copy"`` (S8), ``"move"`` (S7+S9 — delete gated on a
     verified copy: target must exist and match source size before the source
     is removed), or ``"delete"`` (retention/vacuum: removes the source;
     ``target_path`` is ignored and may be absent). ``dry_run=True`` returns
     the audit with status ``planned`` and touches nothing (E5).
+
+    ``progress``: optional :class:`PlanProgress` whose ok/error counters the
+    tasks update as they complete — running-tally visibility while this call
+    blocks. ``_stagger_s`` is a test-only hook delaying each task by
+    ``partitionId * _stagger_s`` seconds so tests can observe non-final
+    progress deterministically.
     """
     if mode not in ("copy", "move", "delete"):
         raise ValueError(f"mode must be copy|move|delete, got {mode!r}")
@@ -86,23 +119,41 @@ def execute_plan(
 
     # Plans are usually derived from a live file listing (binaryFile) that
     # this very execution mutates. Two defenses:
-    # 1. scans tolerate files deleted between listing and read (a re-executed
-    #    stale plan sees the survivors instead of crashing);
+    # 1. the plan scan tolerates files deleted between listing and read (a
+    #    re-executed stale plan sees the survivors instead of crashing) —
+    #    scoped to this checkpoint only, then restored, so the session's
+    #    other reads keep strict missing-file semantics;
     # 2. localCheckpoint materializes the (source, target) paths and cuts the
     #    lineage, so replaying the returned audit never re-scans.
-    plan.sparkSession.conf.set("spark.sql.files.ignoreMissingFiles", "true")
-    rows = rows.localCheckpoint(eager=True)
+    sess = plan.sparkSession
+    prev_imf = sess.conf.get("spark.sql.files.ignoreMissingFiles", None)
+    sess.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        rows = rows.localCheckpoint(eager=True)
+    finally:
+        if prev_imf is None:
+            sess.conf.unset("spark.sql.files.ignoreMissingFiles")
+        else:
+            sess.conf.set("spark.sql.files.ignoreMissingFiles", prev_imf)
 
     do_move = mode == "move"
     do_delete = mode == "delete"
+    acc_ok = progress._ok if progress is not None else None
+    acc_error = progress._error if progress is not None else None
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained worker closure (stdlib imports + locals only) so it
-        # deserializes on executors that cannot import this package
+        # self-contained worker closure (stdlib/site-package imports + locals
+        # only) so it deserializes on executors that cannot import this package
         import os as _os
         import shutil as _shutil
+        import time as _time
 
         import pandas as _pd
+
+        if _stagger_s:
+            from pyspark import TaskContext as _TaskContext
+
+            _time.sleep(_stagger_s * _TaskContext.get().partitionId())
 
         def local(p: str) -> str:
             return p[5:] if p.startswith("file:") else p
@@ -112,12 +163,24 @@ def execute_plan(
             for src, dst in zip(batch["source_path"], batch["target_path"]):
                 try:
                     if do_delete:
-                        _os.remove(local(src))
-                        out.append((src, dst, mode, "ok", None))
+                        # idempotent: a retried/re-run delete of an
+                        # already-removed source is success, not error
+                        if not _os.path.exists(local(src)):
+                            out.append((src, dst, mode, "ok", "already absent"))
+                        else:
+                            _os.remove(local(src))
+                            out.append((src, dst, mode, "ok", None))
                         continue
                     if dst is None:
                         raise ValueError("no target path (source not found)")
                     lsrc, ldst = local(src), local(dst)
+                    # idempotent retry: a Spark task retry (or a re-run of
+                    # the same plan) may revisit a row whose move already
+                    # completed — source gone, target in place is success,
+                    # not a spurious FileNotFoundError
+                    if not _os.path.exists(lsrc) and _os.path.exists(ldst):
+                        out.append((src, dst, mode, "ok", "already completed"))
+                        continue
                     if not overwrite and _os.path.exists(ldst):
                         raise FileExistsError(ldst)
                     # mkdir-if-needed, ref app/main.py:167-172
@@ -131,12 +194,20 @@ def execute_plan(
                     out.append((src, dst, mode, "ok", None))
                 except Exception as exc:  # per-file error-as-status, ref app/main.py:190-192
                     out.append((src, dst, mode, "error", f"{type(exc).__name__}: {exc}"))
+            if acc_ok is not None:
+                n_ok = sum(1 for r in out if r[3] == "ok")
+                acc_ok.add(n_ok)
+                acc_error.add(len(out) - n_ok)
             yield _pd.DataFrame(
                 out,
                 columns=["source_path", "target_path", "action", "status", "reason"],
             )
 
-    return rows.mapInPandas(run_partition, AUDIT_SCHEMA)
+    # Eagerly materialize: the side effects run exactly ONCE, here — every
+    # later action on the returned audit (counts, joins, shows) reads the
+    # checkpointed rows instead of re-running copy/delete (ADVICE r01: a
+    # lazy mapInPandas re-executed the mutation per action).
+    return rows.mapInPandas(run_partition, AUDIT_SCHEMA).localCheckpoint(eager=True)
 
 
 def audit_summary(audit: DataFrame) -> DataFrame:

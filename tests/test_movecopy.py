@@ -89,6 +89,97 @@ def test_no_overwrite_mode(spark, tmp_path):
     assert (dst / "a.txt").read_bytes() == b"already here"
 
 
+def test_audit_actions_do_not_rerun_side_effects(spark, tmp_path):
+    """ADVICE r01: the audit used to be a lazy mapInPandas frame, so every
+    count/show re-ran the copy/delete — in move mode the second action saw
+    missing sources and reported spurious errors. The audit is now eager."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _mk_tree(str(src), [f"f{i}.txt" for i in range(4)])
+    plan = _plan_df(
+        spark, [(f"{src}/f{i}.txt", f"{dst}/f{i}.txt") for i in range(4)]
+    )
+    audit = execute_plan(plan, mode="move")
+    first = {a.status for a in audit.collect()}
+    second = {a.status for a in audit.collect()}  # would re-run if lazy
+    assert first == second == {"ok"}
+    assert audit.where(F.col("status") == "error").count() == 0
+
+
+def test_rerun_of_completed_move_is_idempotent_ok(spark, tmp_path):
+    """A task retry (or a re-submitted plan) revisiting an already-moved row
+    must report ok, not FileNotFoundError: source gone + target present."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _mk_tree(str(src), ["a.txt"])
+    plan = _plan_df(spark, [(f"{src}/a.txt", f"{dst}/a.txt")])
+    assert execute_plan(plan, mode="move").collect()[0].status == "ok"
+    again = execute_plan(plan, mode="move").collect()[0]
+    assert again.status == "ok" and again.reason == "already completed"
+    # delete is idempotent the same way
+    d1 = execute_plan(plan, mode="delete").collect()[0]
+    assert d1.status == "ok" and d1.reason == "already absent"
+
+
+def test_ignore_missing_files_conf_is_restored(spark, tmp_path):
+    """ADVICE r01: executing a plan must not permanently flip
+    spark.sql.files.ignoreMissingFiles for the whole session."""
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _mk_tree(str(src), ["a.txt"])
+    before = spark.conf.get("spark.sql.files.ignoreMissingFiles", None)
+    execute_plan(_plan_df(spark, [(f"{src}/a.txt", f"{dst}/a.txt")]), mode="copy")
+    assert spark.conf.get("spark.sql.files.ignoreMissingFiles", None) == before
+
+
+def test_progress_counts_match_audit(spark, tmp_path):
+    from py_datalake_move_files_spark.plans.movecopy import PlanProgress
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _mk_tree(str(src), [f"f{i}.txt" for i in range(6)])
+    pairs = [(f"{src}/f{i}.txt", f"{dst}/f{i}.txt") for i in range(6)]
+    pairs.append((f"{src}/missing.txt", f"{dst}/missing.txt"))
+    progress = PlanProgress(spark)
+    execute_plan(_plan_df(spark, pairs), mode="copy", progress=progress)
+    assert progress.snapshot() == (6, 1)
+
+
+def test_progress_is_observable_mid_job(spark, tmp_path):
+    """E2/A2 parity with the reference's per-batch running summaries
+    (app/main.py:280-303): ok counts are visible from another driver thread
+    BEFORE the blocking execute_plan call returns. Tasks are staggered by
+    partition id so completions arrive in distinct waves."""
+    import threading
+    import time
+
+    from py_datalake_move_files_spark.plans.movecopy import PlanProgress
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    n = 4
+    _mk_tree(str(src), [f"f{i}.txt" for i in range(n)])
+    plan = _plan_df(
+        spark, [(f"{src}/f{i}.txt", f"{dst}/f{i}.txt") for i in range(n)]
+    )
+    progress = PlanProgress(spark)
+    observed: list[int] = []
+    done = threading.Event()
+
+    def poll():
+        while not done.is_set():
+            observed.append(progress.ok)
+            time.sleep(0.02)
+
+    poller = threading.Thread(target=poll, daemon=True)
+    poller.start()
+    try:
+        execute_plan(
+            plan, mode="copy", parallelism=n, progress=progress, _stagger_s=0.7
+        )
+    finally:
+        done.set()
+        poller.join()
+    assert progress.ok == n
+    # some poll saw a running (non-zero, non-final) tally
+    assert any(0 < v < n for v in observed), observed
+
+
 def test_pipeline_a_end_to_end(spark, tmp_path):
     """The reference's full pipeline A (app/app.py) on real files:
     manifest CSV → recursive listing → semi/anti plan → copy → audit."""

@@ -107,12 +107,21 @@ def lsh_candidate_pairs(
     *,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing ANY band signature become a candidate pair.
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. The per-band
     self-join is on the band digest — equi-join, hash-partitioned, no
     all-pairs comparison anywhere.
+
+    ``max_bucket`` is the hard guard for degenerate corpora (thousands of
+    byte-identical docs collapse into ONE band bucket → O(N²) candidates):
+    band buckets larger than the cap are dropped before the self-join, so
+    candidates stay O(Σ bucket²) with bucket ≤ cap. Run exact dedup first —
+    identical texts should never reach minhash — and treat a capped-out
+    bucket as "handle upstream". AQE skew-join splitting (session default)
+    is the soft complement for merely-hot, under-cap buckets.
     """
     rows_per_band = num_hashes // bands
     banded = signatures.select(
@@ -137,6 +146,17 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    if max_bucket is not None:
+        # window count over the SAME key the self-join shuffles on —
+        # co-partitioned, no extra exchange pattern
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_key")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

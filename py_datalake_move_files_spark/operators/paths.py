@@ -2,9 +2,12 @@
 
 All pure Column expressions — JVM-side, codegen-friendly, no UDFs. Each
 mirrors a reference behavior (cited) with one documented divergence: prefix
-rewrite is ANCHORED (the reference's ``str.replace(src, tgt, 1)`` at
-app/app.py:45 replaces the first occurrence *anywhere*; anchored prefix
-semantics is what the surrounding code intends — SURVEY.md §7.3.3).
+rewrite is ANCHORED by default (the reference's ``str.replace(src, tgt, 1)``
+at app/app.py:45 replaces the first occurrence *anywhere*; anchored prefix
+semantics is what the surrounding code intends — SURVEY.md §7.3.3). The
+faithful replace-first behavior is available via
+``rewrite_prefix(..., compat_replace_first=True)`` for migrating manifests
+produced by the reference.
 """
 
 from __future__ import annotations
@@ -47,11 +50,40 @@ def strip_leading(path: Column, n_chars: int) -> Column:
     return path.substr(F.lit(n_chars + 1), F.length(path))
 
 
-def rewrite_prefix(path: Column, source_prefix: str, target_prefix: str) -> Column:
-    """P5 (reference app/app.py:45-53), anchored: if ``path`` starts with
-    ``source_prefix`` swap it for ``target_prefix``; otherwise fall back to
-    ``target_prefix + basename(path)`` exactly as the reference does when its
-    replace was a no-op (app/app.py:49-53)."""
+def rewrite_prefix(
+    path: Column,
+    source_prefix: str,
+    target_prefix: str,
+    *,
+    compat_replace_first: bool = False,
+) -> Column:
+    """P5 (reference app/app.py:45-53), anchored by default: if ``path``
+    starts with ``source_prefix`` swap it for ``target_prefix``; otherwise
+    fall back to ``target_prefix + basename(path)`` exactly as the reference
+    does when its replace was a no-op (app/app.py:49-53).
+
+    ``compat_replace_first=True`` reproduces the reference's literal
+    ``str.replace(source_prefix, target_prefix, 1)`` semantics instead:
+    the FIRST occurrence of ``source_prefix`` *anywhere* in the path is
+    replaced (no slash normalization), and only when the replace changed
+    nothing does the basename fallback apply — so a prefix string recurring
+    mid-path (``staging/lake/raw/…`` with source ``lake/raw``) rewrites
+    mid-path under compat but takes the fallback under anchored semantics.
+    Use compat when migrating manifests whose targets were produced by the
+    reference; anchored is what the surrounding code intends (SURVEY §7.3.3).
+    """
+    if compat_replace_first:
+        pos = F.instr(path, source_prefix)
+        replaced = F.when(
+            pos > 0,
+            F.concat(
+                path.substr(F.lit(1), pos - 1),
+                F.lit(target_prefix),
+                path.substr(pos + len(source_prefix), F.length(path)),
+            ),
+        ).otherwise(path)
+        fallback = F.concat(F.lit(target_prefix.rstrip("/") + "/"), basename(path))
+        return F.when(replaced == path, fallback).otherwise(replaced)
     tgt = target_prefix.rstrip("/") + "/"
     return normalize_slashes(
         F.when(

@@ -108,17 +108,46 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+def hyperplanes(n_planes: int, dim: int, *, table: int = 0) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 — reproducible in any engine
-    (and embedded as literals into the oracle SQL)."""
+    (and embedded as literals into the oracle SQL). ``table`` seeds an
+    independent plane family per LSH hash table (table 0 keeps the original
+    seeds, so single-table plans and their oracles are unchanged).
+
+    Scaling guidance (100 TB): pick ``n_planes ≈ log2(N / B)`` for a corpus
+    of N vectors and a target bucket size B — 8 planes = 256 buckets is a
+    test-scale setting; a 10^10-vector corpus wanting ~10^4-vector buckets
+    needs ~20 planes. Recall lost to finer buckets is bought back with
+    ``n_tables`` (independent tables, union of candidates), the standard
+    LSH recall/cost dial."""
     planes = []
+    prefix = "" if table == 0 else f"t{table}:"
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{prefix}plane{p}:{d}".encode()).hexdigest()
             row.append(1 if int(h[0], 16) < 8 else -1)
         planes.append(row)
     return planes
+
+
+def _cap_bucket_size(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Hard guard for degenerate buckets: drop rows in buckets larger than
+    ``max_bucket`` BEFORE the self/bucket join, bounding candidate counts at
+    O(max_bucket²) per bucket instead of O(N²) when a corpus collapses into
+    one bucket (e.g. near-constant embeddings). One window count over the
+    same keys the join shuffles on — co-partitioned, no extra exchange
+    pattern. AQE skew-split is the soft complement (it splits oversized
+    partitions); this cap is the semantic bound. Oversized buckets should be
+    handled upstream (exact dedup collapses identical payloads first)."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
 
 
 def bucket_expr(vec_col: str, planes: list[list[int]]) -> Column:
@@ -138,6 +167,42 @@ def bucket_expr(vec_col: str, planes: list[list[int]]) -> Column:
     return out.cast("long")
 
 
+def _multi_bucketed(
+    df: DataFrame,
+    out_id: str,
+    out_vec: str,
+    id_col: str,
+    vec_col: str,
+    planes_per_table: list[list[list[int]]],
+) -> tuple[DataFrame, list[str]]:
+    """(frame, join_keys): one pass over ``df`` computing every table's
+    bucket, exploded to one row per (vector, table). Single-table stays a
+    plain bucket column — identical plan to the original single-table op."""
+    base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+    if len(planes_per_table) == 1:
+        return (
+            base.withColumn("bucket", bucket_expr(out_vec, planes_per_table[0])),
+            ["bucket"],
+        )
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket_expr(out_vec, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(planes_per_table)
+            ]
+        )
+    ).alias("tb")
+    return (
+        base.select(out_id, out_vec, tb).select(
+            out_id, out_vec, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        ),
+        ["tbl", "bucket"],
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,31 +210,32 @@ def lsh_bucketed_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
+    max_bucket: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates limited to the query's LSH bucket.
+    """Approximate cosine top-k: candidates limited to the query's LSH
+    bucket(s).
 
-    Same output shape as :func:`brute_force_topk`; queries whose bucket holds
-    fewer than ``k`` neighbors return fewer rows (classic LSH recall trade —
-    at scale you'd multi-probe or band multiple tables).
-    """
-    planes = hyperplanes(n_planes, dim)
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        bucket_expr(vec_col, planes).alias("bucket"),
+    Same output shape as :func:`brute_force_topk`; queries whose buckets hold
+    fewer than ``k`` neighbors return fewer rows (classic LSH recall trade).
+    ``n_tables`` > 1 unions candidates from independent hyperplane families
+    (multi-table LSH — recall recovery; see :func:`hyperplanes` for the
+    n_planes/n_tables scaling rule); the corpus is scanned ONCE and exploded
+    per table, never re-read. ``max_bucket`` bounds degenerate corpus buckets
+    (see :func:`_cap_bucket_size`)."""
+    planes_per_table = [hyperplanes(n_planes, dim, table=t) for t in range(n_tables)]
+    c, keys = _multi_bucketed(
+        ensure_parallelism(corpus), "neighbor_id", "c_vec", id_col, vec_col,
+        planes_per_table,
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            bucket_expr(vec_col, planes).alias("bucket"),
-        )
-    )
+    c = _cap_bucket_size(c, keys, max_bucket)
+    q, _ = _multi_bucketed(queries, "query_id", "q_vec", query_id_col, vec_col,
+                           planes_per_table)
     scored = (
-        c.join(q, "bucket")
+        c.join(F.broadcast(q), keys)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -177,6 +243,9 @@ def lsh_bucketed_topk(
             F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
         )
     )
+    if n_tables > 1:
+        # the same pair can meet in several tables — one candidate each
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -193,21 +262,25 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
+    max_bucket: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: only vectors in
     the same bucket are compared (no all-pairs at scale); exact cosine then
-    filters to ≥ threshold."""
-    planes = hyperplanes(n_planes, dim)
-    b = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        bucket_expr(vec_col, planes).alias("bucket"),
+    filters to ≥ threshold. ``n_tables`` unions candidates from independent
+    plane families (recall); ``max_bucket`` hard-bounds degenerate buckets so
+    a near-constant corpus cannot go quadratic (see :func:`_cap_bucket_size`
+    — pair such corpora with exact dedup upstream)."""
+    planes_per_table = [hyperplanes(n_planes, dim, table=t) for t in range(n_tables)]
+    b, keys = _multi_bucketed(
+        ensure_parallelism(corpus), "vid", "vec", id_col, vec_col, planes_per_table
     )
-    return (
+    b = _cap_bucket_size(b, keys, max_bucket)
+    pairs = (
         b.alias("a")
-        .join(b.alias("x"), "bucket")
+        .join(b.alias("x"), keys)
         .where(F.col("a.vid") < F.col("x.vid"))
         .select(
             F.col("a.vid").alias("id_a"),
@@ -216,3 +289,4 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+    return pairs.distinct() if n_tables > 1 else pairs

@@ -99,6 +99,44 @@ def test_rewrite_is_anchored_not_replace_first(spark):
     assert row.out == f"{TGT}/x.json"  # basename fallback, NOT other/lake/archive/x.json
 
 
+def _py_replace_first(path: str) -> str:
+    # the reference's literal semantics, app/app.py:45-53
+    out = path.replace(SRC, TGT, 1)
+    if out == path:
+        out = TGT.rstrip("/") + "/" + path.split("/")[-1]
+    return out
+
+
+def test_compat_replace_first_matches_reference_exactly(spark):
+    """P5 compat mode (VERDICT r01 #6): golden-checked against Python's own
+    str.replace(src, tgt, 1) over a corpus that includes mid-path prefix
+    recurrences — the case where anchored and compat silently diverge."""
+    names = _gen_paths(300, seed=11) + [
+        f"other/{SRC}/x.json",        # mid-path occurrence: rewrites in place
+        f"{SRC}/{SRC}/nested.json",   # prefix twice: only FIRST replaced
+        "elsewhere/y.json",           # no occurrence: basename fallback
+        f"pre{SRC}post/z.json",       # occurrence inside a segment (faithful!)
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["p"])
+    rows = df.select(
+        "p",
+        rewrite_prefix(
+            F.col("p"), SRC, TGT, compat_replace_first=True
+        ).alias("compat"),
+    ).collect()
+    for r in rows:
+        assert r.compat == _py_replace_first(r.p), r.p
+    # and the divergent case really diverges from anchored mode
+    tricky = f"other/{SRC}/x.json"
+    anchored = (
+        spark.createDataFrame([(tricky,)], ["p"])
+        .select(rewrite_prefix(F.col("p"), SRC, TGT).alias("out"))
+        .first()
+        .out
+    )
+    assert _py_replace_first(tricky) == f"other/{TGT}/x.json" != anchored
+
+
 def test_qualify_idempotent(spark):
     names = _gen_paths(100, seed=7)
     df = spark.createDataFrame([(n,) for n in names], ["name"])

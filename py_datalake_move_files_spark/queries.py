@@ -8,6 +8,13 @@ and floating-point is handled by one of three portability rules:
 
 1. money/2-decimal columns aggregate via exact ``decimal(18,2)`` (or
    ``decimal(9,2)`` products) and only then cast to double + round(2);
+   when the exact sum can land on a half-cent boundary (scale>2 products,
+   e.g. price*(1-disc)), round IN THE DECIMAL DOMAIN first and cast the
+   rounded decimal to double (``F.round(sum_dec, 2).cast("double")`` vs
+   ``CAST(round(sum_dec, 2) AS DOUBLE)``) — rounding after the double cast
+   diverges on ties because the engines round different representations
+   (Spark the shortest decimal repr, DuckDB the binary double; found on
+   q7_bilateral_volume, 3/2095 groups off by one cent);
 2. ratios/divisions are computed with the SAME operation order in both
    engines (IEEE doubles are deterministic given identical op order) and
    rounded to 6 dp;
@@ -1990,3 +1997,10 @@ def q_dataset_split_counts(spark, sf_dir):
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# extension registries (import side effect: they register into QUERIES/ORACLE)
+# --------------------------------------------------------------------------
+
+from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401

@@ -1,0 +1,410 @@
+"""TPC-H-grade relational breadth: correlated subqueries, EXISTS/NOT EXISTS,
+IN/NOT IN (incl. three-valued NULL semantics), decorrelated scalar aggregates.
+
+The reference has no subquery surface at all (its only membership test is the
+manifest existence probe, app/app.py:119-131, covered by J1/J2); this module
+generalizes that membership semantics to the full SQL subquery family, each
+expressed Spark-first:
+
+- EXISTS / IN            -> left-semi join (or spark.sql, which Catalyst
+                            decorrelates to the same semi join)
+- NOT EXISTS / NOT IN    -> left-anti join (non-null keys)
+- NOT IN over a nullable -> kept as spark.sql NOT IN so Catalyst's
+  list                      null-aware anti join preserves 3VL (one NULL in
+                            the list ⇒ empty result)
+- correlated scalar agg  -> decorrelated: groupBy the correlation key,
+                            compute the aggregate once, broadcast/shuffle
+                            join back (what Catalyst does for SQL, written
+                            out in the DataFrame API)
+
+Scale notes (100 TB): every subquery here decorrelates to ONE join on the
+correlation key — no per-row re-execution. Aggregate-then-join plans shuffle
+the pre-aggregated (small) side; fact tables shuffle at most once on their
+join key. Window-based q21 avoids the double self-join of the textbook
+EXISTS/NOT-EXISTS formulation: one shuffle on l_orderkey computes both
+"other supplier exists" and "no other late supplier" per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from py_datalake_move_files_spark.queries import _DEC, _D9, _m2, _t, register
+
+
+@register(
+    "q6_revenue_filter",
+    f"""
+SELECT round(CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(l_discount AS {_D9})) AS DOUBLE), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_q6_revenue_filter(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective scan + ungrouped aggregate. All four
+    predicates push to the parquet scan (PushedFilters); zero shuffles — the
+    partial aggregates combine map-side."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(_D9) * F.col("l_discount").cast(_D9)
+    return li.agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS. Written as SQL on temp views so
+    Catalyst's RewritePredicateSubquery turns it into a left-semi join —
+    pinned by tests/test_plans.py (no nested-loop, no cartesian)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with an extra join-condition filter
+    (NOT a WHERE — null-extended rows must survive), double aggregation.
+    count(col) counts non-null only, so customers with zero matching orders
+    land in the c_count=0 bucket."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+@register(
+    "q16_brand_supplier_count",
+    """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+)
+def q_q16_brand_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN over a non-nullable key = left-anti join
+    (broadcast — the excluded-supplier list is tiny), then count distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 4, 7))
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    f"""
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery, decorrelated
+    Spark-first — per-part avg computed once (groupBy on the correlation
+    key), joined back. l_quantity values are integral doubles, so the
+    float avg is order-independent (exact integer sums) and the comparison
+    is portable without decimal casts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1)) * 0.5).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(_m2("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_big_orders",
+    f"""
+SELECT c_name, o.o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  round(CAST(CAST(o_totalprice AS {_DEC}) AS DOUBLE), 2) AS totalprice,
+  round(CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE), 2) AS sum_qty
+FROM customer JOIN orders o ON c_custkey = o_custkey
+JOIN lineitem ON o.o_orderkey = l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS {_DEC})) > 300)
+GROUP BY c_name, o.o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def q_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN over an aggregated+HAVING subquery = semi join
+    against the pre-aggregated key set. The big-order key set is small after
+    HAVING, so it broadcasts; lineitem shuffles once on l_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_m2("l_quantity")).alias("tot_qty"))
+        .where(F.col("tot_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+                li.l_orderkey == F.col("big_key"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum(_m2("l_quantity")).cast("double"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(_m2("o_totalprice").cast("double"), 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q21_late_exclusive_suppliers",
+    """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 85 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 85 DAY)
+GROUP BY s_name
+""",
+)
+def q_q21_late_exclusive_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who were the ONLY late shipper in a
+    multi-supplier order). The oracle uses the textbook correlated
+    EXISTS + NOT EXISTS; the Spark plan replaces BOTH correlated subqueries
+    with window aggregates over one shuffle on l_orderkey:
+      n_supp      = count(distinct supplier) per order     (EXISTS twin)
+      n_late_supp = count(distinct late supplier) per order (NOT EXISTS twin)
+    keeping rows where late ∧ n_supp > 1 ∧ n_late_supp = 1. At 100 TB this
+    is one exchange instead of two extra lineitem joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 85 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("is_late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    return (
+        flagged.where(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+  round(CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+)
+def q_q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (above-average balance,
+    decimal-exact so the threshold is bit-identical cross-engine) + NOT
+    EXISTS as a left-anti join against the urgent-order customer set."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_m2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum(_m2("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q2_min_price_supplier",
+    f"""
+SELECT p_partkey, l.l_suppkey,
+  round(CAST(CAST(l.l_extendedprice AS {_DEC}) AS DOUBLE), 2) AS min_price
+FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                           WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q_q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated equality against a scalar MIN, decorrelated
+    to min-per-key + equi-join back (ties kept, like the SQL). The min
+    comparison is on untouched doubles — no arithmetic, so exact equality is
+    portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price_raw"))
+    mins = mins.withColumnRenamed("l_partkey", "m_partkey")
+    return (
+        li.join(mins, (li.l_partkey == mins.m_partkey) & (li.l_extendedprice == mins.min_price_raw))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "l_suppkey",
+            F.round(_m2("l_extendedprice").cast("double"), 2).alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q7_bilateral_volume",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(round(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey < n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+)
+def q_q7_bilateral_volume(spark, sf_dir):
+    """TPC-H Q7 shape: nation self-joined twice under different roles
+    (supplier vs customer side), per-year trade volume. Both nation aliases
+    broadcast; the fact pipeline shuffles only for the final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("n1_key") < F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(disc), 2).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "not_in_null_semantics",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+                        FROM customer)
+""",
+)
+def q_not_in_null_semantics(spark, sf_dir):
+    """SQL three-valued-logic fidelity: NOT IN over a list containing NULL is
+    never TRUE, so the result must be empty (the testdata has negative-balance
+    customers). Kept as spark.sql so Catalyst's null-aware anti join handles
+    it — a hand-rolled left-anti join here would be WRONG (it would drop the
+    NULL and return rows). The count pins the engine to the standard."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("nin_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("nin_customer")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows
+        FROM nin_orders
+        WHERE o_custkey NOT IN (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+          FROM nin_customer)
+        """
+    )

@@ -84,3 +84,41 @@ def test_no_cartesian_product_in_any_query(spark):
     for name in sorted(QUERIES):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    # Catalyst's RewritePredicateSubquery must turn the correlated EXISTS
+    # into a single semi join — never a per-row nested-loop re-execution
+    plan = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q6_is_shuffle_free_with_full_pushdown(spark):
+    # selective scan + ungrouped agg: all predicates reach the scan, the
+    # partial aggregates combine map-side, zero hash shuffles
+    plan = _plan(spark, "q6_revenue_filter")
+    assert "Exchange hashpartitioning" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) == 4, cols  # qty, price, discount, shipdate
+    assert "isnotnull(l_shipdate" in plan and "isnotnull(l_discount" in plan
+
+
+def test_q21_windows_replace_correlated_subqueries(spark):
+    # the EXISTS + NOT EXISTS pair collapses into window aggregates over ONE
+    # l_orderkey exchange (+1 for the final supplier agg) — not two extra
+    # lineitem self-joins
+    plan = _plan(spark, "q21_late_exclusive_suppliers")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_not_in_uses_null_aware_anti_join(spark):
+    # NOT IN over a nullable list must keep SQL 3VL: Catalyst plans a
+    # null-aware broadcast anti join, not a plain anti join
+    plan = _plan(spark, "not_in_null_semantics")
+    assert "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan

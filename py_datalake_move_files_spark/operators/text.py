@@ -126,6 +126,136 @@ def normalize(df: DataFrame, text_col: str = "text", out: str = "text_norm") -> 
     return df.withColumn(out, t)
 
 
+#: PII patterns, written to the common subset of Java regex (Spark) and RE2
+#: (DuckDB): character classes + bounded repetition only — no backrefs, no
+#: lookaround — so detection and redaction are bit-identical cross-engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", *, redacted_col: str = "text_redacted"
+) -> DataFrame:
+    """PII detection + redaction (C4/RefinedWeb-style scrub stage): per-kind
+    match counts and a redacted text with each match replaced by ``<KIND>``.
+
+    Pure regexp column exprs — zero shuffles, codegen'd, linear per row; at
+    100 TB this runs entirely map-side. Redaction order is fixed
+    (email→phone→ipv4) so overlapping matches resolve deterministically.
+    """
+    t = F.col(text_col)
+    out = df
+    red = t
+    for kind in ("email", "phone", "ipv4"):
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(redacted_col, red)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition measures over whitespace words:
+
+    - ``dup_word_frac``     fraction of word occurrences that are repeats
+                            (1 − distinct/total)
+    - ``top_bigram_frac``   occurrences of the most frequent bigram / bigrams
+    - ``dup_trigram_frac``  fraction of trigram occurrences whose trigram
+                            appears more than once
+
+    All pure array-HOF exprs: per-row O(distinct·n) with n ≈ doc words —
+    zero shuffles, no UDFs, so the stage scales linearly and stays entirely
+    map-side at 100 TB. Lambda variables are uniquely named per call
+    (tests/test_lambda_safety.py policy).
+    """
+    u = next(_UNIQ)
+    toks = f"split({text_col}, ' ')"
+    # 0-based [] indexing in Spark SQL; sequence is inclusive on both ends
+    bg = (
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i{u} -> concat(element_at({toks}, i{u} + 1), ' ', element_at({toks}, i{u} + 2)))"
+    )
+    tg = (
+        f"transform(sequence(0, size({toks}) - 3), "
+        f"j{u} -> concat(element_at({toks}, j{u} + 1), ' ', element_at({toks}, j{u} + 2), "
+        f"' ', element_at({toks}, j{u} + 3)))"
+    )
+    bg_counts = (
+        f"transform(array_distinct({bg}), b{u} -> "
+        f"size(filter({bg}, x{u} -> x{u} = b{u})))"
+    )
+    tg_counts = (
+        f"transform(array_distinct({tg}), t{u} -> "
+        f"size(filter({tg}, y{u} -> y{u} = t{u})))"
+    )
+    return (
+        df.withColumn("n_words", F.expr(f"size({toks})"))
+        .withColumn(
+            "dup_word_frac",
+            F.round(
+                F.expr(f"1.0 - size(array_distinct({toks})) / size({toks})"), 6
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.expr(f"size({toks})") < 2, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.expr(f"array_max({bg_counts})") / F.expr(f"size({bg})"), 6
+                )
+            ),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(
+                F.expr(f"size({toks})") < 3, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.expr(
+                        f"aggregate(transform({tg_counts}, "
+                        f"c{u} -> CASE WHEN c{u} > 1 THEN c{u} ELSE 0 END), "
+                        f"0, (a{u}, e{u}) -> a{u} + e{u})"
+                    )
+                    / F.expr(f"size({tg})"),
+                    6,
+                )
+            ),
+        )
+    )
+
+
+#: Gopher-style corpus gate rules as (name, fail-predicate-builder) pairs —
+#: ordered cheap-to-expensive; the FIRST failing rule names the drop reason
+#: (same first-failure-wins cascade as the reference's should_process_file,
+#: app/main.py:109-146, generalized to corpus filtering).
+def corpus_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 10,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.18,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Training-corpus admission gate: combine repetition + quality measures
+    into keep/drop with a first-failure reason column."""
+    scored = repetition_stats(quality_score(df, text_col), text_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("dup_word_frac") > max_dup_word_frac, F.lit("repetitive_words"))
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("repetitive_bigram"))
+        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    out = scored.withColumn("gate_reason", reason)
+    return out.withColumn("keep", F.col("gate_reason") == "ok")
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str,

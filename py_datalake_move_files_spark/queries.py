@@ -2003,4 +2003,5 @@ def q_dataset_split_counts(spark, sf_dir):
 # extension registries (import side effect: they register into QUERIES/ORACLE)
 # --------------------------------------------------------------------------
 
+from py_datalake_move_files_spark import queries_corpus  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401

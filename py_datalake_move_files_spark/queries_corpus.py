@@ -1,0 +1,130 @@
+"""Corpus-curation query tier: Gopher-style repetition measures, a
+first-failure corpus admission gate, and PII detection/redaction.
+
+These extend the LLM-data-pipeline operators (operators/text.py) with the
+filter stages a large-scale training-data pipeline runs between ingestion
+and dedup. Everything is pure column expressions — per-row array HOFs and
+regexps, zero shuffles — so each stage is map-side-only at 100 TB; the only
+exchanges in these queries belong to the final small aggregations.
+
+Oracles mirror the array HOFs with DuckDB list functions (1-based lists on
+both sides via ``element_at``/``[]``) and the regexps are written to the
+common Java-regex/RE2 subset so counts and redactions match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators import text as TXT
+from py_datalake_move_files_spark.queries import _t, register
+
+# --- DuckDB twins of the repetition HOFs (1-based list indexing) ----------
+
+_TOKS = "string_split(text, ' ')"
+_BG = f"list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])"
+_TG = (
+    f"list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])"
+)
+_BG_COUNTS = f"list_transform(list_distinct({_BG}), b -> len(list_filter({_BG}, x -> x = b)))"
+_TG_COUNTS = f"list_transform(list_distinct({_TG}), t -> len(list_filter({_TG}, y -> y = t)))"
+
+_REPETITION_ORACLE = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS INT) AS n_words,
+  round(1.0 - len(list_distinct({_TOKS})) / len({_TOKS}), 6) AS dup_word_frac,
+  CASE WHEN len({_TOKS}) < 2 THEN 0.0
+       ELSE round(list_max({_BG_COUNTS}) / len({_BG}), 6) END AS top_bigram_frac,
+  CASE WHEN len({_TOKS}) < 3 THEN 0.0
+       ELSE round(list_sum(list_transform({_TG_COUNTS},
+              c -> CASE WHEN c > 1 THEN c ELSE 0 END)) / len({_TG}), 6)
+       END AS dup_trigram_frac
+FROM documents
+"""
+
+
+@register("repetition_stats", _REPETITION_ORACLE)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition measures per document (dup-word fraction,
+    top-bigram fraction, duplicated-trigram fraction) — the signals used to
+    drop boilerplate/spam before training. Pure array-HOF projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.repetition_stats(docs).select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
+_GATE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_words,
+    round(1.0 - len(list_distinct({_TOKS})) / len({_TOKS}), 6) AS dup_word_frac,
+    CASE WHEN len({_TOKS}) < 2 THEN 0.0
+         ELSE round(list_max({_BG_COUNTS}) / len({_BG}), 6) END AS top_bigram_frac
+  FROM documents
+), gated AS (
+  SELECT doc_id,
+    CASE WHEN n_words < 10 THEN 'too_short'
+         WHEN dup_word_frac > 0.6 THEN 'repetitive_words'
+         WHEN top_bigram_frac > 0.18 THEN 'repetitive_bigram'
+         ELSE 'ok' END AS gate_reason
+  FROM scored
+)
+SELECT gate_reason, CAST(count(*) AS BIGINT) AS n_docs
+FROM gated GROUP BY gate_reason
+"""
+
+
+@register("corpus_gate_counts", _GATE_ORACLE)
+def q_corpus_gate_counts(spark, sf_dir):
+    """Corpus admission gate: first-failing-rule reason per doc (the
+    reference's cheap-before-expensive predicate cascade, app/main.py:109-146,
+    generalized to corpus filtering), aggregated to a drop report."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TXT.corpus_gate(docs)
+        .groupBy("gate_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# --- PII: inject deterministic synthetic PII, then detect + redact --------
+# The synthetic corpus contains no PII, so the query plants some (every 5th
+# doc an email, every 7th a phone, every 11th an IP) and the operator must
+# find exactly those and scrub them. The injection arithmetic is identical
+# SQL on both sides; detection/redaction is the operator under test.
+
+_PII_TEXT = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309 today' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.1' ELSE '' END"
+)
+
+_PII_ORACLE = f"""
+WITH injected AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(pii_text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(pii_text, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(pii_text, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS INT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(pii_text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+    '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+    '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IPV4>', 'g') AS text_redacted
+FROM injected
+"""
+
+
+@register("pii_redaction", _PII_ORACLE)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub stage: detect emails/phones/IPs and redact them in place.
+    Regex-only (Java-regex/RE2 common subset), map-side-only at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id", F.expr(_PII_TEXT.replace("VARCHAR", "STRING")).alias("pii_text")
+    )
+    return TXT.pii_scan(injected, "pii_text").select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"
+    )

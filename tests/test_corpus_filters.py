@@ -1,0 +1,85 @@
+"""Unit tests for the corpus-curation tier: repetition measures, the
+admission gate, and PII detect/redact — crafted inputs with hand-computed
+expectations (the registry queries cover the synthetic-corpus oracles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from py_datalake_move_files_spark.operators.text import (
+    corpus_gate,
+    pii_scan,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "hello"),                          # single word: all fracs 0
+        (2, "spam spam spam spam"),            # total repetition
+        (3, "the quick brown fox jumps over lazy dogs again today now ok"),
+        (4, "go go go go stop stop"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_computed(docs):
+    r = {x["doc_id"]: x for x in repetition_stats(docs).collect()}
+    assert r[1]["n_words"] == 1
+    assert r[1]["dup_word_frac"] == 0.0
+    assert r[1]["top_bigram_frac"] == 0.0 and r[1]["dup_trigram_frac"] == 0.0
+    # "spam spam spam spam": 4 words 1 distinct; 3 bigrams all equal;
+    # 2 trigrams both equal
+    assert r[2]["dup_word_frac"] == 0.75
+    assert r[2]["top_bigram_frac"] == 1.0
+    assert r[2]["dup_trigram_frac"] == 1.0
+    # all-distinct doc has zero repetition
+    assert r[3]["dup_word_frac"] == 0.0
+    assert r[3]["top_bigram_frac"] == pytest.approx(1 / 11, abs=1e-6)
+    assert r[3]["dup_trigram_frac"] == 0.0
+    # "go go go go stop stop": bigrams [go go]*3, [go stop], [stop stop]
+    assert r[4]["top_bigram_frac"] == 0.6
+    # trigrams: [go go go]*2 dup, [go go stop], [go stop stop] -> 2/4
+    assert r[4]["dup_trigram_frac"] == 0.5
+
+
+def test_corpus_gate_first_failure_wins(spark):
+    rows = [
+        (1, "short doc"),                      # too_short fires first
+        (2, " ".join(["dup"] * 20)),           # long enough, repetitive_words
+        (3, " ".join(f"w{i}" for i in range(20))),  # clean -> ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {x["doc_id"]: x for x in corpus_gate(df).collect()}
+    assert g[1]["gate_reason"] == "too_short" and not g[1]["keep"]
+    assert g[2]["gate_reason"] == "repetitive_words"
+    assert g[3]["gate_reason"] == "ok" and g[3]["keep"]
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+x@mail.example.org please"),
+            (2, "call 555-123-4567 or 555-999-0000"),
+            (3, "server at 192.168.1.100 is up"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in pii_scan(df).collect()}
+    assert (r[1]["n_email"], r[1]["n_phone"], r[1]["n_ipv4"]) == (1, 0, 0)
+    assert r[1]["text_redacted"] == "write to <EMAIL> please"
+    assert r[2]["n_phone"] == 2
+    assert r[2]["text_redacted"] == "call <PHONE> or <PHONE>"
+    assert r[3]["n_ipv4"] == 1 and "<IPV4>" in r[3]["text_redacted"]
+    assert r[4]["text_redacted"] == "no pii here at all"
+
+
+def test_repetition_is_shuffle_free(spark, sf_oracle):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    df = repetition_stats(load_table(spark, sf_oracle, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python

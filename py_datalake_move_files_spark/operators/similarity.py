@@ -290,3 +290,137 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine_sim") >= threshold)
     )
     return pairs.distinct() if n_tables > 1 else pairs
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN index — the centroid-partitioned scale path
+# --------------------------------------------------------------------------
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF 'training': the ``n_lists`` corpus vectors with the
+    lexicographically smallest ``md5(id)`` become centroids — a reproducible
+    pseudo-random sample (k-means|| would refine these offline in a real
+    deployment; the sample IS the standard k-means init). Returned sorted by
+    centroid id so downstream argmin tie-breaks are well-defined.
+
+    Driver-side collect is ``n_lists`` rows (k·dim floats — KBs even at
+    k=65536), the one legitimately tiny piece of IVF state; it is then
+    embedded into closed-form column expressions, i.e. broadcast by value."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")).asc())
+        .limit(n_lists)
+        .collect()
+    )
+    return sorted((r["cid"], [float(v) for v in r["cv"]]) for r in rows)
+
+
+def _centroid_sims(vec_col: str, centroids: list[tuple[int, list[float]]]) -> list[tuple[int, Column]]:
+    """Rounded cosine(vec, centroid) per centroid, centroid norm precomputed
+    in Python with the identical left-associative chain (same IEEE ops ⇒ same
+    value the oracle's SQL chain produces)."""
+    import math
+
+    out = []
+    for cid, cv in centroids:
+        acc = 0.0
+        for v in cv:
+            acc = acc + v * v
+        cnorm = math.sqrt(acc)
+        consts = "array(" + ", ".join(f"{v!r}D" for v in cv) + ")"
+        u = _u()
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, {consts}, (x{u}, y{u}) -> "
+            f"cast(x{u} as double) * y{u}), 0D, (acc{u}, v{u}) -> acc{u} + v{u})"
+        )
+        out.append((cid, F.round(d / (norm(vec_col) * F.lit(cnorm)), 6)))
+    return out
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out: str = "list_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max rounded cosine, ties
+    to the lowest centroid id). Pure column expressions over centroid
+    literals: ZERO shuffles — at 100 TB assignment is an embarrassingly
+    parallel map stage, the core property that makes IVF the scale path
+    (each query then scans n_probe/n_lists of the corpus instead of all)."""
+    sims = _centroid_sims(vec_col, centroids)
+    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
+    assign = None
+    for cid, s in sims:  # ascending cid ⇒ lowest id wins ties
+        assign = F.when(s == best, F.lit(cid)) if assign is None else assign.when(s == best, F.lit(cid))
+    return corpus.withColumn(out, assign)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    centroid lists and ranks only those lists' vectors.
+
+    Plan shape (the 100 TB story): corpus assignment is map-only; the probe
+    pairs (|queries|·n_probe rows) broadcast; the candidate join is a
+    broadcast hash join on ``list_id`` — the corpus is never shuffled and
+    never fully scanned per query; the only exchange is the final per-query
+    top-k window. Recall/cost dial: n_probe/n_lists fraction of the corpus
+    scanned per query (n_lists ~ sqrt(N) and n_probe 1-10% of n_lists are
+    the classic FAISS-style settings)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        cents,
+        vec_col="c_vec",
+    )
+    # per-query probe lists: sort (−sim, cid) structs, take first n_probe
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    sims = _centroid_sims("q_vec", cents)
+    probe_structs = F.array(
+        *[F.struct((-s).alias("neg"), F.lit(cid).alias("cid")) for cid, s in sims]
+    )
+    probes = q.withColumn(
+        "list_id",
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, n_probe).getField("cid")
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )

@@ -1,0 +1,106 @@
+"""IVF (inverted-file) ANN queries — the centroid-partitioned similarity
+path that complements the LSH tier (operators/similarity.py).
+
+IVF is the classic FAISS-style scale architecture: partition the corpus
+into n_lists centroid cells ("training" + assignment), then answer each
+query by scanning only its n_probe nearest cells. Here training is a
+deterministic md5-ordered sample (reproducible in SQL, so the whole index
+build + search pipeline gets an exact DuckDB oracle), assignment is a
+zero-shuffle map stage over centroid literals, and search is a broadcast
+hash join on list_id — the corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.queries import dd_cosine, register, _t
+
+N_LISTS = 8
+N_PROBE = 2
+
+#: shared oracle prelude: centroid selection + full-corpus assignment,
+#: mirroring ivf_centroids (md5-ordered sample) and ivf_assign (argmax of
+#: ROUNDED cosine, ties to the lowest centroid id)
+_IVF_PRELUDE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_LISTS}
+),
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    {dd_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ivf_list_sizes",
+    _IVF_PRELUDE
+    + """
+SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors
+FROM asg GROUP BY list_id
+""",
+)
+def q_ivf_list_sizes(spark, sf_dir):
+    """IVF index build check: vectors per inverted list. The balance of this
+    histogram is THE operational metric for IVF at scale (hot lists = slow
+    probes); the assignment stage itself is shuffle-free (plan-pinned)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, n_lists=N_LISTS)
+    return (
+        SIM.ivf_assign(emb, cents)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    _IVF_PRELUDE
+    + f""",
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc WHERE vec_id < 5
+  ) WHERE rn <= {N_PROBE}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {dd_cosine('q.q_vec', 'a.embedding')} AS cosine_sim
+  FROM probes p
+  JOIN asg a USING (list_id)
+  JOIN qv q ON p.query_id = q.query_id
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 10
+""",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN search: same query set and output shape as ann_brute_force /
+    ann_lsh_bucketed, so the three similarity paths are directly comparable.
+    Each query scans ~n_probe/n_lists of the corpus (here 2/8)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb, queries, k=10, n_lists=N_LISTS, n_probe=N_PROBE
+    )

@@ -1,0 +1,102 @@
+"""IVF ANN tier: determinism, assignment correctness vs a local
+recomputation, probe behavior, and the scale-critical plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _cos(a, b):
+    d = 0.0
+    for x, y in zip(a, b):
+        d = d + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return round(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+
+def test_centroids_deterministic_and_sorted(emb):
+    c1 = ivf_centroids(emb, n_lists=8)
+    c2 = ivf_centroids(emb, n_lists=8)
+    assert c1 == c2
+    assert [cid for cid, _ in c1] == sorted(cid for cid, _ in c1)
+    assert len(c1) == 8
+
+
+def test_assignment_matches_local_argmax(emb):
+    cents = ivf_centroids(emb, n_lists=8)
+    sample = ivf_assign(emb, cents).where("vec_id < 50").collect()
+    assert len(sample) == 50
+    for row in sample:
+        sims = [(-_cos(row["embedding"], cv), cid) for cid, cv in cents]
+        expect = min(sims)[1]  # max sim, ties to lowest cid
+        assert row["list_id"] == expect, row["vec_id"]
+
+
+def test_topk_scores_are_exact_within_probed_lists(emb):
+    cents = ivf_centroids(emb, n_lists=8)
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = ivf_topk(emb, queries, k=5, centroids=cents).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.where("vec_id < 3").collect()}
+    for qid, rows in by_q.items():
+        assert len(rows) <= 5
+        # ranks are 1..n and scores non-increasing
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        # reported similarity is the true cosine, not an approximation
+        corpus = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        for r in rows:
+            assert r["cosine_sim"] == pytest.approx(
+                _cos(vecs[qid], corpus[r["neighbor_id"]]), abs=1e-6
+            )
+
+
+def test_ivf_assignment_is_shuffle_free(emb):
+    cents = ivf_centroids(emb, n_lists=8)
+    plan = (
+        ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_search_never_shuffles_corpus(spark):
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["ann_ivf_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # probes broadcast; the only exchange is the per-query top-k window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

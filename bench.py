@@ -40,6 +40,12 @@ HEADLINE = [
     "ann_brute_force",
     "simhash_fingerprints",
     "quality_scores",
+    # r2 additions: subquery tier, corpus-curation tier, IVF ANN
+    "q18_big_orders",
+    "q21_late_exclusive_suppliers",
+    "repetition_stats",
+    "pii_redaction",
+    "ann_ivf_topk",
 ]
 
 

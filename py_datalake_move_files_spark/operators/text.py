@@ -167,65 +167,75 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_trigram_frac``  fraction of trigram occurrences whose trigram
                             appears more than once
 
-    All pure array-HOF exprs: per-row O(distinct·n) with n ≈ doc words —
-    zero shuffles, no UDFs, so the stage scales linearly and stays entirely
-    map-side at 100 TB. Lambda variables are uniquely named per call
-    (tests/test_lambda_safety.py policy).
+    All pure array-HOF exprs, zero shuffles, no UDFs — map-side-only at
+    100 TB. The token and n-gram arrays are materialized as intermediate
+    COLUMNS before the counting HOFs reference them: inlining the SQL text
+    instead re-evaluates the split/transform per lambda element (Catalyst
+    does not CSE inside lambda bodies), which turned O(distinct·n) into
+    O(distinct·n·|doc|) — measured 349 s vs 2 s on 5k docs at sf0.1.
+    Per-row cost is O(distinct·n) string compares with n ≈ doc words.
+    Lambda variables are uniquely named per call (tests/test_lambda_safety.py
+    policy).
     """
     u = next(_UNIQ)
     toks = f"split({text_col}, ' ')"
-    # 0-based [] indexing in Spark SQL; sequence is inclusive on both ends
+    # 0-based [] indexing in Spark SQL; sequence is inclusive on both ends.
+    # Guard small docs inside the column: sequence(0, -1) generates a
+    # DESCENDING sequence and element_at(_, 0) throws under ANSI mode.
     bg = (
-        f"transform(sequence(0, size({toks}) - 2), "
-        f"i{u} -> concat(element_at({toks}, i{u} + 1), ' ', element_at({toks}, i{u} + 2)))"
+        f"CASE WHEN size(__rep_toks) < 2 THEN array() "
+        f"ELSE transform(sequence(0, size(__rep_toks) - 2), "
+        f"i{u} -> concat(element_at(__rep_toks, i{u} + 1), ' ', "
+        f"element_at(__rep_toks, i{u} + 2))) END"
     )
     tg = (
-        f"transform(sequence(0, size({toks}) - 3), "
-        f"j{u} -> concat(element_at({toks}, j{u} + 1), ' ', element_at({toks}, j{u} + 2), "
-        f"' ', element_at({toks}, j{u} + 3)))"
+        f"CASE WHEN size(__rep_toks) < 3 THEN array() "
+        f"ELSE transform(sequence(0, size(__rep_toks) - 3), "
+        f"j{u} -> concat(element_at(__rep_toks, j{u} + 1), ' ', "
+        f"element_at(__rep_toks, j{u} + 2), ' ', element_at(__rep_toks, j{u} + 3))) END"
     )
     bg_counts = (
-        f"transform(array_distinct({bg}), b{u} -> "
-        f"size(filter({bg}, x{u} -> x{u} = b{u})))"
+        f"transform(array_distinct(__rep_bg), b{u} -> "
+        f"size(filter(__rep_bg, x{u} -> x{u} = b{u})))"
     )
     tg_counts = (
-        f"transform(array_distinct({tg}), t{u} -> "
-        f"size(filter({tg}, y{u} -> y{u} = t{u})))"
+        f"transform(array_distinct(__rep_tg), t{u} -> "
+        f"size(filter(__rep_tg, y{u} -> y{u} = t{u})))"
     )
     return (
-        df.withColumn("n_words", F.expr(f"size({toks})"))
+        df.withColumn("__rep_toks", F.expr(toks))
+        .withColumn("__rep_bg", F.expr(bg))
+        .withColumn("__rep_tg", F.expr(tg))
+        .withColumn("n_words", F.expr("size(__rep_toks)"))
         .withColumn(
             "dup_word_frac",
             F.round(
-                F.expr(f"1.0 - size(array_distinct({toks})) / size({toks})"), 6
+                F.expr("1.0 - size(array_distinct(__rep_toks)) / size(__rep_toks)"), 6
             ),
         )
         .withColumn(
             "top_bigram_frac",
-            F.when(
-                F.expr(f"size({toks})") < 2, F.lit(0.0)
-            ).otherwise(
+            F.when(F.expr("size(__rep_toks)") < 2, F.lit(0.0)).otherwise(
                 F.round(
-                    F.expr(f"array_max({bg_counts})") / F.expr(f"size({bg})"), 6
+                    F.expr(f"array_max({bg_counts})") / F.expr("size(__rep_bg)"), 6
                 )
             ),
         )
         .withColumn(
             "dup_trigram_frac",
-            F.when(
-                F.expr(f"size({toks})") < 3, F.lit(0.0)
-            ).otherwise(
+            F.when(F.expr("size(__rep_toks)") < 3, F.lit(0.0)).otherwise(
                 F.round(
                     F.expr(
                         f"aggregate(transform({tg_counts}, "
                         f"c{u} -> CASE WHEN c{u} > 1 THEN c{u} ELSE 0 END), "
                         f"0, (a{u}, e{u}) -> a{u} + e{u})"
                     )
-                    / F.expr(f"size({tg})"),
+                    / F.expr("size(__rep_tg)"),
                     6,
                 )
             ),
         )
+        .drop("__rep_toks", "__rep_bg", "__rep_tg")
     )
 
 

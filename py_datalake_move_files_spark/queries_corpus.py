@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 from py_datalake_move_files_spark.operators import text as TXT
 from py_datalake_move_files_spark.queries import _t, register
 
@@ -49,7 +50,7 @@ def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition measures per document (dup-word fraction,
     top-bigram fraction, duplicated-trigram fraction) — the signals used to
     drop boilerplate/spam before training. Pure array-HOF projection."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return TXT.repetition_stats(docs).select(
         "doc_id", "n_words", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac"
     )
@@ -81,7 +82,7 @@ def q_corpus_gate_counts(spark, sf_dir):
     """Corpus admission gate: first-failing-rule reason per doc (the
     reference's cheap-before-expensive predicate cascade, app/main.py:109-146,
     generalized to corpus filtering), aggregated to a drop report."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         TXT.corpus_gate(docs)
         .groupBy("gate_reason")

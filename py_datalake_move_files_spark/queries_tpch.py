@@ -408,3 +408,432 @@ def q_not_in_null_semantics(spark, sf_dir):
           FROM nin_customer)
         """
     )
+
+
+# ==========================================================================
+# Batch 2: conditional aggregation, ratio queries, HAVING-vs-scalar,
+# window-max equality, disjunctive join predicates, two-granularity rollups
+# ==========================================================================
+#
+# Float discipline for every query below: any value that feeds a comparison
+# (HAVING threshold, max-equality, ratio) is summed as DECIMAL — double sums
+# are partition-order-dependent and would flip boundary rows between engines.
+
+
+@register(
+    "q8_market_share",
+    f"""
+SELECT o_year,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0.00 AS decimal(19,4)) END) AS DOUBLE)
+        / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9}) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+""",
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of yearly revenue into a
+    customer region — conditional aggregation as a ratio of two exact
+    decimal sums (division deferred to the final projection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    zero = F.lit("0.00").cast("decimal(19,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    f"""
+SELECT n_name AS nation, o_year,
+  CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})
+      - CAST(p_retailprice AS {_D9}) * CAST(l_quantity AS {_D9}) * CAST(0.1 AS DECIMAL(2,1)) AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%red%'
+)
+GROUP BY n_name, o_year
+""",
+)
+def q_q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus a cost proxy — the schema has
+    no partsupp, so cost = 10% of retail price x quantity) by supplier
+    nation and year, parts filtered by name substring. All decimal-exact,
+    rounded in the decimal domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+        - F.col("p_retailprice").cast(_D9)
+        * F.col("l_quantity").cast(_D9)
+        * F.lit("0.1").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, any_value(c_name) AS c_name,
+  CAST(round(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})), 2) AS DOUBLE) AS revenue,
+  any_value(n_name) AS n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, deterministic
+    top-20 (TakeOrderedAndProject, not a global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.col("c_name")).alias("c_name"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.any_value(F.col("n_name")).alias("n_name"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS {_DEC})) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+WHERE val > (SELECT sum(CAST(l_extendedprice AS {_DEC})) * CAST(0.0005 AS DECIMAL(6,4))
+             FROM lineitem)
+""",
+)
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against an uncorrelated scalar-subquery
+    fraction of the global total. Both sums are exact decimals and the
+    threshold multiply stays in decimal — the comparison can never flip on
+    float summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_m2("l_extendedprice")).alias("val"))
+    total = li.agg(
+        (F.sum(_m2("l_extendedprice")) * F.lit("0.0005").cast("decimal(6,4)")).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round(F.col("val"), 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q12_latency_priority_counts",
+    """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 THEN 'late' ELSE 'ontime' END AS latency,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+)
+def q_q12_latency_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-bucketed conditional counts (the schema has no
+    shipmode, so the bucket is shipping latency)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, F.lit("late")
+            )
+            .otherwise(F.lit("ontime"))
+            .alias("latency")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    f"""
+SELECT round(
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})
+      ELSE CAST('0.00' AS decimal(19,4)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+""",
+)
+def q_q14_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue percentage — conditional decimal sums,
+    one double division at the end (identical op order both engines)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    zero = F.lit("0.00").cast("decimal(19,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+WITH r AS (
+  SELECT l_suppkey, sum(CAST(l_extendedprice AS {_DEC})) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM r)
+""",
+)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    equality against an aggregated maximum (ties kept). Exact decimal
+    revenue makes the max-equality portable; a float sum here would be
+    partition-order-dependent and could drop the winner."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_m2("l_extendedprice")).alias("rev"))
+    mx = rev.agg(F.max("rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS {_D9}) * CAST(1 - l_discount AS {_D9})), 2) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of three conjunctive predicate groups
+    spanning both join sides — the classic OR-predicate planning test (the
+    join stays an equi hash join; the disjunction is a post-join filter,
+    with per-side IN/range residuals pushed to each scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice").cast(_D9) * (1 - F.col("l_discount")).cast(_D9)
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  ) ps
+  JOIN (
+    SELECT l_partkey AS t_partkey, sum(l_quantity) AS tq
+    FROM lineitem GROUP BY l_partkey
+  ) tot ON ps.l_partkey = tot.t_partkey
+  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND q > 0.1 * tq
+)
+""",
+)
+def q_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped >10% of some red part's total
+    volume — nested IN over aggregates at two granularities, decorrelated to
+    (part,supplier) sums joined against part totals, then a semi join into
+    supplier. Quantity sums are integral doubles (exact in fp), so the
+    fraction comparison is portable without decimal casts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select("p_partkey")
+    ps = li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi").groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(F.sum("l_quantity").alias("q"))
+    tot = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    dominant = (
+        ps.join(tot, ps.l_partkey == tot.t_partkey)
+        .where(F.col("q") > 0.1 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "date_gap_fill",
+    """
+WITH bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM days LEFT JOIN daily USING (day)
+""",
+)
+def q_date_gap_fill(spark, sf_dir):
+    """Time-series gap filling: one row per calendar day across the full
+    order-date span, zero-filled where no orders landed — the
+    sequence()+explode generator pattern (densification), the standard prep
+    for window functions over regular time series. The fact side aggregates
+    to day granularity BEFORE joining the generated spine, so the outer join
+    touches day-level rows (thousands), never raw orders."""
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("day"))
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = o.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "window_rank_suite",
+    """
+SELECT c_custkey, c_nationkey,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def q_window_rank_suite(spark, sf_dir):
+    """Distribution-rank window breadth: ntile / percent_rank / cume_dist
+    (completing §2.7 beyond rank/dense_rank/lag/lead/frames). The ORDER BY
+    carries a unique tiebreaker so ntile is deterministic cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -138,3 +138,40 @@ def test_connected_components_on_crafted_graph(spark):
     full = {r.doc_id: (r.cluster_id, r.is_representative) for r in dedup_clusters(docs, pairs).collect()}
     assert full[99] == (99, True)  # singleton is its own representative
     assert full[2] == (1, False) and full[1] == (1, True)
+
+
+def test_jaccard_strategies_agree_on_harness_corpus(spark, sf_small):
+    from py_datalake_move_files_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    inv = {tuple(r) for r in jaccard_pairs(docs, "doc_id", threshold=0.5).collect()}
+    pre = {
+        tuple(r)
+        for r in jaccard_pairs(
+            docs, "doc_id", threshold=0.5, strategy="prefix"
+        ).collect()
+    }
+    assert inv == pre and len(inv) > 0
+
+
+def test_prefix_strategy_survives_universal_hot_shingle(spark):
+    """A shingle present in EVERY doc makes the plain inverted index generate
+    O(N²) posting pairs for that shingle; the prefix filter excludes it from
+    (almost) every doc's prefix because it sorts LAST in the (df, shingle)
+    order. Both strategies must still agree — including on a real near-dup
+    pair that shares far more than the universal tail."""
+    from py_datalake_move_files_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e common tail words") for i in range(60)]
+    # one true near-dup pair (identical long text, universal tail included)
+    rows += [
+        (1000, "x1 x2 x3 x4 x5 x6 x7 x8 common tail words"),
+        (1001, "x1 x2 x3 x4 x5 x6 x7 x8 common tail words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for strat in ("inverted", "prefix"):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(df, "doc_id", threshold=0.8, strategy=strat).collect()
+        }
+        assert got == {(1000, 1001, 1.0)}, strat

@@ -46,6 +46,7 @@ HEADLINE = [
     "repetition_stats",
     "pii_redaction",
     "ann_ivf_topk",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -129,3 +129,136 @@ def q_pii_redaction(spark, sf_dir):
     return TXT.pii_scan(injected, "pii_text").select(
         "doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"
     )
+
+
+# --- the full curation pipeline as ONE declarative plan -------------------
+
+_NTOKS = "string_split(text_norm, ' ')"
+_NBG = f"list_transform(range(1, len({_NTOKS})), i -> {_NTOKS}[i] || ' ' || {_NTOKS}[i+1])"
+_NBG_COUNTS = (
+    f"list_transform(list_distinct({_NBG}), b -> len(list_filter({_NBG}, x -> x = b)))"
+)
+
+_CURATION_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+      AS text_norm
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text_norm,
+    len({_NTOKS}) AS n_words,
+    round(1.0 - len(list_distinct({_NTOKS})) / len({_NTOKS}), 6) AS dup_word_frac,
+    CASE WHEN len({_NTOKS}) < 2 THEN 0.0
+         ELSE round(list_max({_NBG_COUNTS}) / len({_NBG}), 6) END AS top_bigram_frac
+  FROM norm
+),
+ranked AS (
+  SELECT doc_id, text_norm, n_words, dup_word_frac, top_bigram_frac,
+    row_number() OVER (PARTITION BY md5(text_norm) ORDER BY doc_id ASC) AS rn
+  FROM scored
+),
+s1 AS (
+  SELECT doc_id, text_norm FROM ranked
+  WHERE rn = 1 AND n_words >= 10 AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.18
+),
+fp AS (
+  SELECT doc_id, text_norm,
+    list_aggregate(list_transform(__SHINGLES__, s -> md5(s)), 'min') AS fingerprint
+  FROM s1
+),
+ranked2 AS (
+  SELECT doc_id, text_norm,
+    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+  FROM fp
+),
+s2 AS (SELECT doc_id, text_norm FROM ranked2 WHERE rn = 1),
+final AS (
+  SELECT CASE WHEN (__HV__) < 230 THEN 'train'
+              WHEN (__HV__) < 243 THEN 'val'
+              ELSE 'test' END AS split,
+    len({_NTOKS}) AS n_toks
+  FROM s2
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM final GROUP BY split
+"""
+
+
+def _curation_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from py_datalake_move_files_spark.queries import dd_shingles
+
+    return _CURATION_ORACLE.replace(
+        "__SHINGLES__", dd_shingles("text_norm", 5)
+    ).replace("__HV__", hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2))
+
+
+@register("corpus_curation_pipeline", _curation_oracle())
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """The complete training-corpus curation pipeline as ONE declarative
+    Spark plan — the engine's flagship composition:
+
+      quality/repetition gate -> normalize -> exact dedup (md5 digest,
+      keep min id) -> near-dup removal (one-permutation MinHash fingerprint
+      collision, keep min id) -> deterministic train/val/test split ->
+      per-split doc + token counts.
+
+    Every stage is an operator proven individually by its own oracle query;
+    this query proves they COMPOSE — and its physical plan encodes two
+    hard-won rules:
+
+    1. Both keep-min-id dedups are WINDOW row_number()==1 filters, not
+       aggregate+semi-join pairs: aggregate-then-join-back branches the DAG
+       and Spark re-executes the expensive upstream once per branch
+       (measured 102 s vs ~3 s at sf0.1).
+    2. The gate FILTER sits ABOVE the digest window, and the gate scores on
+       NORMALIZED text. A filter directly above the scoring projection gets
+       pushed below it by PushDownPredicates, which inlines the HOF aliases
+       into the predicate and re-triggers the quadratic
+       re-evaluation-inside-lambdas pathology (measured 52 s for the gate
+       alone). Catalyst cannot push a non-partition-key predicate below a
+       Window, so the window is the barrier that keeps the scoring
+       projection evaluated once. Scoring on text_norm makes the gate
+       outcome constant within every digest group, so dedup-then-gate is
+       semantically identical to gate-then-dedup.
+
+    At 100 TB the two dedup windows shuffle 32-B hashes plus the normalized
+    text (needed downstream), and the final aggregate is 3 rows."""
+    from pyspark.sql import Window
+
+    from py_datalake_move_files_spark.operators.dedup import with_shingles
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    normed = TXT.normalize(docs).select("doc_id", "text_norm")
+    scored = TXT.corpus_gate(normed, "text_norm").select(
+        "doc_id", "text_norm", "keep"
+    )
+    w_digest = Window.partitionBy(F.md5("text_norm")).orderBy(F.col("doc_id").asc())
+    s1 = (
+        scored.withColumn("__rn", F.row_number().over(w_digest))
+        .where(F.col("keep") & (F.col("__rn") == 1))
+        .select("doc_id", "text_norm")
+    )
+    # fingerprint computed INLINE (TXT.fingerprint projects id+fingerprint
+    # only; joining it back to s1 would branch the DAG again)
+    u = next(TXT._UNIQ)
+    fp = with_shingles(s1, "text_norm", 5).withColumn(
+        "fingerprint",
+        F.expr(f"array_min(transform(shingle_set, f{u} -> md5(f{u})))"),
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    s2 = (
+        fp.withColumn("__rn", F.row_number().over(w_fp))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text_norm")
+    )
+    final = TXT.dataset_split(s2, "doc_id").withColumn(
+        "n_toks", F.size(F.split(F.col("text_norm"), " "))
+    )
+    return final.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )

@@ -122,3 +122,16 @@ def test_not_in_uses_null_aware_anti_join(spark):
     plan = _plan(spark, "not_in_null_semantics")
     assert "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_curation_pipeline_scans_corpus_once(spark):
+    # the composed pipeline must stay one linear lineage: branching the DAG
+    # (aggregate+join-back dedup) re-executes the expensive gate stage per
+    # branch, and a filter directly above the scoring projection gets its
+    # HOF aliases inlined by predicate pushdown (102 s / 52 s pathologies,
+    # see queries_corpus.q_corpus_curation_pipeline). One FileScan = neither
+    # regression can reappear.
+    plan = _plan(spark, "corpus_curation_pipeline")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan

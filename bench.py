@@ -63,21 +63,17 @@ def main() -> None:
     spark = get_spark("pdmfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch every table (FS cache) and run each headline query once
-    # at the smallest SF — whole-stage codegen compiles are keyed by the
-    # generated code, so the target-SF measurement below pays execution, not
-    # JIT/compile, exactly like a long-lived cluster session would
+    # warm-up: touch every table (FS cache), then one untimed pass per query
+    # at the TARGET sf — this single pass compiles whole-stage codegen AND
+    # pays the one-off shuffle-path JIT / buffer allocation (measured ~2× on
+    # shuffle-heavy queries), so the timed runs below report steady-state
+    # throughput — what a long-lived cluster session delivers. (A separate
+    # sf0.001 codegen pass is redundant with this and was dropped to keep
+    # the 21-query bench well inside the driver's timeout.)
     from py_datalake_move_files_spark.catalog import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
-    for name in HEADLINE:
-        materialize(QUERIES[name](spark, "/root/testdata/sf0.001"))
-    # one untimed pass at the TARGET sf: the sf0.001 pass compiles codegen,
-    # but first execution at the real scale still pays one-off shuffle-path
-    # JIT and buffer allocation (measured ~2× on shuffle-heavy queries). The
-    # timed pass below therefore reports steady-state throughput — what a
-    # long-lived cluster session delivers.
     for name in HEADLINE:
         materialize(QUERIES[name](spark, sf_dir))
 

@@ -5,7 +5,14 @@ as-of join: the classic union + sort + last-non-null-carry-forward plan —
 ONE shuffle (hash on key) + ONE sort per side, no inequality join, no
 per-key nested loop. This is how you do it at 100 TB: the naive
 ``l JOIN r ON l.k = r.k AND r.ts <= l.ts`` + row_number explodes on hot keys;
-the union plan is linear.
+the union plan is linear in rows. One residual hot-key hazard remains: the
+window partitions by the join key, so a single key carrying a large share of
+BOTH sides serializes into one task's sort. The remedy at scale is
+time-range salting — partition by (key, time_bucket) and carry the last
+value of the previous bucket forward (a second tiny window over bucket
+boundaries) — the same two-phase trick as sessionization; AQE cannot split
+a window partition, so this must be done in the plan. Not needed at harness
+scale (events keys are uniform); noted for 100 TB deployments.
 
 range join: inequality join against a SMALL interval dimension — broadcast
 nested-loop by construction; for big-big interval joins, bucket both sides by

@@ -207,3 +207,108 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.ArrayType(T.FloatType())),
+    ]
+)
+
+AUDIO_WINDOWS = 4
+
+
+def make_audio_decoder(n_windows: int = AUDIO_WINDOWS):
+    """Build the per-content audio decoder: ``decode(content, wave_mod)``.
+
+    Real path first: stdlib ``wave`` (ALWAYS importable — unlike the image
+    tier's PIL, the real branch here is genuinely exercised in this
+    container) parses RIFF/WAVE bytes into sample rate / channels / frame
+    count / duration and ``n_windows`` RMS energy windows over the
+    normalized samples. Undecodable payloads fall through per-row to the
+    deterministic md5 stub (same hex-string-hash convention as the image
+    stub, so the DuckDB oracle reproduces it bit-for-bit; rms stub values
+    are k/256 — exact in float32 and float64)."""
+
+    def decode(content, wave_mod=None):
+        import hashlib as _hashlib
+        import io as _io
+
+        import numpy as _np
+
+        data = bytes(content)
+        if wave_mod is not None:
+            try:
+                with wave_mod.open(_io.BytesIO(data)) as w:
+                    sr = w.getframerate()
+                    ch = w.getnchannels()
+                    nf = w.getnframes()
+                    width = w.getsampwidth()
+                    raw = w.readframes(nf)
+                dtype = {1: _np.uint8, 2: _np.int16, 4: _np.int32}.get(width)
+                if dtype is not None and sr > 0:
+                    samples = _np.frombuffer(raw, dtype=dtype).astype(_np.float64)
+                    if width == 1:
+                        samples = samples - 128.0
+                    samples = samples / float(2 ** (8 * width - 1))
+                    rms = []
+                    for win in _np.array_split(samples, n_windows):
+                        rms.append(
+                            float(_np.sqrt(_np.mean(win * win))) if len(win) else 0.0
+                        )
+                    return (
+                        int(sr),
+                        int(ch),
+                        int(nf),
+                        int(nf * 1000 // sr),
+                        _np.asarray(rms, dtype=_np.float32),
+                    )
+            except Exception:
+                pass  # not RIFF/WAVE -> deterministic stub below
+        h = _hashlib.md5(data.hex().encode("ascii")).digest()
+        sr = 8000 * (1 + h[0] % 6)  # 8k..48k
+        ch = 1 + h[1] % 2
+        nf = 1000 + h[2] * 64
+        rng = _np.frombuffer(h[:n_windows], dtype=_np.uint8).astype(_np.float32)
+        return sr, ch, nf, nf * 1000 // sr, rng / _np.float32(256.0)
+
+    return decode
+
+
+def extract_audio_features(media: DataFrame, *, n_windows: int = AUDIO_WINDOWS) -> DataFrame:
+    """Audio decode + energy features over Arrow batches (``mapInPandas``),
+    mirroring :func:`decode_images`: real stdlib-``wave`` decode per row with
+    per-row stub fallback; self-contained worker closure (ships by value)."""
+    decode = make_audio_decoder(n_windows)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave as _wave
+
+        import pandas as _pd
+
+        for batch in batches:
+            out = {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "sample_rate": [],
+                "n_channels": [],
+                "n_frames": [],
+                "duration_ms": [],
+                "rms": [],
+            }
+            for content in batch["content"]:
+                sr, ch, nf, dur, rms = decode(content, _wave)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+                out["rms"].append(rms)
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)

@@ -2006,3 +2006,60 @@ def q_dataset_split_counts(spark, sf_dir):
 from py_datalake_move_files_spark import queries_corpus  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_ivf  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401
+
+
+def _dd_audio_oracle() -> str:
+    b = [dd_hexbyte("h", i) for i in range(4)]
+    rms = ",\n  ".join(
+        f"CAST({b[i]} AS DOUBLE) / 256.0 AS r{i}" for i in range(4)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {_DD_MEDIA_HEX} AS hex FROM documents
+), d AS (
+  SELECT media_id, md5(hex) AS h FROM m
+), s AS (
+  SELECT media_id,
+    8000 * (1 + {b[0]} % 6) AS sample_rate,
+    1 + {b[1]} % 2 AS n_channels,
+    1000 + {b[2]} * 64 AS n_frames
+  FROM d
+)
+SELECT s.media_id, 'audio/fake' AS mime,
+  CAST(sample_rate AS INTEGER) AS sample_rate,
+  CAST(n_channels AS INTEGER) AS n_channels,
+  CAST(n_frames AS BIGINT) AS n_frames,
+  CAST((n_frames * 1000) // sample_rate AS BIGINT) AS duration_ms,
+  {rms}
+FROM s JOIN d ON s.media_id = d.media_id
+"""
+
+
+@register("multimodal_audio_features", _dd_audio_oracle())
+def q_multimodal_audio_features(spark, sf_dir):
+    """Binary audio → Arrow-batched decode (stdlib-wave real path, md5 stub
+    for non-RIFF payloads — the synthetic corpus takes the stub branch) →
+    sample_rate / channels / frames / duration + RMS energy windows
+    projected to driver-hashable scalars (r0..r3, exact k/256 doubles).
+    The real-decode branch is covered by tests/test_multimodal with a
+    crafted in-memory WAV."""
+    from py_datalake_move_files_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs, "doc_id", mime="audio/fake")
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+        *[
+            F.element_at("rms", i + 1).cast("double").alias(f"r{i}")
+            for i in range(4)
+        ],
+    )

@@ -138,3 +138,96 @@ def test_frame_sampling_is_udtf_shaped(spark, sf_small):
     per = pdf.groupby("media_id").frame_idx.count()
     assert (per >= 1).all() and (per <= 4).all()
     assert (pdf.frame_ms == pdf.frame_idx * 500).all()
+
+
+def _make_wav(sr=16000, freq=440.0, seconds=0.25, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(sr * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * channels,
+                *([int(20000 * math.sin(2 * math.pi * freq * i / sr))] * channels),
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue(), n
+
+
+def test_audio_real_wave_decode(spark):
+    """The stdlib-wave branch genuinely decodes RIFF bytes — sample rate,
+    channel count, frame count, duration, and a physically sensible RMS
+    (a 0.61-amplitude sine has RMS ~0.43)."""
+    from py_datalake_move_files_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    wav, n = _make_wav()
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav), len(wav))],
+        "media_id long, mime string, content binary, n_bytes long",
+    )
+    row = extract_audio_features(df).collect()[0]
+    assert row["sample_rate"] == 16000
+    assert row["n_channels"] == 1
+    assert row["n_frames"] == n
+    assert row["duration_ms"] == n * 1000 // 16000
+    assert len(row["rms"]) == 4
+    for v in row["rms"]:
+        assert abs(v - 0.4315) < 0.02
+
+
+def test_audio_stub_matches_local_recomputation(spark, sf_small):
+    """Non-RIFF payloads take the md5 stub; distributed output must equal a
+    plain-Python recomputation (same convention as the image stub)."""
+    import hashlib
+
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_media,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(20)
+    media = synth_media(docs, "doc_id", mime="audio/fake")
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    for mid, content in [(r["media_id"], r["content"]) for r in media.collect()]:
+        h = hashlib.md5(bytes(content).hex().encode("ascii")).digest()
+        sr = 8000 * (1 + h[0] % 6)
+        row = got[mid]
+        assert row["sample_rate"] == sr
+        assert row["n_channels"] == 1 + h[1] % 2
+        assert row["n_frames"] == 1000 + h[2] * 64
+        assert row["duration_ms"] == row["n_frames"] * 1000 // sr
+        assert [round(v, 6) for v in row["rms"]] == [
+            round(h[i] / 256.0, 6) for i in range(4)
+        ]
+
+
+def test_audio_mixed_batch_real_and_stub(spark):
+    """One Arrow batch containing both a real WAV and garbage bytes: the
+    decoder must branch per row, not per worker."""
+    from py_datalake_move_files_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    wav, n = _make_wav(sr=8000, seconds=0.1)
+    rows = [
+        (1, "audio/wav", bytearray(wav), len(wav)),
+        (2, "audio/fake", bytearray(b"\x00\x01garbage"), 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, content binary, n_bytes long"
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == n
+    assert got[2]["sample_rate"] % 8000 == 0  # stub range 8k..48k

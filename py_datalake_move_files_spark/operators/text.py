@@ -290,3 +290,71 @@ def dataset_split(
         cond = F.expr(f"({hv}) < {bound}")
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out, expr)
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    *,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    out: str = "sampled",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each document with its source's
+    target rate, decided by the document id's md5 bucket (0..255 < 256*rate).
+
+    The training-data mixing primitive (down-weight crawl, up-weight books):
+    reproducible across runs/engines/partitionings — unlike ``sample()`` —
+    and a pure map-side column expression, so re-materializing the mixture
+    at 100 TB is a scan, not a shuffle. Sources absent from ``rates`` keep
+    rate 1.0."""
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    hv = hex_value_sql(f"md5(CAST({id_col} AS STRING))", 2)
+    expr = None
+    for src, rate in sorted(rates.items()):
+        bound = int(256 * rate)
+        branch = F.expr(f"({hv}) < {bound}")
+        expr = (
+            F.when(F.col(source_col) == src, branch)
+            if expr is None
+            else expr.when(F.col(source_col) == src, branch)
+        )
+    if expr is None:
+        return df.withColumn(out, F.lit(True))
+    return df.withColumn(out, expr.otherwise(F.lit(True)))
+
+
+def sequence_packing(
+    df: DataFrame,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    out: str = "pack_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each source, documents in
+    id order are packed into fixed token budgets; ``pack_id`` = which packed
+    training sequence the document starts in
+    (``floor((running_tokens - n_toks) / budget)``).
+
+    This is the deterministic, distributed version of example-packing for
+    LLM training: one window (running sum per source) = one shuffle keyed on
+    the source, and pack boundaries are a pure projection of the cumsum. At
+    100 TB, partition skew follows source sizes — pack within finer shards
+    (source, dataset_split bucket) if one source dominates."""
+    from pyspark.sql import Window
+
+    n_toks = F.size(F.split(F.col(text_col), " "))
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("n_toks", n_toks)
+        .withColumn("running_toks", F.sum("n_toks").over(w))
+        .withColumn(
+            out,
+            F.floor((F.col("running_toks") - F.col("n_toks")) / F.lit(budget)).cast(
+                "int"
+            ),
+        )
+    )

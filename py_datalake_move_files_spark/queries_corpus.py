@@ -262,3 +262,76 @@ def q_corpus_curation_pipeline(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
     )
+
+
+# --- mixture sampling and sequence packing (training-batch prep) ----------
+
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+
+
+def _mixture_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    hv = hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN ({hv}) < {int(256 * rate)}"
+        for src, rate in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN CASE {cases} ELSE TRUE END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY source
+"""
+
+
+@register("source_mixture_counts", _mixture_oracle())
+def q_source_mixture_counts(spark, sf_dir):
+    """Deterministic training-mixture sampling: per-source acceptance rates
+    decided by md5 id buckets (reproducible across engines/partitionings,
+    unlike sample()), reported as total vs sampled counts per source.
+    Map-side-only decision; the only exchange is this report's aggregate."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    sampled = TXT.source_mixture_sample(docs, rates=_MIX_RATES)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
+
+
+_PACK_BUDGET = 512
+
+_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+runs AS (
+  SELECT doc_id, source, n_toks,
+    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_toks
+  FROM toks
+),
+packed AS (
+  SELECT source, CAST(floor((running_toks - n_toks) / {_PACK_BUDGET}) AS INT) AS pack_id,
+    n_toks
+  FROM runs
+)
+SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY source, pack_id
+"""
+
+
+@register("sequence_packing_stats", _PACKING_ORACLE)
+def q_sequence_packing_stats(spark, sf_dir):
+    """Greedy contiguous sequence packing for LLM training batches: within
+    each source, documents in id order fill fixed token budgets; pack_id is
+    a pure projection of a per-source running sum — ONE shuffle keyed on
+    source. Output: docs and token mass per pack."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    packed = TXT.sequence_packing(docs, budget=_PACK_BUDGET)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("pack_tokens"),
+    )

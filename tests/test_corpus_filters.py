@@ -83,3 +83,45 @@ def test_repetition_is_shuffle_free(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+
+def test_source_mixture_sample_deterministic_and_rated(spark):
+    import hashlib
+
+    from py_datalake_move_files_spark.operators.text import source_mixture_sample
+
+    rows = [(i, f"w{i}", "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["sampled"] for r in
+           source_mixture_sample(df, rates={"a": 0.25}).collect()}
+    for i in range(200):
+        if i % 2 == 1:
+            assert out[i] is True  # source 'b' not in rates -> kept
+        else:
+            hv = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+            assert out[i] == (hv < 64), i
+    # deterministic: second run identical
+    out2 = {r["doc_id"]: r["sampled"] for r in
+            source_mixture_sample(df, rates={"a": 0.25}).collect()}
+    assert out == out2
+
+
+def test_sequence_packing_budget_respected(spark):
+    from py_datalake_move_files_spark.operators.text import sequence_packing
+
+    # 10 docs of 30 tokens each, one source, budget 100:
+    # packs hold docs starting at cumsum-30 // 100 -> 0,0,0,0(=90..120),1,...
+    rows = [(i, " ".join(["t"] * 30), "s") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        (r["doc_id"], r["pack_id"], r["running_toks"])
+        for r in sequence_packing(df, budget=100).collect()
+    )
+    cum = 0
+    for i, (doc, pack, run) in enumerate(got):
+        cum += 30
+        assert run == cum
+        assert pack == (cum - 30) // 100
+    # pack ids contiguous from 0
+    packs = {p for _, p, _ in got}
+    assert packs == set(range(max(packs) + 1))

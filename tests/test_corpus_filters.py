@@ -125,3 +125,49 @@ def test_sequence_packing_budget_respected(spark):
     # pack ids contiguous from 0
     packs = {p for _, p, _ in got}
     assert packs == set(range(max(packs) + 1))
+
+
+def test_repetition_stats_property_vs_python(spark):
+    """Property test: repetition_stats equals a plain-Python recomputation
+    on generated word lists (hypothesis) — guards the HOF arithmetic and
+    the small-doc guards across arbitrary shapes."""
+    from hypothesis import given, settings, strategies as st
+
+    from py_datalake_move_files_spark.operators.text import repetition_stats
+
+    def py_stats(words):
+        n = len(words)
+        dup = round(1.0 - len(set(words)) / n, 6)
+        bg = [" ".join(words[i : i + 2]) for i in range(n - 1)]
+        tg = [" ".join(words[i : i + 3]) for i in range(n - 2)]
+        top_bg = (
+            0.0 if n < 2 else round(max(bg.count(b) for b in set(bg)) / len(bg), 6)
+        )
+        dup_tg = (
+            0.0
+            if n < 3
+            else round(
+                sum(c for t in set(tg) if (c := tg.count(t)) > 1) / len(tg), 6
+            )
+        )
+        return n, dup, top_bg, dup_tg
+
+    words_st = st.lists(
+        st.sampled_from(["a", "b", "cc", "dd", "e1"]), min_size=1, max_size=12
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(words_st, min_size=1, max_size=4))
+    def check(docs):
+        rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        for i, w in enumerate(docs):
+            n, dup, top_bg, dup_tg = py_stats(w)
+            r = got[i]
+            assert r["n_words"] == n
+            assert r["dup_word_frac"] == dup
+            assert r["top_bigram_frac"] == top_bg
+            assert r["dup_trigram_frac"] == dup_tg
+
+    check()

@@ -76,6 +76,7 @@ def execute_plan(
     mode: str = "copy",
     overwrite: bool = True,
     dry_run: bool = False,
+    verify: bool = True,
     source_col: str = "source_path",
     target_col: str = "target_path",
     parallelism: int | None = None,
@@ -95,9 +96,22 @@ def execute_plan(
     blocks. ``_stagger_s`` is a test-only hook delaying each task by
     ``partitionId * _stagger_s`` seconds so tests can observe non-final
     progress deterministically.
+
+    ``verify=False`` is the reference's fire-and-forget copy contract
+    (``start_copy_from_url`` launched and never awaited, app/app.py:62-64,
+    README.md:117): copies report status ``initiated`` instead of ``ok`` —
+    the caller may not assume completion. It is rejected for ``move``: the
+    delete gate REQUIRES a verified copy, which is exactly why the
+    reference's own fire-and-forget pipeline ships with its delete
+    commented out (app/app.py:65-66).
     """
     if mode not in ("copy", "move", "delete"):
         raise ValueError(f"mode must be copy|move|delete, got {mode!r}")
+    if not verify and mode != "copy":
+        raise ValueError(
+            "verify=False (fire-and-forget) is only meaningful for copy: "
+            "move deletes the source and must await a verified copy"
+        )
 
     if mode == "delete" and target_col not in plan.columns:
         plan = plan.withColumn(target_col, F.lit(None).cast("string"))
@@ -138,6 +152,7 @@ def execute_plan(
 
     do_move = mode == "move"
     do_delete = mode == "delete"
+    ok_status = "ok" if verify else "initiated"
     acc_ok = progress._ok if progress is not None else None
     acc_error = progress._error if progress is not None else None
 
@@ -191,11 +206,11 @@ def execute_plan(
                         if _os.path.getsize(ldst) != _os.path.getsize(lsrc):
                             raise OSError(f"size mismatch after copy: {dst}")
                         _os.remove(lsrc)
-                    out.append((src, dst, mode, "ok", None))
+                    out.append((src, dst, mode, ok_status, None))
                 except Exception as exc:  # per-file error-as-status, ref app/main.py:190-192
                     out.append((src, dst, mode, "error", f"{type(exc).__name__}: {exc}"))
             if acc_ok is not None:
-                n_ok = sum(1 for r in out if r[3] == "ok")
+                n_ok = sum(1 for r in out if r[3] != "error")
                 acc_ok.add(n_ok)
                 acc_error.add(len(out) - n_ok)
             yield _pd.DataFrame(

@@ -218,3 +218,44 @@ def test_manifest_missing_column_fails_fast(spark, tmp_path):
 
     with pytest.raises(ValueError, match="missing required column.*filename"):
         read_manifest_csv(spark, str(bad))
+
+
+def test_fire_and_forget_copy_reports_initiated(spark, tmp_path):
+    """verify=False = the reference's unawaited start_copy_from_url contract
+    (app/app.py:62-64): copies report 'initiated', never 'ok'."""
+    import os
+
+    from py_datalake_move_files_spark.plans.movecopy import execute_plan
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(3):
+        (src_dir / f"f{i}.txt").write_text(f"data{i}")
+    plan = spark.createDataFrame(
+        [(str(src_dir / f"f{i}.txt"), str(tmp_path / "dst" / f"f{i}.txt")) for i in range(3)],
+        "source_path string, target_path string",
+    )
+    audit = execute_plan(plan, mode="copy", verify=False)
+    statuses = {r["status"] for r in audit.collect()}
+    assert statuses == {"initiated"}
+    # the local stand-in completes synchronously; files are there
+    for i in range(3):
+        assert os.path.exists(tmp_path / "dst" / f"f{i}.txt")
+    # sources untouched (copy, not move)
+    for i in range(3):
+        assert os.path.exists(src_dir / f"f{i}.txt")
+
+
+def test_fire_and_forget_rejected_for_move(spark, tmp_path):
+    """Delete is gated on a VERIFIED copy — exactly why the reference's
+    fire-and-forget pipeline ships with delete commented out
+    (app/app.py:65-66); the engine makes the coupling explicit."""
+    import pytest as _pytest
+
+    from py_datalake_move_files_spark.plans.movecopy import execute_plan
+
+    plan = spark.createDataFrame(
+        [("a", "b")], "source_path string, target_path string"
+    )
+    with _pytest.raises(ValueError, match="fire-and-forget"):
+        execute_plan(plan, mode="move", verify=False)

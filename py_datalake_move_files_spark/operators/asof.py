@@ -15,9 +15,10 @@ a window partition, so this must be done in the plan. Not needed at harness
 scale (events keys are uniform); noted for 100 TB deployments.
 
 range join: inequality join against a SMALL interval dimension — broadcast
-nested-loop by construction; for big-big interval joins, bucket both sides by
-coarse time bucket first (provided via ``bucket`` arg) so the BNLJ only runs
-within a bucket.
+nested-loop by construction (:func:`range_join`). For big-big interval joins
+use :func:`interval_join_bucketed`: both sides keyed by coarse time bucket,
+turning the inequality join into an equi join + residual — no nested loop at
+any scale.
 """
 
 from __future__ import annotations
@@ -117,3 +118,54 @@ def range_join(
     iv = F.broadcast(intervals) if broadcast_intervals else intervals
     cond = (facts[point_col] >= iv[start_col]) & (facts[point_col] < iv[end_col])
     return facts.join(iv, cond, how)
+
+
+def interval_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big interval join: ``start <= point < end`` where NEITHER side
+    fits in a broadcast (the :func:`range_join` small-dim assumption).
+
+    Mechanism: each interval is exploded to every coarse time bucket it
+    overlaps; each fact maps to its single bucket; the join is then an
+    EQUI join on (keys…, bucket) with the interval condition as a residual
+    filter — a hash/sort-merge join at any scale, never a nested loop. A
+    matching (fact, interval) pair meets in exactly one bucket (the fact's),
+    so no dedup is needed. Shuffle volume: facts once, intervals once times
+    their mean bucket span — pick ``bucket_seconds`` ≈ the typical interval
+    length so the explode factor stays ~1-2.
+
+    Intervals with ``end <= start`` are dropped (empty by definition — and
+    Spark's ``sequence`` would otherwise generate a DESCENDING bucket range).
+    """
+    keys = list(keys or [])
+    micros = int(bucket_seconds) * 1_000_000
+    fb = facts.withColumn(
+        "__bucket", F.expr(f"unix_micros({point_col}) div {micros}")
+    )
+    iv = (
+        intervals.where(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start_col}) div {micros}"),
+                    F.expr(
+                        f"unix_micros({end_col} - INTERVAL 1 MICROSECOND) div {micros}"
+                    ),
+                )
+            ),
+        )
+    )
+    joined = fb.join(iv, keys + ["__bucket"], how).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -837,3 +837,79 @@ def q_window_rank_suite(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "lateral_topk_orders",
+    """
+SELECT c.c_custkey, t.o_orderkey,
+  round(CAST(CAST(t.o_totalprice AS decimal(18,2)) AS DOUBLE), 2) AS totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t
+""",
+)
+def q_lateral_topk_orders(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-3 orders per
+    customer). Catalyst decorrelates it into a window rank + join — NOT a
+    per-customer re-execution; pinned by tests/test_plans.py (no nested
+    loop). The DataFrame twin is topk_per_group_parts; this entry proves
+    the SQL LATERAL surface itself."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+          round(CAST(CAST(t.o_totalprice AS decimal(18,2)) AS DOUBLE), 2) AS totalprice
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t
+        """
+    )
+
+
+@register(
+    "interval_attribution_bucketed",
+    """
+WITH s AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts, ts + INTERVAL 30 MINUTE AS v_te
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, s.view_id, p.user_id
+FROM p JOIN s ON p.user_id = s.user_id AND p.p_ts >= s.v_ts AND p.p_ts < s.v_te
+""",
+)
+def q_interval_attribution_bucketed(spark, sf_dir):
+    """Big-big interval join: purchases attributed to any view window (30
+    min) of the same user, computed with the bucketed equi-join mechanism
+    (operators/asof.interval_join_bucketed) — intervals exploded to coarse
+    time buckets, facts equi-joined on (user, bucket) + residual. The
+    oracle states the plain inequality join; the bucketing is pure
+    physical strategy and must not change the result."""
+    from py_datalake_move_files_spark.operators.asof import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("v_te"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return interval_join_bucketed(
+        buys,
+        views,
+        point_col="p_ts",
+        start_col="v_ts",
+        end_col="v_te",
+        keys=["user_id"],
+        bucket_seconds=1800,
+    ).select("purchase_id", "view_id", "user_id")

@@ -135,3 +135,21 @@ def test_curation_pipeline_scans_corpus_once(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_decorrelates_to_window_join(spark):
+    # correlated LATERAL + LIMIT must become a window rank + join, never a
+    # per-row subquery re-execution
+    plan = _plan(spark, "lateral_topk_orders")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_bucketed_is_equi_join(spark):
+    # the big-big interval join must be a hash/sort-merge EQUI join on
+    # (keys, bucket) with the interval bounds as residual — no nested loop
+    plan = _plan(spark, "interval_attribution_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

@@ -913,3 +913,41 @@ def q_interval_attribution_bucketed(spark, sf_dir):
         keys=["user_id"],
         bucket_seconds=1800,
     ).select("purchase_id", "view_id", "user_id")
+
+
+@register(
+    "recursive_cte_tree_depth",
+    """
+WITH RECURSIVE tree(doc_id, depth) AS (
+  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, t.depth + 1
+  FROM documents d JOIN tree t ON d.doc_id // 2 = t.doc_id
+  WHERE d.doc_id <> 0
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_docs
+FROM tree GROUP BY depth
+""",
+)
+def q_recursive_cte_tree_depth(spark, sf_dir):
+    """Genuine SQL recursion (Spark 4's WITH RECURSIVE): walk the implicit
+    binary tree parent(id) = id div 2 over the documents ids from the root,
+    reporting node counts per depth. Complements the DataFrame-level
+    iterative algorithms (connected components, operators/clusters.py):
+    this is the declarative recursion surface itself. Each recursion step
+    is one equi join on the frontier — at scale, frontier size bounds the
+    per-step shuffle."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("rec_documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(doc_id, depth) AS (
+          SELECT doc_id, 0 AS depth FROM rec_documents WHERE doc_id = 0
+          UNION ALL
+          SELECT d.doc_id, t.depth + 1
+          FROM rec_documents d JOIN tree t ON d.doc_id div 2 = t.doc_id
+          WHERE d.doc_id <> 0
+        )
+        SELECT depth, count(*) AS n_docs
+        FROM tree GROUP BY depth
+        """
+    )

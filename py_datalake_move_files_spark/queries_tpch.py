@@ -951,3 +951,37 @@ def q_recursive_cte_tree_depth(spark, sf_dir):
         FROM tree GROUP BY depth
         """
     )
+
+
+@register(
+    "map_funcs_suite",
+    """
+SELECT event_id,
+  CAST(len(json_keys(props)) AS INT) AS n_keys,
+  list_aggregate(json_keys(props), 'min') AS first_key,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+  CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+  CASE WHEN len(json_keys(props)) > 0 THEN TRUE ELSE FALSE END AS has_keys
+FROM events
+""",
+)
+def q_map_funcs_suite(spark, sf_dir):
+    """§2.8 map-function breadth over the dynamic JSON props column:
+    from_json → MapType, then map_keys / element_at / transform_values /
+    map sizing — the map tier of the scalar-function surface (arrays and
+    structs are covered elsewhere). transform_values uses a SQL-text lambda
+    with a unique variable per the lambda-safety policy."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    doubled = F.expr(
+        "element_at(transform_values(from_json(props, 'map<string,bigint>'), "
+        "(km1, vm1) -> vm1 * 2), 'k')"
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_min(F.map_keys(m)).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        doubled.alias("k_doubled"),
+        (F.size(F.map_keys(m)) > 0).alias("has_keys"),
+    )

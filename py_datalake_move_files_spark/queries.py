@@ -2003,6 +2003,7 @@ def q_dataset_split_counts(spark, sf_dir):
 # extension registries (import side effect: they register into QUERIES/ORACLE)
 # --------------------------------------------------------------------------
 
+from py_datalake_move_files_spark import queries_analytics  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_corpus  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_ivf  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401

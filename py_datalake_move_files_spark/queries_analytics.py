@@ -1,0 +1,281 @@
+"""Product-analytics query tier: funnel conversion, cohort retention,
+TF-IDF term scoring, deterministic per-group sampling, and snapshot diff.
+
+These are the OLAP workloads a user of the reference's lake (events +
+documents tables) runs daily; each is expressed as one declarative Spark
+plan whose shuffle count equals the number of inherent grouping
+granularities, with a DuckDB oracle that mirrors the arithmetic exactly
+(timestamps truncated identically, doubles rounded after identical
+operation order, ties broken on full deterministic keys).
+
+Scale notes per query are in the docstrings; nothing here collects, and
+every join is either keyed (shuffle both sides once) or broadcast (the
+one-row totals in TF-IDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators.delta import snapshot_diff
+from py_datalake_move_files_spark.queries import _t, register
+
+# --------------------------------------------------------------------------
+# funnel conversion: view -> click -> purchase, ordered per user
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  count(t_view) AS stage_view,
+  count(CASE WHEN t_click >= t_view THEN 1 END) AS stage_click,
+  count(CASE WHEN t_click >= t_view AND t_purchase >= t_click THEN 1 END)
+    AS stage_purchase
+FROM per_user
+"""
+
+
+@register("funnel_conversion", _FUNNEL_ORACLE)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked at-or-after their first
+    view, then purchased at-or-after that click.  One shuffle (user_id
+    grouping) + a partial-aggregated global rollup; conditional minima are
+    map-side combined, so at 100 TB the plan moves one row per user."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    clicked = F.col("t_click") >= F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") >= F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("t_view")).alias("stage_view"),
+        F.count(F.when(clicked, 1)).alias("stage_click"),
+        F.count(F.when(purchased, 1)).alias("stage_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort retention: signup-week cohorts x weeks-since-cohort active users
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT
+  CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+  CAST(floor(date_diff('day', date_trunc('week', first_ts),
+                       date_trunc('week', ts)) / 7) AS BIGINT) AS week_offset,
+  count(DISTINCT user_id) AS active_users
+FROM firsts
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark, sf_dir):
+    """Classic retention triangle: users grouped by the Monday-truncated week
+    of their first event, counted distinctly in each later week.  Two
+    exchanges, both inherent: the per-user window min and the
+    (cohort, offset) distinct aggregate.  Week truncation is Monday-anchored
+    in both Spark and DuckDB, so cohort labels match bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    firsts = ev.withColumn("first_ts", F.min("ts").over(w))
+    return (
+        firsts.select(
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", "ts"), F.date_trunc("week", "first_ts")
+                )
+                / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top terms across the corpus, fully deterministic ordering
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (ORDER BY tfidf DESC, doc_id, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 100
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus-wide TF-IDF with the global top-100 (term, doc) pairs under a
+    fully deterministic ordering (score desc, doc_id, term).  Three keyed
+    exchanges — (doc,term) tf, term df, and the join back on term — which is
+    the minimum for the two granularities; corpus size N is a broadcast
+    one-row aggregate.  The final top-k is TakeOrderedAndProject-shaped
+    (partial top-k per partition), never a global sort of all pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.orderBy(F.desc("tfidf"), "doc_id", "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic per-group sample: exactly k docs per source, hash-ranked
+# --------------------------------------------------------------------------
+
+_GROUP_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
+"""
+
+
+@register("deterministic_group_sample", _GROUP_SAMPLE_ORACLE)
+def q_deterministic_group_sample(spark, sf_dir):
+    """Exactly-k-per-group sampling, reproducible across runs and cluster
+    sizes: rank documents within each source by the md5 of their id and keep
+    the first 10.  Unlike ``sample()`` this is partition-layout-independent
+    (the hash is a pure function of the row), which is what a training-data
+    pipeline needs for auditable subset selection.  One exchange on source;
+    the rank-filter pushes the window's top-k down per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# snapshot diff: CDC between two deterministic versions of orders
+# --------------------------------------------------------------------------
+
+# The "new" snapshot is derived deterministically from orders so the diff is
+# oracle-checkable: 1/16 of keys removed, 1/16 repriced (+10%), and a
+# disjoint synthetic key range added.
+_NEW_SNAP_SQL = """
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 16 = 1
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 16 <> 0
+  UNION ALL
+  SELECT o_orderkey + 4000000000, 'N', round(o_totalprice, 2)
+  FROM orders WHERE o_orderkey % 16 = 2
+"""
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH new_snap AS ({_NEW_SNAP_SQL}),
+old_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+diff AS (
+  SELECT
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+          AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+           THEN 'unchanged'
+         ELSE 'changed' END AS diff_status
+  FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+)
+SELECT diff_status, count(*) AS n FROM diff GROUP BY diff_status
+"""
+
+
+@register("snapshot_diff_counts", _SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_counts(spark, sf_dir):
+    """Key-based snapshot diff (the CDC primitive): full-outer join the old
+    and new versions of orders on the key, classify every key as
+    added / removed / changed / unchanged via null-safe comparison, and
+    tally.  One key-partitioned join shuffle + one tiny aggregate; at 100 TB
+    both snapshots hash-partition by the same key so no data is replicated.
+    Operator: ``operators/delta.snapshot_diff``."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    kept = orders.where(F.col("o_orderkey") % 16 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 16 == 1, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = orders.where(F.col("o_orderkey") % 16 == 2).select(
+        (F.col("o_orderkey") + 4000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    new = kept.unionByName(added)
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))

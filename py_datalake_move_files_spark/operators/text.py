@@ -358,3 +358,124 @@ def sequence_packing(
             ),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", *, out: str = "bigram_entropy"
+) -> DataFrame:
+    """Per-document Shannon entropy over character bigrams — the
+    information-density quality signal (machine-generated / repetitive text
+    scores low, natural prose high; complements ``repetition_stats``'s
+    word-level measures at the character level).
+
+    Zero shuffles: everything is per-row SQL-text higher-order functions in
+    whole-stage codegen. The shared bigram/count arrays are materialized as
+    real columns BEFORE the HOFs that reference them — Catalyst does not
+    CSE inside lambda bodies, so inlining ``__grams`` into both
+    ``array_distinct`` and the nested ``filter`` would re-split per element
+    (the round-1 349s-vs-1s lesson). Entropy uses the fold-free identity
+    ``H = log2(n) - (Σ c·log2 c)/n`` so engines that sum lists in any
+    sequential order agree to well under the 6-dp rounding.
+
+    Small inputs are guarded INSIDE the array expression (``length < 2 →
+    empty array``); ``sequence()`` with an inverted range would otherwise
+    produce a descending index list.
+    """
+    t = f"`{text_col}`" if not text_col.startswith("`") else text_col
+    grams = (
+        f"CASE WHEN length({t}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, length({t}) - 1), i -> substring({t}, i, 2)) END"
+    )
+    counts = "transform(array_distinct(__grams), g -> size(filter(__grams, x -> x = g)))"
+    s = "aggregate(__counts, 0D, (acc, c) -> acc + c * log2(c))"
+    n = F.size(F.col("__grams"))
+    entropy = F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.round(F.log2(n.cast("double")) - F.expr(s) / n, 6)
+    )
+    return (
+        df.withColumn("__grams", F.expr(grams))
+        .withColumn("__counts", F.expr(counts))
+        .withColumn("n_bigrams", n)
+        .withColumn("n_distinct_bigrams", F.size(F.col("__counts")))
+        .withColumn(out, entropy)
+        .drop("__grams", "__counts")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    *,
+    min_frac: float = 0.005,
+    candidates_per_partition: int = 256,
+) -> DataFrame:
+    """Frequent-item detection without shuffling the full item stream:
+    the two-phase distributed heavy-hitters algorithm.
+
+    Phase 1 (``mapInPandas``): each partition keeps a Misra-Gries summary of
+    at most ``candidates_per_partition`` counters and emits only its
+    surviving candidate items. MG guarantees any item with partition
+    frequency > 1/k survives that partition's summary, so every GLOBAL
+    item with frequency > min_frac survives in at least one partition —
+    the union of candidates is a guaranteed superset (choose
+    ``candidates_per_partition ≥ 1/min_frac``; asserted).
+
+    Phase 2: exact counts for candidates only — a broadcast semi join
+    against the tiny candidate set, then one aggregation over the filtered
+    stream. The full item column is scanned twice but SHUFFLED never (phase
+    1 moves ≤ candidates×partitions rows; phase 2 aggregates a
+    candidate-bounded stream). Result is exact and deterministic regardless
+    of partitioning: ``(item, n, frac)`` for items with n > min_frac·N.
+    """
+    if candidates_per_partition < 1.0 / min_frac:
+        raise ValueError(
+            f"candidates_per_partition={candidates_per_partition} must be ≥ "
+            f"1/min_frac={1.0 / min_frac:.0f} for the superset guarantee"
+        )
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    k = candidates_per_partition
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Misra-Gries: k counters; decrement-all when full. Items with
+        # partition count > n_partition/k always retain a counter.
+        import pandas as _pd
+
+        counters: dict = {}
+        for batch in batches:
+            for item in batch["__item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = [i for i in counters if counters[i] == 1]
+                    for i in counters:
+                        counters[i] -= 1
+                    for i in dead:
+                        del counters[i]
+        yield _pd.DataFrame({"__item": list(counters.keys())})
+
+    items = df.select(F.col(item_col).alias("__item")).where(
+        F.col("__item").isNotNull()
+    )
+    cand = items.mapInPandas(
+        mg_partition, T.StructType([T.StructField("__item", T.StringType())])
+    ).distinct()
+
+    total = items.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        items.join(F.broadcast(cand), "__item", "left_semi")
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.col("__total") * min_frac)
+        .select(
+            F.col("__item").alias(item_col),
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
+        )
+    )

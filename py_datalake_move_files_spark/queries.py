@@ -2004,6 +2004,7 @@ def q_dataset_split_counts(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 from py_datalake_move_files_spark import queries_analytics  # noqa: E402,F401
+from py_datalake_move_files_spark import queries_profiling  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_corpus  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_ivf  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401

@@ -1,0 +1,423 @@
+"""Profiling / statistics / layout query tier: one-pass table profiles,
+histograms, winsorized stats, regression trends, incremental aggregate
+maintenance, z-order locality, character entropy, and distributed heavy
+hitters.
+
+Every query follows the registry's cross-engine portability rules
+(module doc of ``queries.py``): money arithmetic through exact decimals,
+fixed IEEE operation order for doubles, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators.incremental import (
+    merge_partials,
+    partial_aggs,
+)
+from py_datalake_move_files_spark.operators.profile import (
+    histogram_fixed_width,
+    profile_table,
+    winsorize,
+)
+from py_datalake_move_files_spark.operators.text import char_entropy, heavy_hitters
+from py_datalake_move_files_spark.plans.layout import zorder_key, zorder_key_sql
+from py_datalake_move_files_spark.queries import _DEC, _m2, _t, register
+
+# --------------------------------------------------------------------------
+# one-pass column profile of orders
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+# per-column portable min/max renderer: doubles via decimal(18,2) (both
+# engines print trailing-zero-stable "123.40"), everything else plain cast
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column,
+  count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST({'CAST(min(' + c + ') AS DECIMAL(18,2))' if c == 'o_totalprice' else 'min(' + c + ')'} AS VARCHAR) AS min_repr,
+  CAST({'CAST(max(' + c + ') AS DECIMAL(18,2))' if c == 'o_totalprice' else 'max(' + c + ')'} AS VARCHAR) AS max_repr
+FROM orders
+"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("table_profile_orders", _PROFILE_ORACLE)
+def q_table_profile_orders(spark, sf_dir):
+    """Column-level profile of ``orders`` in ONE aggregate pass (nulls,
+    exact distincts, native min/max): multiple count-DISTINCTs compile to a
+    single Expand + one shuffle; the wide row reshapes to long via
+    ``stack`` with no driver round-trip. Operator:
+    ``operators/profile.profile_table``."""
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        _PROFILE_COLS,
+        repr_exprs={
+            "o_totalprice": lambda col: col.cast(_DEC).cast("string"),
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-width histogram of order values
+# --------------------------------------------------------------------------
+
+_HIST_N = 20
+
+_HIST_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+)
+SELECT
+  CAST(CASE WHEN o_totalprice = mx THEN {_HIST_N - 1}
+       ELSE floor((o_totalprice - mn) * {_HIST_N} / (mx - mn)) END AS INTEGER)
+    AS bucket,
+  count(*) AS n,
+  min(o_totalprice) AS lo,
+  max(o_totalprice) AS hi
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
+@register("value_histogram", _HIST_ORACLE)
+def q_value_histogram(spark, sf_dir):
+    """Equal-width histogram: tiny global min/max aggregate broadcast back,
+    then ONE shuffle on the bucket id (map-side combined). Bucket math is
+    fixed-order double arithmetic, bit-identical across engines. Operator:
+    ``operators/profile.histogram_fixed_width``."""
+    orders = _t(spark, sf_dir, "orders")
+    return histogram_fixed_width(orders, "o_totalprice", n_buckets=_HIST_N)
+
+
+# --------------------------------------------------------------------------
+# winsorized order-value stats
+# --------------------------------------------------------------------------
+
+_WINS_ORACLE = f"""
+WITH pct AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS p_lo,
+         quantile_cont(o_totalprice, 0.99) AS p_hi
+  FROM orders
+), w AS (
+  SELECT o_totalprice AS v, p_lo, p_hi,
+         least(greatest(o_totalprice, p_lo), p_hi) AS vw
+  FROM orders CROSS JOIN pct
+)
+SELECT
+  count(*) AS n,
+  CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+  CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+  round(any_value(p_lo), 6) AS p_lo,
+  round(any_value(p_hi), 6) AS p_hi,
+  round((CAST(sum(CASE WHEN v >= p_lo AND v <= p_hi
+                  THEN CAST(v AS {_DEC}) END) AS DOUBLE)
+         + any_value(p_lo) * sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END)
+         + any_value(p_hi) * sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END))
+        / count(*), 6) AS wavg
+FROM w
+"""
+
+
+@register("winsorized_value_stats", _WINS_ORACLE)
+def q_winsorized_value_stats(spark, sf_dir):
+    """Winsorized (p01/p99-clamped) mean of order values — outlier-robust
+    stats before quality scoring. The clamped mean is assembled portably:
+    in-range values sum through exact decimals; clamped tails contribute
+    ``bound × count`` (one double product per side, fixed op order) — a
+    double sum over 150k clamped copies would be partition-order-dependent.
+    Operator: ``operators/profile.winsorize``."""
+    orders = _t(spark, sf_dir, "orders")
+    w = winsorize(
+        orders, "o_totalprice", p_lo=0.01, p_hi=0.99, keep_bounds=True
+    )
+    v = F.col("o_totalprice")
+    in_range = (v >= F.col("p_lo")) & (v <= F.col("p_hi"))
+    n_lo = F.sum(F.when(v < F.col("p_lo"), 1).otherwise(0))
+    n_hi = F.sum(F.when(v > F.col("p_hi"), 1).otherwise(0))
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        n_lo.cast("long").alias("n_clamped_lo"),
+        n_hi.cast("long").alias("n_clamped_hi"),
+        F.round(F.any_value("p_lo"), 6).alias("p_lo"),
+        F.round(F.any_value("p_hi"), 6).alias("p_hi"),
+        F.round(
+            (
+                F.sum(F.when(in_range, v.cast(_DEC))).cast("double")
+                + F.any_value("p_lo") * n_lo
+                + F.any_value("p_hi") * n_hi
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("wavg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# least-squares revenue trend per nation (regr_slope/intercept, exact sums)
+# --------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH pts AS (
+  SELECT n.n_name,
+    date_diff('day', DATE '1992-01-01', o.o_orderdate) AS x,
+    o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), s AS (
+  SELECT n_name,
+    count(*) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(9,2))) AS DOUBLE) AS sy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(x AS DECIMAL(5,0)) * CAST(y AS DECIMAL(9,2))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept
+FROM s
+"""
+
+
+@register("regr_trend_by_nation", _TREND_ORACLE)
+def q_regr_trend_by_nation(spark, sf_dir):
+    """Per-nation least-squares trend of order value over time
+    (regr_slope / regr_intercept semantics) assembled from decimal-exact
+    component sums — built-in ``regr_*`` aggregates stream in
+    engine-specific order and are not hash-stable cross-engine (same
+    portability decision as ``stats_corr_quantity_price``). Broadcast star
+    join, one keyed aggregate shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    pts = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y.cast("decimal(9,2)")).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sxy = F.sum(x.cast("decimal(5,0)") * y.cast("decimal(9,2)")).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.groupBy("n_name").agg(
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance: base ⊕ delta = full, verified
+# --------------------------------------------------------------------------
+
+_INCR_CUTOFF = "1998-01-01"
+
+_INCR_ORACLE = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  count(o_totalprice) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS revenue,
+  round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+        / count(o_totalprice), 6) AS avg_price,
+  min(o_totalprice) AS min_price,
+  max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("incremental_agg_merge", _INCR_ORACLE)
+def q_incremental_agg_merge(spark, sf_dir):
+    """Materialized-view maintenance: per-month order stats kept as
+    mergeable states. Historical orders (before the cutoff) fold into a
+    base state, the newer slice into a delta state, and the two MERGE by
+    monoid ops — the oracle is the direct full aggregate, proving
+    base ⊕ delta = full exactly. At 100 TB the delta path reads only the
+    new partition; history is never rescanned. Operator:
+    ``operators/incremental``."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+    cutoff = F.lit(_INCR_CUTOFF).cast("date")
+    base = partial_aggs(
+        orders.where(F.col("o_orderdate") < cutoff), ["month"], ["price"]
+    )
+    delta = partial_aggs(
+        orders.where(F.col("o_orderdate") >= cutoff), ["month"], ["price"]
+    )
+    merged = merge_partials(base, delta, ["month"], ["price"])
+    return merged.select(
+        "month",
+        F.col("cnt_price").alias("n_orders"),
+        F.round(F.col("sum_price").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("sum_price").cast("double") / F.col("cnt_price"), 6
+        ).alias("avg_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z-order locality: Morton-interleaved clustering key
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_CHUNK = 4096  # rows sharing a chunk = one simulated row group
+
+_Z_DIMS_SQL = [
+    "(CAST(o_custkey AS BIGINT) % 256)",
+    "least(CAST(floor(o_totalprice / 2500) AS BIGINT), 255)",
+]
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT {_Z_DIMS_SQL[0]} AS d0, {_Z_DIMS_SQL[1]} AS d1 FROM orders
+), z AS (
+  SELECT d0, d1, {zorder_key_sql(['d0', 'd1'], bits=_Z_BITS)} AS zval FROM dims
+)
+SELECT CAST(floor(zval / {_Z_CHUNK}) AS BIGINT) AS chunk,
+  count(*) AS n,
+  min(d0) AS d0_min, max(d0) AS d0_max,
+  min(d1) AS d1_min, max(d1) AS d1_max
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_locality", _ZORDER_ORACLE)
+def q_zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering key over two bucketized dimensions of
+    ``orders``, summarized per key-range chunk: each chunk's min/max span
+    in BOTH dimensions is bounded (~2^(bits/2) per chunk of 2^12 keys), the
+    property that makes parquet row-group min/max stats prune on either
+    dimension after sorting the write by this key — a 1-D sort only prunes
+    its leading column. Pure JVM bit arithmetic, one aggregate shuffle.
+    Operator: ``plans/layout.zorder_key``."""
+    orders = _t(spark, sf_dir, "orders")
+    dims = orders.select(
+        (F.col("o_custkey").cast("long") % 256).alias("d0"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 2500).cast("long"), F.lit(255)
+        ).alias("d1"),
+    )
+    z = dims.withColumn("zval", zorder_key(["d0", "d1"], bits=_Z_BITS))
+    return (
+        z.select(
+            F.floor(F.col("zval") / _Z_CHUNK).cast("long").alias("chunk"),
+            "d0",
+            "d1",
+        )
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("d0").alias("d0_min"),
+            F.max("d0").alias("d0_max"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# character-bigram entropy (information-density quality signal)
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH g AS (
+  SELECT doc_id, source,
+    CASE WHEN length(text) < 2 THEN []
+         ELSE list_transform(range(1, length(text)), i -> substr(text, i, 2))
+    END AS grams
+  FROM documents
+), c AS (
+  SELECT doc_id, source, grams,
+    list_transform(list_distinct(grams),
+                   g2 -> len(list_filter(grams, x -> x = g2))) AS counts
+  FROM g
+)
+SELECT doc_id, source,
+  len(grams) AS n_bigrams,
+  len(counts) AS n_distinct_bigrams,
+  CASE WHEN len(grams) <= 1 THEN 0.0
+       ELSE round(log2(CAST(len(grams) AS DOUBLE))
+            - list_sum(list_transform(counts, cn -> cn * log2(CAST(cn AS DOUBLE))))
+              / len(grams), 6)
+  END AS bigram_entropy
+FROM c
+"""
+
+
+@register("char_entropy_stats", _ENTROPY_ORACLE)
+def q_char_entropy_stats(spark, sf_dir):
+    """Per-document character-bigram Shannon entropy — low-entropy docs are
+    repetitive/machine-generated. Zero shuffles: pure HOF column math in
+    whole-stage codegen, with shared arrays materialized as real columns so
+    Catalyst never re-evaluates the split inside lambda bodies (the CSE
+    gotcha). Uses ``H = log2 n − (Σ c·log2 c)/n`` so list-sum order cannot
+    move the result past the 6-dp rounding. Operator:
+    ``operators/text.char_entropy``."""
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs, "text").select(
+        "doc_id", "source", "n_bigrams", "n_distinct_bigrams", "bigram_entropy"
+    )
+
+
+# --------------------------------------------------------------------------
+# distributed heavy hitters over document tokens
+# --------------------------------------------------------------------------
+
+_HH_MIN_FRAC = 0.002
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), t2 AS (
+  SELECT token FROM toks WHERE token <> ''
+), tot AS (SELECT count(*) AS total FROM t2)
+SELECT token, count(*) AS n,
+  round(count(*) / CAST(any_value(total) AS DOUBLE), 6) AS frac
+FROM t2 CROSS JOIN tot
+GROUP BY token
+HAVING count(*) > any_value(total) * {_HH_MIN_FRAC}
+"""
+
+
+@register("heavy_hitter_tokens", _HH_ORACLE)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact frequent tokens WITHOUT shuffling the token stream: per-
+    partition Misra-Gries summaries emit a guaranteed candidate superset
+    (≤ k rows per partition moved), then exact counts for candidates only
+    via broadcast semi join — the two-phase heavy-hitters algorithm. The
+    result is exact and partitioning-independent; a naive groupBy would
+    shuffle every token at 100 TB. Operator:
+    ``operators/text.heavy_hitters``."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return heavy_hitters(
+        toks, "token", min_frac=_HH_MIN_FRAC, candidates_per_partition=1024
+    )

@@ -37,20 +37,27 @@ def connected_components(
     Returns ``(node, cluster_id)`` where ``cluster_id`` is the minimum node
     id reachable from ``node`` (deterministic representative).
     """
-    # materialize the edge list ONCE — every iteration joins against it, and
-    # without persistence the whole upstream pair pipeline (minhash, LSH,
-    # verify) would re-execute per round
+    # Materialize the pair list ONCE and cut its lineage: the symmetrizing
+    # union below references it twice, and every iteration's plan would
+    # otherwise embed the whole upstream pair pipeline (minhash, LSH,
+    # verify) — persist() alone keeps the logical plan growing, so Catalyst
+    # re-analyzes an ever-larger tree each round (measured: round cost
+    # dominated by planning, not data). localCheckpoint truncates the plan
+    # to an RDD scan → constant-size plans per round. On a real cluster,
+    # swap for reliable checkpoint() if executor loss matters.
+    p = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -59,29 +66,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        updated = (
+        # one action per round: the checkpoint materializes labels AND the
+        # change flag together (a separate count() on the pre-checkpoint
+        # frame would re-run the join a second time)
+        new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("new_label"),
-                "label",
+                (
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    )
+                    != F.col("label")
+                ).alias("__changed"),
             )
+            .withColumnRenamed("new_label", "label")
+            .localCheckpoint(eager=True)
         )
-        new_labels = updated.select(
-            "node", F.col("new_label").alias("label")
-        ).persist()
-        changed = updated.where(F.col("new_label") != F.col("label")).count()
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
 
-    edges.unpersist()
-    # the returned frame reads from the final persisted labels (one row per
-    # clustered node); Spark evicts it LRU — callers that iterate further
-    # should checkpoint or unpersist explicitly
+    # one row per clustered node, lineage already truncated
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

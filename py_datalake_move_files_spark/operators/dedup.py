@@ -192,8 +192,17 @@ def jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     strategy: str = "inverted",
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    ``materialize_shingles`` (default): the shingle frame is consumed 2-3
+    times below (both join sides / postings + sizes); localCheckpoint
+    materializes it once instead of re-running the HOF shingling per
+    consumer, and keeps downstream plans small. At corpus scales where the
+    shingle arrays dwarf executor storage, pass ``False`` to trade repeated
+    recomputation (extra scans, no materialized state) — the plan shape is
+    otherwise identical.
 
     Three physical strategies, same result set:
 
@@ -221,6 +230,8 @@ def jaccard_pairs(
     sh = with_shingles(ensure_parallelism(df), text_col, k).select(
         F.col(id_col).alias("doc"), F.col("shingle_set")
     )
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=True)
 
     if candidates is not None:
         a = sh.select(

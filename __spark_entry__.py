@@ -20,6 +20,77 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
+#: The driver hash-checks the FIRST 50 registered queries. This curated
+#: prefix packs one representative per SURVEY.md §2 operator row plus the
+#: flagship LLM-pipeline ops (dedup family incl. clustering, ANN incl. IVF,
+#: corpus curation, PII, repetition, multimodal) into that window; redundant
+#: variants (compat modes, extra scalar suites, LSH multitable) follow after.
+CURATED_FIRST = [
+    # file-pipeline tier (reference pipelines A/B)
+    "manifest_archive_plan",
+    "manifest_status_counts",
+    "path_rewrite_ops",
+    "date_range_filter",
+    "json_content_predicate",
+    "json_probe_exact",
+    "filter_reason_cascade",
+    # relational core: agg + join family
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "left_outer_customer_orders",
+    "full_outer_nation_presence",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "asof_purchase_prior_view",
+    "range_join_value_buckets",
+    "interval_attribution_bucketed",
+    # event-time windows + sessionization
+    "sessionize_events",
+    "hourly_event_stats",
+    "window_latest_order",
+    "window_running_revenue",
+    "window_range_frame",
+    # top-k / set ops / grouping family
+    "top_customers",
+    "topk_per_group_parts",
+    "set_ops_segments",
+    "agg_distinct_stats",
+    "rollup_nation_region",
+    "grouping_sets_orders",
+    "approx_distinct_users",
+    "percentile_prices",
+    "pivot_event_type_counts",
+    "unpivot_lineitem_metrics",
+    "explode_token_topk",
+    # subquery family + one heavy TPC-H
+    "scalar_subquery_above_avg",
+    "q4_priority_exists",
+    "not_in_null_semantics",
+    "q21_late_exclusive_suppliers",
+    # scalar-function + UDF/multimodal surface
+    "props_key_stats",
+    "multimodal_decode_features",
+    # LLM-data-pipeline flagship tier
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "dedup_cluster_assignment",
+    "ann_brute_force",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "repetition_stats",
+    "pii_redaction",
+    "corpus_curation_pipeline",
+]
+
+
+def _ordered(src: dict) -> dict:
+    head = {n: src[n] for n in CURATED_FIRST if n in src}
+    tail = {n: v for n, v in src.items() if n not in head}
+    return {**head, **tail}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the manifest archive plan
@@ -28,11 +99,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, curated so the
+    driver's 50-query correctness window covers every §2 row."""
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted for sketch/approx ops,
     which get the driver's weaker rows-only check)."""
-    return dict(ORACLE)
+    return _ordered(ORACLE)

@@ -52,15 +52,37 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType.
+
+    The harness parquet has shipped ``events.ts`` as TIMESTAMP(NANOS) and as
+    tz-less TIMESTAMP(MICROS) in different rounds; sessions this engine did
+    not create may also read the latter as TIMESTAMP_NTZ (Spark's default
+    ``parquet.inferTimestampNTZ``). The reference compares plain tz-naive
+    datetimes (reference app/main.py:120-132), so with the session timezone
+    pinned to UTC (session.py) the NTZ -> UTC TimestampType cast is
+    semantics-preserving and keeps every downstream unix_millis / watermark /
+    range-frame expression working on one timestamp flavor.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast(T.TimestampType()) for c in ntz_cols}
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table. Plain parquet scan — predicate pushdown and
     column pruning happen in the reader, so callers should filter/select on
     this DataFrame directly rather than caching wide copies.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as nano-long
-    (``nanosAsLong``) and floor-truncate to microseconds — exactly what
-    DuckDB/Arrow do when reading the same file, so oracle comparisons agree.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects, so we read it as nano-long (``nanosAsLong``)
+    and floor-truncate to microseconds, exactly what DuckDB/Arrow do — and
+    as tz-less TIMESTAMP(MICROS), normalized by :func:`_normalize_timestamps`.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -70,8 +92,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(path))
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from py_datalake_move_files_spark.functions.timeutil import ensure_timestamp
+
 
 def asof_join(
     left: DataFrame,
@@ -51,6 +53,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    left = ensure_timestamp(left, left_ts)
+    right = ensure_timestamp(right, right_ts)
     rstruct_type = (
         "struct<"
         + ",".join(
@@ -148,6 +152,8 @@ def interval_join_bucketed(
     """
     keys = list(keys or [])
     micros = int(bucket_seconds) * 1_000_000
+    facts = ensure_timestamp(facts, point_col)
+    intervals = ensure_timestamp(intervals, start_col, end_col)
     fb = facts.withColumn(
         "__bucket", F.expr(f"unix_micros({point_col}) div {micros}")
     )

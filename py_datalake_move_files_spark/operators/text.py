@@ -440,24 +440,24 @@ def heavy_hitters(
     k = candidates_per_partition
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Misra-Gries: k counters; decrement-all when full. Items with
-        # partition count > n_partition/k always retain a counter.
+        # Vectorized Misra-Gries via the mergeable-summaries reduction
+        # (Agarwal/Cormode et al.): each Arrow batch's EXACT value_counts()
+        # merges into the running summary; when more than k counters
+        # survive, subtract the (k+1)-th largest count from all and drop
+        # non-positives — ≤ k counters remain and total decrement stays
+        # ≤ n_partition/(k+1), so any item with partition count
+        # > n_partition/(k+1) retains a counter (≥ the 1/k guarantee).
         import pandas as _pd
 
-        counters: dict = {}
+        counters = _pd.Series(dtype="int64")
         for batch in batches:
-            for item in batch["__item"]:
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    dead = [i for i in counters if counters[i] == 1]
-                    for i in counters:
-                        counters[i] -= 1
-                    for i in dead:
-                        del counters[i]
-        yield _pd.DataFrame({"__item": list(counters.keys())})
+            counters = counters.add(
+                batch["__item"].value_counts(), fill_value=0
+            )
+            if len(counters) > k:
+                d = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > d] - d
+        yield _pd.DataFrame({"__item": counters.index.astype(str)})
 
     items = df.select(F.col(item_col).alias("__item")).where(
         F.col("__item").isNotNull()

@@ -61,6 +61,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-less parquet timestamps (timestamp[us] with isAdjustedToUTC=false)
+        # read as TimestampType, not TIMESTAMP_NTZ. The reference compares
+        # plain tz-naive datetimes (app/main.py:120-132); with the session
+        # pinned to UTC above, NTZ -> UTC-instant is semantics-preserving, and
+        # it keeps unix_millis/watermarks/window ranges working uniformly
+        # across batch and readStream.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # local mode: the driver JVM IS the executor — at 8g the bench's
         # accumulated shuffle/broadcast state pushed GC into the measured
         # queries (1.7× total slowdown observed); real clusters size

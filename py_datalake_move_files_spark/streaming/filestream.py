@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import DataStreamWriter
 
+from py_datalake_move_files_spark.functions.timeutil import ensure_timestamp
+
 
 def file_arrival_stream(
     spark: SparkSession,
@@ -54,6 +56,7 @@ def tumbling_event_stats(
 ) -> DataFrame:
     """Tumbling-window counts/sums with a watermark for late data — the
     streaming twin of the batch ``hourly_event_stats`` query."""
+    events = ensure_timestamp(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
@@ -83,6 +86,7 @@ def session_window_stats(
 ) -> DataFrame:
     """Session windows (gap-based) per key — the streaming twin of the batch
     ``sessionize_events`` gaps-and-islands query."""
+    events = ensure_timestamp(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))

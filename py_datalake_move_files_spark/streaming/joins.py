@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from py_datalake_move_files_spark.functions.timeutil import ensure_timestamp
+
 
 def stream_stream_interval_join(
     left: DataFrame,
@@ -43,6 +45,8 @@ def stream_stream_interval_join(
     ``(left_ts, left_ts + horizon]`` — e.g. purchases attributed to the view
     they followed. Column names are prefixed ``l_``/``r_`` to keep the
     output unambiguous."""
+    left = ensure_timestamp(left, left_ts)
+    right = ensure_timestamp(right, right_ts)
     l = left.withWatermark(left_ts, left_watermark).select(
         [F.col(c).alias(f"l_{c}") for c in left.columns]
     )
@@ -72,4 +76,5 @@ def dedup_within_watermark(
     which keys state on the exact (key, ts) it first saw). State for keys
     older than the watermark is evicted — bounded memory."""
     keys = key_cols or ["event_id"]
+    events = ensure_timestamp(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -50,6 +50,9 @@ def streaming_dedup(
     """Watermarked streaming deduplication: one output row per key; state
     for keys older than the watermark is dropped (bounded memory)."""
     keys = key_cols or ["event_id"]
+    from py_datalake_move_files_spark.functions.timeutil import ensure_timestamp
+
+    events = ensure_timestamp(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 

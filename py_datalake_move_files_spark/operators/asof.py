@@ -40,6 +40,7 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     tolerance_ms: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof``-style join on Spark.
 
@@ -50,6 +51,16 @@ def asof_join(
     ``asof_<name>`` plus ``asof_ts`` when requested; left rows with no match
     get nulls (left-outer semantics). One shuffle + one sort per side — no
     inequality join, no per-key nested loop.
+
+    ``salt_buckets=N`` enables the hot-key remedy from the module header:
+    the carry-forward window partitions by (key, time_bucket) — N slices of
+    the observed time range — so one dominant key spreads over N tasks
+    instead of serializing into one sort. Cross-bucket matches are restored
+    by a second, per-(key, bucket)-sized window that carries each bucket's
+    last right row into later buckets (earlier, for ``forward``). Costs one
+    extra tiny shuffle over the per-bucket summary (|keys|·N rows) and a
+    2-scalar min/max action to size the buckets; results are identical to
+    the unsalted path. Use when one key holds a large share of BOTH sides.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -85,14 +96,64 @@ def asof_join(
         order = [F.col("__ts").asc(), F.col("__is_left").asc()]
     else:
         order = [F.col("__ts").desc(), F.col("__is_left").asc()]
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l_tag.unionByName(r_tag).withColumn(
-        "__match", F.last("__r", ignorenulls=True).over(w)
-    )
+    union = l_tag.unionByName(r_tag)
+    if salt_buckets is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = union.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(w)
+        )
+    else:
+        # two-phase salted plan: windows partition by (key, time bucket);
+        # cross-bucket carries come from a per-bucket summary ~|keys|·N rows
+        bounds = union.agg(
+            F.min(F.unix_micros("__ts")).alias("lo"),
+            F.max(F.unix_micros("__ts")).alias("hi"),
+        ).first()
+        lo = bounds.lo or 0
+        span = max(1, ((bounds.hi or 0) - lo) // salt_buckets + 1)
+        union = union.withColumn(
+            "__bucket", F.expr(f"(unix_micros(__ts) - {lo}) div {span}")
+        )
+        wb = (
+            Window.partitionBy("__k", "__bucket")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # within-bucket carry, exactly the unsalted semantics per slice
+        salted = union.withColumn(
+            "__match0", F.last("__r", ignorenulls=True).over(wb)
+        )
+        # each bucket's boundary value: the right row a NEXT bucket would
+        # carry in (max_by ignores rows whose ordering key is null, so left
+        # rows and right-less buckets contribute nothing)
+        pick = F.max_by if direction == "backward" else F.min_by
+        summary = union.groupBy("__k", "__bucket").agg(
+            pick(
+                "__r", F.when(F.col("__is_left") == 0, F.col("__ts"))
+            ).alias("__blast")
+        )
+        bucket_order = (
+            F.col("__bucket").asc()
+            if direction == "backward"
+            else F.col("__bucket").desc()
+        )
+        wprev = (
+            Window.partitionBy("__k")
+            .orderBy(bucket_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = summary.select(
+            "__k",
+            "__bucket",
+            F.last("__blast", ignorenulls=True).over(wprev).alias("__carry"),
+        )
+        merged = salted.join(carry, ["__k", "__bucket"], "left").withColumn(
+            "__match", F.coalesce(F.col("__match0"), F.col("__carry"))
+        )
     match = F.col("__match")
     if tolerance_ms is not None:
         # distance between left ts and the matched right ts, in ms

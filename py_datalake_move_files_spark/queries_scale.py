@@ -1,0 +1,317 @@
+"""Scale-pattern tier (round 3): batch twins and 100 TB join strategies
+that complete the streaming/dedup surface.
+
+- ``event_dedup_tumbling`` — the BATCH twin of
+  ``dropDuplicatesWithinWatermark`` (streaming/joins.py): first event per
+  (user, type, tumbling window). One shuffle on the dedup key.
+- ``fuzzy_customer_pairs`` — string-similarity self-join via pigeonhole
+  banding (the PassJoin/Ed-Join family): strings within hamming distance
+  ≤ 2 must agree on at least one of 3 disjoint chunks, so candidates come
+  from 3 equi joins on (nation, chunk) — never an all-pairs comparison.
+- ``skew_salted_event_join`` — a deliberately skewed big-big join routed
+  through :func:`functions.skew.salted_join`; results identical to the
+  plain join (the oracle), plan splits the hot key across ``salt`` tasks.
+- ``pagerank_nation_flow`` — iterative tier beyond connected components:
+  8 weighted PageRank rounds over the nation-to-nation trade graph. The
+  graph is AGGREGATED first (25 nodes — the 100 TB shape: edge build is
+  the big job, iteration runs on the tiny aggregate), and the oracle
+  unrolls the same 8 rounds as chained CTEs (recursive CTEs cannot carry
+  GROUP BY in the recursive term).
+
+The reference's surface (file pipelines, reference app/app.py +
+app/main.py) has no analogue for these; they are part of the
+training-data-pipeline mandate (dedup / similarity / graph tiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from py_datalake_move_files_spark.queries import ORACLE, _t, register
+
+DAMPING = 0.85
+PR_ITERS = 8
+N_NATIONS = 25
+
+# ---------------------------------------------------------------------------
+# batch twin of watermark dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_dedup_tumbling",
+    """
+WITH ranked AS (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type,
+                        to_timestamp(epoch(ts)::BIGINT // 1800 * 1800)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts
+FROM ranked WHERE rn = 1
+""",
+)
+def q_event_dedup_tumbling(spark, sf_dir):
+    """Batch twin of ``dedup_within_watermark``: keep the FIRST event per
+    (user, type, 30-min tumbling window). Deterministic tie-break on
+    event_id. One shuffle on the full dedup key; at 100 TB the window
+    column makes the key high-cardinality, so no skew concentration."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "30 minutes")
+    w = Window.partitionBy(
+        "user_id", "event_type", win["start"]
+    ).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pigeonhole-banded fuzzy match
+# ---------------------------------------------------------------------------
+
+
+def _dd_hamming(a: str, b: str, length: int = 18) -> str:
+    """DuckDB positional mismatch count for equal-length strings."""
+    return " + ".join(
+        f"CASE WHEN substr({a}, {i}, 1) = substr({b}, {i}, 1) THEN 0 ELSE 1 END"
+        for i in range(1, length + 1)
+    )
+
+
+@register(
+    "fuzzy_customer_pairs",
+    f"""
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       ({_dd_hamming('a.c_name', 'b.c_name')}) AS hdist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND length(a.c_name) = length(b.c_name)
+WHERE ({_dd_hamming('a.c_name', 'b.c_name')}) <= 2
+""",
+)
+def q_fuzzy_customer_pairs(spark, sf_dir):
+    """Similarity self-join, hamming distance ≤ 2, same nation.
+
+    Pigeonhole banding (PassJoin family): split the 9-digit name suffix
+    into 3 disjoint 3-char chunks; two strings within distance 2 must
+    match on ≥ 1 chunk, so candidates are the union of 3 equi joins on
+    (nation, chunk_idx, chunk). The verify step recomputes the exact
+    distance on the candidate-bounded set. At 100 TB this is 3 hash
+    joins on well-distributed keys — the all-pairs plan never exists.
+    The oracle is the naive quadratic join (fine at sf0.01).
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("c_len")
+    )
+    # 3 disjoint chunks of the digit suffix (positions 10-18 of the fixed
+    # "Customer#%09d" format; non-conforming names still band losslessly
+    # because chunks always cover the same positions and length is a key)
+    banded = c.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.substring("c_name", 10 + 3 * i, 3).alias("chunk"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("band"),
+    ).select("c_custkey", "c_nationkey", "c_name", "c_len", "band.*")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.c_len") == F.col("b.c_len"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.col("a.c_len").alias("len_ab"),
+        )
+        .distinct()  # a pair can match on 2-3 chunks
+    )
+    # exact verify on the candidate-bounded set: positional mismatch count.
+    # SQL-text HOF with unique lambda variables per engine policy (python-
+    # lambda HOFs corrupt under multiple bindings; see test_lambda_safety).
+    hdist = F.expr(
+        "aggregate(zip_with(split(name_a, ''), split(name_b, ''), "
+        "(fz_a, fz_b) -> IF(fz_a = fz_b, 0, 1)), 0, "
+        "(fz_acc, fz_x) -> fz_acc + fz_x)"
+    )
+    return (
+        cand.withColumn("hdist", hdist)
+        .where(F.col("hdist") <= 2)
+        .select("custkey_a", "custkey_b", F.col("hdist").cast("long").alias("hdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_event_join",
+    """
+WITH skewed AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS hot_key, value
+  FROM events
+), dim AS (
+  SELECT DISTINCT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS hot_key,
+         CASE WHEN user_id % 10 < 7 THEN 'hot' ELSE 'cold' END AS label
+  FROM events
+)
+SELECT d.label,
+       count(*) AS n,
+       CAST(round(sum(CAST(s.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM skewed s JOIN dim d USING (hot_key)
+GROUP BY d.label
+""",
+)
+def q_skew_salted_event_join(spark, sf_dir):
+    """Skewed big-big join through :func:`salted_join`: ~70% of fact rows
+    collapse onto one hot key (synthetic power-law), which would serialize
+    a plain shuffle join into one task. The salted plan explodes the
+    build side over ``salt`` replicas and spreads the hot key across
+    ``salt`` tasks; results are identical to the plain join (the oracle).
+    AQE's skew-split handles sort-merge cases adaptively, but salting is
+    the deterministic plan-level fix this query pins."""
+    from py_datalake_move_files_spark.functions.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(F.col("user_id"))
+    facts = e.select(hot.alias("hot_key"), "value")
+    dim = (
+        e.select(
+            hot.alias("hot_key"),
+            F.when(F.col("user_id") % 10 < 7, F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    joined = salted_join(facts, dim, key="hot_key", salt_factor=8)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE unrolled PageRank (DuckDB): r0 = uniform; each round
+    r_{k+1}(dst) = (1-d)/N + d * (sum of incoming rank/outdeg weights +
+    dangling mass/N). The nation graph has no dangling nodes (every nation
+    ships somewhere at sf>=0.01 — and the Spark side drops dangling mass
+    identically by construction of the same edge set)."""
+    edges = """
+edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+norm AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+),
+r0 AS (SELECT n_nationkey AS nation, 1.0/{N} AS rank FROM nation)
+""".replace("{N}", str(N_NATIONS))
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(
+            f"""r{i + 1} AS (
+  SELECT n.n_nationkey AS nation,
+         (1.0 - {DAMPING})/{N_NATIONS} + {DAMPING} * coalesce(sum(r.rank * e.p), 0)
+           AS rank
+  FROM nation n
+  LEFT JOIN norm e ON e.dst = n.n_nationkey
+  LEFT JOIN r{i} r ON r.nation = e.src
+  GROUP BY n.n_nationkey
+)"""
+        )
+    return (
+        "WITH " + edges + "," + ",\n".join(steps)
+        + f"\nSELECT nation, round(rank, 6) AS rank FROM r{PR_ITERS}"
+    )
+
+
+@register("pagerank_nation_flow", _pagerank_oracle())
+def q_pagerank_nation_flow(spark, sf_dir):
+    """Weighted PageRank over nation->nation trade volume.
+
+    100 TB shape: the EXPENSIVE stage is building the edge list (a
+    lineitem-orders-customer-supplier star join + one aggregation — all
+    dimension sides broadcast); the iteration then runs on the 25-node
+    aggregate, so 8 rounds cost 8 tiny joins. For graphs with large node
+    sets the same loop holds with localCheckpoint lineage cuts every
+    round (see operators/clusters.py); here the aggregate is small enough
+    that Catalyst folds the whole unrolled loop into one plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nation"))
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            s.s_nationkey.alias("src"), c.c_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    norm = edges.select(
+        "src",
+        "dst",
+        (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
+    ).localCheckpoint(eager=False)
+    ranks = n.withColumn("rank", F.lit(1.0 / N_NATIONS))
+    for _ in range(PR_ITERS):
+        contrib = norm.join(
+            ranks.withColumnRenamed("nation", "src"), "src"
+        ).select("dst", (F.col("rank") * F.col("p")).alias("c"))
+        ranks = (
+            n.join(contrib, n.nation == contrib.dst, "left")
+            .groupBy("nation")
+            .agg(
+                (
+                    F.lit((1.0 - DAMPING) / N_NATIONS)
+                    + F.lit(DAMPING) * F.coalesce(F.sum("c"), F.lit(0.0))
+                ).alias("rank")
+            )
+        )
+    return ranks.select("nation", F.round("rank", 6).alias("rank"))
+
+
+__all__ = [n for n in dir() if n.startswith("q_")]
+assert set(ORACLE) >= {
+    "event_dedup_tumbling",
+    "fuzzy_customer_pairs",
+    "skew_salted_event_join",
+    "pagerank_nation_flow",
+}

@@ -149,8 +149,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     fully deterministic ordering (score desc, doc_id, term).  Three keyed
     exchanges — (doc,term) tf, term df, and the join back on term — which is
     the minimum for the two granularities; corpus size N is a broadcast
-    one-row aggregate.  The final top-k is TakeOrderedAndProject-shaped
-    (partial top-k per partition), never a global sort of all pairs."""
+    one-row aggregate.  The final top-k is ``orderBy(...).limit(100)`` —
+    Spark plans that as TakeOrderedAndProject (each task keeps a 100-row
+    heap, the driver merges), so the full (doc, term) score stream is never
+    sorted on one partition; only the <=100 survivors pass through the
+    rank-assigning window (plan pinned in tests/test_plans.py)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -171,10 +174,10 @@ def q_tfidf_top_terms(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
+    top = scored.orderBy(F.desc("tfidf"), "doc_id", "term").limit(100)
     w = Window.orderBy(F.desc("tfidf"), "doc_id", "term")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 100)
+        top.withColumn("rk", F.row_number().over(w))
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
 

@@ -146,6 +146,30 @@ def test_lateral_decorrelates_to_window_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tfidf_topk_avoids_global_sort(spark):
+    # the corpus-wide top-100 must be TakeOrderedAndProject (per-task 100-row
+    # heaps merged on the driver) — the scored (doc, term) stream must never
+    # hit an Exchange SinglePartition + Sort. The only single-partition work
+    # allowed is the rank window over the <=100 survivors, which sits ABOVE
+    # the TakeOrderedAndProject in the plan tree.
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "TakeOrderedAndProject(limit=100" in plan
+    lines = plan.splitlines()
+    topk_at = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    win_at = next(i for i, l in enumerate(lines) if "Window " in l or l.lstrip("+- ").startswith("Window"))
+    # toString prints parents before children: the window (and its implied
+    # single-partition stage) must sit ABOVE the top-k, operating on <=100 rows
+    assert win_at < topk_at
+    # below the top-k the scored stream must never be globally sorted; the
+    # only allowed SinglePartition exchange is the n_docs scalar count(*)
+    # (its children are partial_count HashAggregates, not the scored rows)
+    below = lines[topk_at + 1 :]
+    assert not any(re.search(r"\bSort \[", l) for l in below), "global sort under top-k"
+    for i, l in enumerate(below):
+        if "Exchange SinglePartition" in l:
+            assert "partial_count" in below[i + 1], "scored stream hit a single partition"
+
+
 def test_interval_join_bucketed_is_equi_join(spark):
     # the big-big interval join must be a hash/sort-merge EQUI join on
     # (keys, bucket) with the interval bounds as residual — no nested loop

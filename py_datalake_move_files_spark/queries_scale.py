@@ -46,7 +46,7 @@ WITH ranked AS (
   SELECT event_id, user_id, event_type, ts,
          row_number() OVER (
            PARTITION BY user_id, event_type,
-                        to_timestamp(epoch(ts)::BIGINT // 1800 * 1800)
+                        to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800)
            ORDER BY ts, event_id) AS rn
   FROM events
 )
@@ -58,7 +58,9 @@ def q_event_dedup_tumbling(spark, sf_dir):
     """Batch twin of ``dedup_within_watermark``: keep the FIRST event per
     (user, type, 30-min tumbling window). Deterministic tie-break on
     event_id. One shuffle on the full dedup key; at 100 TB the window
-    column makes the key high-cardinality, so no skew concentration."""
+    column makes the key high-cardinality, so no skew concentration.
+    Oracle note: DuckDB ROUNDS double->BIGINT casts, so the oracle floors
+    epoch(ts) explicitly to match Spark's F.window flooring."""
     e = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "30 minutes")
     w = Window.partitionBy(
@@ -99,65 +101,31 @@ WHERE ({_dd_hamming('a.c_name', 'b.c_name')}) <= 2
 def q_fuzzy_customer_pairs(spark, sf_dir):
     """Similarity self-join, hamming distance ≤ 2, same nation.
 
-    Pigeonhole banding (PassJoin family): split the 9-digit name suffix
-    into 3 disjoint 3-char chunks; two strings within distance 2 must
-    match on ≥ 1 chunk, so candidates are the union of 3 equi joins on
-    (nation, chunk_idx, chunk). The verify step recomputes the exact
-    distance on the candidate-bounded set. At 100 TB this is 3 hash
-    joins on well-distributed keys — the all-pairs plan never exists.
+    Pigeonhole banding with INTERLEAVED position classes (class j =
+    characters at positions ≡ j mod 3; see operators/fuzzy.py): two
+    equal-length strings within hamming distance 2 must agree on >= 1 of
+    the 3 disjoint classes, so candidates are the union of 3 equi joins
+    on (nation, length, chunk_idx, chunk). Interleaving is what makes
+    the banding robust on BOTH axes: lossless at every string length
+    (no fixed offsets to undershoot — short names still band), and
+    non-degenerate on low-entropy corpora (contiguous thirds of
+    ``Customer#000000001``-style names share a constant ``Custom``
+    chunk → one bucket per nation → quadratic; measured 54 s vs ~2 s at
+    sf0.1). The verify step recomputes the exact distance on the
+    candidate-bounded set. At 100 TB this is 3 hash joins on
+    well-distributed keys — the all-pairs plan never exists.
     The oracle is the naive quadratic join (fine at sf0.01).
     """
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("c_len")
+    from py_datalake_move_files_spark.operators.fuzzy import fuzzy_hamming_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    pairs = fuzzy_hamming_pairs(
+        c, "c_custkey", "c_name", group_cols=("c_nationkey",), max_dist=2
     )
-    # 3 disjoint chunks of the digit suffix (positions 10-18 of the fixed
-    # "Customer#%09d" format; non-conforming names still band losslessly
-    # because chunks always cover the same positions and length is a key)
-    banded = c.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.substring("c_name", 10 + 3 * i, 3).alias("chunk"),
-                    )
-                    for i in range(3)
-                ]
-            )
-        ).alias("band"),
-    ).select("c_custkey", "c_nationkey", "c_name", "c_len", "band.*")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.c_len") == F.col("b.c_len"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
-            F.col("a.c_len").alias("len_ab"),
-        )
-        .distinct()  # a pair can match on 2-3 chunks
-    )
-    # exact verify on the candidate-bounded set: positional mismatch count.
-    # SQL-text HOF with unique lambda variables per engine policy (python-
-    # lambda HOFs corrupt under multiple bindings; see test_lambda_safety).
-    hdist = F.expr(
-        "aggregate(zip_with(split(name_a, ''), split(name_b, ''), "
-        "(fz_a, fz_b) -> IF(fz_a = fz_b, 0, 1)), 0, "
-        "(fz_acc, fz_x) -> fz_acc + fz_x)"
-    )
-    return (
-        cand.withColumn("hdist", hdist)
-        .where(F.col("hdist") <= 2)
-        .select("custkey_a", "custkey_b", F.col("hdist").cast("long").alias("hdist"))
+    return pairs.select(
+        F.col("key_a").alias("custkey_a"),
+        F.col("key_b").alias("custkey_b"),
+        "hdist",
     )
 
 
@@ -216,6 +184,64 @@ def q_skew_salted_event_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# deliberately hot-keyed as-of join, salted
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_salted_hot_keys",
+    """
+WITH p AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS hot_key,
+         event_id, ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS hot_key, ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.hot_key, epoch_ms(p.ts) AS purchase_ms,
+       epoch_ms(v.ts) AS asof_view_ms
+FROM p ASOF LEFT JOIN v ON p.hot_key = v.hot_key AND v.ts <= p.ts
+""",
+)
+def q_asof_salted_hot_keys(spark, sf_dir):
+    """As-of join under deliberate key skew: ~70% of both sides collapse
+    onto ONE hot key, which would serialize the unsalted carry-forward
+    window into a single task's sort. ``salt_buckets=16`` partitions the
+    window by (key, time-bucket) so the hot key spreads over 16 tasks;
+    cross-bucket carries come from a |keys|x16-row summary window (see
+    operators/asof.py). Output projects only the matched view's timestamp
+    (not its id) so equal-ts ties stay deterministic for hashing. The
+    oracle is DuckDB's native ASOF LEFT JOIN over the same hot-key
+    derivation — salting must be observationally invisible."""
+    from py_datalake_move_files_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(F.col("user_id"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", hot.alias("hot_key"), "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        hot.alias("hot_key"), "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="hot_key",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts"],
+        salt_buckets=16,
+    )
+    return joined.select(
+        "event_id",
+        "hot_key",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis("asof_ts").alias("asof_view_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the nation trade graph
 # ---------------------------------------------------------------------------
 
@@ -267,10 +293,16 @@ def q_pagerank_nation_flow(spark, sf_dir):
     100 TB shape: the EXPENSIVE stage is building the edge list (a
     lineitem-orders-customer-supplier star join + one aggregation — all
     dimension sides broadcast); the iteration then runs on the 25-node
-    aggregate, so 8 rounds cost 8 tiny joins. For graphs with large node
-    sets the same loop holds with localCheckpoint lineage cuts every
-    round (see operators/clusters.py); here the aggregate is small enough
-    that Catalyst folds the whole unrolled loop into one plan."""
+    aggregate via :func:`operators.graph.pagerank`, so 8 rounds cost 8
+    tiny joins. For graphs with large node sets the same loop takes
+    ``checkpoint_every``/``checkpoint_dir`` (localCheckpoint or reliable
+    checkpoint) to cut lineage per round; here the aggregate is small
+    enough that Catalyst folds the whole unrolled loop into one plan."""
+    from py_datalake_move_files_spark.operators.graph import (
+        normalize_edges,
+        pagerank,
+    )
+
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -285,26 +317,10 @@ def q_pagerank_nation_flow(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    norm = edges.select(
-        "src",
-        "dst",
-        (F.col("w") / F.sum("w").over(Window.partitionBy("src"))).alias("p"),
-    ).localCheckpoint(eager=False)
-    ranks = n.withColumn("rank", F.lit(1.0 / N_NATIONS))
-    for _ in range(PR_ITERS):
-        contrib = norm.join(
-            ranks.withColumnRenamed("nation", "src"), "src"
-        ).select("dst", (F.col("rank") * F.col("p")).alias("c"))
-        ranks = (
-            n.join(contrib, n.nation == contrib.dst, "left")
-            .groupBy("nation")
-            .agg(
-                (
-                    F.lit((1.0 - DAMPING) / N_NATIONS)
-                    + F.lit(DAMPING) * F.coalesce(F.sum("c"), F.lit(0.0))
-                ).alias("rank")
-            )
-        )
+    norm = normalize_edges(edges).localCheckpoint(eager=False)
+    ranks = pagerank(
+        norm, n, iterations=PR_ITERS, damping=DAMPING, n_nodes=N_NATIONS
+    )
     return ranks.select("nation", F.round("rank", 6).alias("rank"))
 
 
@@ -314,4 +330,5 @@ assert set(ORACLE) >= {
     "fuzzy_customer_pairs",
     "skew_salted_event_join",
     "pagerank_nation_flow",
+    "asof_salted_hot_keys",
 }

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES
 
@@ -60,6 +61,92 @@ def test_fuzzy_pairs_plan_has_no_cartesian(spark, sf_small):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_banding_is_length_adaptive_on_short_names(spark):
+    """Sub-10-char names must still band into discriminating chunks (a
+    fixed-position-10/13/16 scheme gives them three empty chunks — every
+    short name in a group collapses into ONE bucket, i.e. quadratic).
+    Checks (a) exact parity with a naive quadratic computed in Python and
+    (b) per-(group, len, chunk_idx, chunk) bucket sizes stay well under
+    the single-bucket collapse size."""
+    import itertools
+
+    from py_datalake_move_files_spark.operators.fuzzy import (
+        banded_strings,
+        fuzzy_hamming_pairs,
+    )
+
+    # 60 short names (3-9 chars), one group, engineered near-dups
+    rows = []
+    base = ["cat", "car", "dog", "fog", "alpha", "alphb", "gamma", "gamut", "delta9"]
+    for i, nm in enumerate(itertools.islice(itertools.cycle(base), 60)):
+        # vary one trailing char to create distance-1/2 neighbours
+        rows.append((i, nm[:-1] + chr(ord("a") + i % 7)))
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_hamming_pairs(df, "id", "name", max_dist=2).collect()
+    )
+
+    def ham(x, y):
+        return sum(a != b for a, b in zip(x, y)) if len(x) == len(y) else 99
+
+    want = sorted(
+        (a, b, ham(na, nb))
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if ham(na, nb) <= 2
+    )
+    assert got == want and len(want) > 50  # the fixture really exercises pairs
+
+    # banding losslessness: the 3 interleaved position classes of each row
+    # partition the name (class j == nm[j::3]), and no class is empty for
+    # names of length >= 3 — the properties the fixed 10/13/16 scheme
+    # violates for short strings (empty chunks => every short name shares
+    # one bucket => quadratic fallback)
+    bands = banded_strings(df, "id", "name", max_dist=2).collect()
+    by_id = {}
+    for r in bands:
+        by_id.setdefault(r["id"], {})[r["chunk_idx"]] = r
+    for (rid, nm) in rows:
+        chunks = [by_id[rid][i]["chunk"] for i in range(3)]
+        assert chunks == [nm[0::3], nm[1::3], nm[2::3]], (nm, chunks)
+        if len(nm) >= 3:
+            assert all(c != "" for c in chunks), (nm, chunks)
+
+
+def test_fuzzy_banding_no_constant_bucket_on_uniform_prefix_corpus(spark):
+    """The TPC-H-shaped regression: names sharing a long constant prefix
+    plus a high-entropy numeric tail must NOT band into one giant bucket
+    (contiguous thirds put the constant prefix chunk of every row in the
+    same bucket — the 54 s sf0.1 pathology). With interleaved classes the
+    tail's digits reach every chunk, so the largest (chunk_idx, chunk)
+    bucket stays a small fraction of the corpus."""
+    from py_datalake_move_files_spark.operators.fuzzy import banded_strings
+
+    n = 2000
+    # sparse ids (step 73) so every digit position varies, like a real
+    # 6-digit custkey range — dense 0..1999 ids leave 5 of 9 digit
+    # positions constant, which caps what ANY positional banding can do
+    rows = [(i, f"Customer#{i:09d}") for i in range(0, 73 * n, 73)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    stats = (
+        banded_strings(df, "id", "name", max_dist=2)
+        .groupBy("chunk_idx", "chunk")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            # banding candidate pairs = sum over buckets of c*(c-1)/2
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cands"),
+        )
+        .first()
+    )
+    # contiguous thirds give mx == n (the constant 'Custom' chunk) and a
+    # fully quadratic candidate set; interleaved classes spread the digit
+    # tail so no bucket dominates and candidates stay ~linear-ish
+    assert stats.mx < n / 10, stats.mx
+    assert stats.cands < 0.10 * (n * (n - 1) / 2), stats.cands
 
 
 def test_salted_join_plan_spreads_hot_key(spark, sf_small):

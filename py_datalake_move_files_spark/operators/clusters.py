@@ -25,39 +25,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lineage_cutter(df_or_spark, checkpoint_dir: str | None):
+    """Return a ``cut(df) -> df`` lineage-truncating function.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (blocks live on executor
+    local storage — fast, zero HDFS traffic, but an executor loss
+    invalidates its blocks mid-iteration and fails the job). Passing a
+    directory switches to RELIABLE ``checkpoint()`` (blocks written to the
+    fault-tolerant store): the right choice for long CC runs on a real
+    cluster where executor churn is expected. The dir is set once on the
+    SparkContext; Spark requires it before the first checkpoint() call.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    sc = df_or_spark.sparkSession.sparkContext if isinstance(
+        df_or_spark, DataFrame
+    ) else df_or_spark.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     *,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster ids for every node appearing in ``pairs``.
 
     Returns ``(node, cluster_id)`` where ``cluster_id`` is the minimum node
     id reachable from ``node`` (deterministic representative).
+
+    ``checkpoint_dir``: None (default) cuts lineage with ``localCheckpoint``
+    — fastest, but executor-loss-fragile; pass a fault-tolerant directory
+    (HDFS/S3 path on a real cluster) to use reliable ``checkpoint()``
+    instead. Results are identical either way (tested).
     """
     # Materialize the pair list ONCE and cut its lineage: the symmetrizing
     # union below references it twice, and every iteration's plan would
     # otherwise embed the whole upstream pair pipeline (minhash, LSH,
     # verify) — persist() alone keeps the logical plan growing, so Catalyst
     # re-analyzes an ever-larger tree each round (measured: round cost
-    # dominated by planning, not data). localCheckpoint truncates the plan
-    # to an RDD scan → constant-size plans per round. On a real cluster,
-    # swap for reliable checkpoint() if executor loss matters.
-    p = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint(eager=True)
-    edges = (
+    # dominated by planning, not data). Checkpointing truncates the plan
+    # to an RDD scan → constant-size plans per round.
+    cut = _lineage_cutter(pairs, checkpoint_dir)
+    p = cut(pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")))
+    edges = cut(
         p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -69,7 +91,7 @@ def connected_components(
         # one action per round: the checkpoint materializes labels AND the
         # change flag together (a separate count() on the pre-checkpoint
         # frame would re-run the join a second time)
-        new_labels = (
+        new_labels = cut(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -84,7 +106,6 @@ def connected_components(
                 ).alias("__changed"),
             )
             .withColumnRenamed("new_label", "label")
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
@@ -99,11 +120,14 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    *,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full dedup grouping: cluster members from ``pairs`` plus singletons
     (cluster of themselves). Returns ``(doc_id, cluster_id, is_representative)``.
+    ``checkpoint_dir`` is forwarded to :func:`connected_components`.
     """
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     base = docs.select(F.col(id_col).alias("node"))
     labeled = base.join(cc, "node", "left").select(
         F.col("node").alias(id_col),

@@ -49,6 +49,14 @@ HEADLINE = [
     "corpus_curation_pipeline",
     # r3: the event-time batch-twins of the streaming tier
     "interval_attribution_bucketed",
+    # r4: the scale-pattern tier joins the headline set (VERDICT r3 #6)
+    "fuzzy_customer_pairs",
+    "skew_salted_event_join",
+    "pagerank_nation_flow",
+    "event_dedup_tumbling",
+    "heavy_hitter_tokens",
+    # r4: deliberately hot-keyed as-of join, salted (VERDICT r3 #8)
+    "asof_salted_hot_keys",
 ]
 
 
@@ -107,6 +115,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # a crashed query shrinks the sum silently; the count makes
+        # round-over-round totals comparable (ADVICE r03)
+        "queries_timed": len(times),
+        "queries_headline": len(HEADLINE),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -55,6 +55,35 @@ def test_salted_matches_unsalted_with_tolerance(spark):
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
 
 
+def test_salted_window_cohorts_are_bounded(spark):
+    """The skew proof: per-(key, bucket) window cohorts must be a small
+    fraction of the hot key's total rows — i.e. the hot key's sort really
+    spreads over ~salt_buckets tasks instead of serializing into one.
+    Recomputes the operator's own bucket assignment (global micros span /
+    salt_buckets) over the union and bounds the largest cohort."""
+    left, right = _hot_key_frames(spark)
+    salt = 8
+    union = left.select(
+        F.col("k"), F.col("lts").alias("ts")
+    ).unionByName(right.select(F.col("k"), F.col("rts").alias("ts")))
+    lo, hi = union.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = max(1, (hi - lo) // salt + 1)
+    cohorts = (
+        union.withColumn("b", F.expr(f"(unix_micros(ts) - {lo}) div {span}"))
+        .groupBy("k", "b")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in cohorts if r.k == 1)
+    hot_max = max(r["count"] for r in cohorts if r.k == 1)
+    hot_buckets = sum(1 for r in cohorts if r.k == 1)
+    assert hot_total == 600
+    assert hot_buckets >= salt // 2  # the hot key genuinely spreads out
+    assert hot_max <= 2 * hot_total // salt  # no cohort re-concentrates
+
+
 def test_salted_plan_partitions_by_key_and_bucket(spark):
     left, right = _hot_key_frames(spark)
     salted = asof_join(

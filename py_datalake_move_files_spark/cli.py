@@ -109,32 +109,58 @@ def cmd_move(spark, args) -> int:
     from py_datalake_move_files_spark.plans.movecopy import audit_summary
     from py_datalake_move_files_spark.sources.files import (
         list_files,
-        read_files_with_content,
+        read_content_after_metadata_filter,
         with_decoded_text,
     )
 
     after = dt.datetime.fromisoformat(args.after) if args.after else None
     before = dt.datetime.fromisoformat(args.before) if args.before else None
-    checks = []
     date_pred = date_range_predicate(
         F.col("modificationTime"), after=after, before=before
     )
-    checks.append((date_pred, "outside date range"))
 
     if args.json_key:
-        files = with_decoded_text(read_files_with_content(spark, args.source))
+        # two-stage plan (reference's cheap-before-expensive order,
+        # app/main.py:109-146, made structural): stage 1 is a metadata-only
+        # listing that produces the date-rejection audit rows without ever
+        # reading bytes; stage 2 applies the date predicate DIRECTLY to the
+        # content scan so it reaches the source as a pushed filter —
+        # BinaryFileFormat then skips reading bytes for date-rejected files
+        # (proved in tests/test_sources.py). First-failure-wins reason
+        # semantics are preserved: a date-rejected file is reported from
+        # stage 1 and never reaches the content check.
         content_pred = json_key_probe_fast(
             "text", args.json_key, args.json_value or ""
         )
-        checks.append((content_pred, "content mismatch"))
+        meta_rejects = (
+            list_files(spark, args.source)
+            .select(
+                "path",
+                reason_cascade((date_pred, "outside date range")).alias("reason"),
+            )
+            .where(F.col("reason") != "Matches all criteria")
+        )
+        # missing_passes=None: bare comparisons (no coalesce) so the date
+        # filter is source-translatable and lands in PushedFilters;
+        # binaryFile's modificationTime is never null, so semantics match
+        pushable_date_pred = date_range_predicate(
+            F.col("modificationTime"), after=after, before=before,
+            missing_passes=None,
+        )
+        survivors = with_decoded_text(
+            read_content_after_metadata_filter(
+                spark, args.source, pushable_date_pred
+            )
+        ).select(
+            "path",
+            reason_cascade((content_pred, "content mismatch")).alias("reason"),
+        )
+        annotated = meta_rejects.unionByName(survivors)
     else:
-        files = list_files(spark, args.source)
-
-    # cheap-before-expensive predicate order, as the reference evaluates
-    # (app/main.py:109-146); Catalyst prunes the content read for rows the
-    # date filter rejects when only metadata columns are referenced
-    reason = reason_cascade(*checks)
-    annotated = files.withColumn("reason", reason)
+        annotated = list_files(spark, args.source).select(
+            "path",
+            reason_cascade((date_pred, "outside date range")).alias("reason"),
+        )
     plan = annotated.where(F.col("reason") == "Matches all criteria").select(
         F.col("path").alias("source_path"),
         strip_prefix_rewrite(

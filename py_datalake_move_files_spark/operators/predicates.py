@@ -21,21 +21,28 @@ def date_range_predicate(
     *,
     after: _dt.datetime | None = None,
     before: _dt.datetime | None = None,
-    missing_passes: bool = True,
+    missing_passes: bool | None = True,
 ) -> Column:
     """P9 (reference app/main.py:119-136): keep iff ``after <= ts <= before``,
     each bound independently optional. The reference treats a missing
     timestamp as PASSING ("upload date unknown", app/main.py:135-136) —
     inverted vs SQL three-valued logic, hence the explicit coalesce.
+
+    ``missing_passes=None`` skips the null handling entirely (plain SQL
+    3VL). This matters for SOURCE PUSHDOWN: ``coalesce(...)`` is not a
+    translatable source filter, so the True/False modes evaluate post-scan;
+    the None mode yields bare comparisons that reach e.g. binaryFile's
+    PushedFilters (where ``modificationTime`` is never null, so all three
+    modes agree semantically — see sources.read_content_after_metadata_filter).
     """
     pred = F.lit(True)
     if after is not None:
         pred = pred & (ts >= F.lit(after))
     if before is not None:
         pred = pred & (ts <= F.lit(before))
-    if missing_passes:
+    if missing_passes is True:
         pred = F.coalesce(pred, F.lit(True))
-    else:
+    elif missing_passes is False:
         pred = F.coalesce(pred, F.lit(False))
     return pred
 

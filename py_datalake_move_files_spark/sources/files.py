@@ -50,6 +50,35 @@ def read_files_with_content(
     return reader.load(path)
 
 
+def read_content_after_metadata_filter(
+    spark: SparkSession,
+    path: str,
+    metadata_pred,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Stage 2 of the two-stage content pipeline (SURVEY §4 row 2: "cheap
+    metadata date filter before expensive content download",
+    reference app/main.py:126-141).
+
+    ``metadata_pred`` must reference only the scan's metadata columns
+    (``path``, ``length``, ``modificationTime``). Applying it DIRECTLY to
+    the binaryFile scan (not to a derived column) lets Spark push it into
+    the source as a data filter; ``BinaryFileFormat`` evaluates pushed
+    path/length/modificationTime filters against the file STATUS before
+    opening the file, so rejected files never have their bytes read.
+    Callers produce date-rejection audit rows from a separate
+    :func:`list_files` metadata scan (stage 1), which reads no bytes by
+    construction. Verified behaviorally in tests/test_sources.py (an
+    over-maxLength file that the predicate rejects does not fail the scan —
+    it would throw if its content were materialized) and by plan assertion
+    (the FileScan carries the pushed modificationTime filter)."""
+    return read_files_with_content(
+        spark, path, glob=glob, recursive=recursive
+    ).where(metadata_pred)
+
+
 def with_decoded_text(df: DataFrame, *, content_col: str = "content") -> DataFrame:
     """S6 first half: UTF-8 decode of file bytes (reference app/main.py:61)."""
     return df.withColumn("text", F.decode(F.col(content_col), "UTF-8"))

@@ -426,6 +426,13 @@ def heavy_hitters(
     1 moves ≤ candidates×partitions rows; phase 2 aggregates a
     candidate-bounded stream). Result is exact and deterministic regardless
     of partitioning: ``(item, n, frac)`` for items with n > min_frac·N.
+
+    The item column is canonicalized to STRING up front (the output field
+    is StringType and phase 1's pandas summary indexes by string): for a
+    non-string ``item_col`` the counts are over the column's Spark string
+    rendering, and the phase-2 semi join compares string-to-string — never
+    an implicit cross-type cast (which would silently lose precision on
+    e.g. large longs).
     """
     if candidates_per_partition < 1.0 / min_frac:
         raise ValueError(
@@ -459,7 +466,7 @@ def heavy_hitters(
                 counters = counters[counters > d] - d
         yield _pd.DataFrame({"__item": counters.index.astype(str)})
 
-    items = df.select(F.col(item_col).alias("__item")).where(
+    items = df.select(F.col(item_col).cast("string").alias("__item")).where(
         F.col("__item").isNotNull()
     )
     cand = items.mapInPandas(

@@ -20,69 +20,91 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. This curated
-#: prefix packs one representative per SURVEY.md §2 operator row plus the
-#: flagship LLM-pipeline ops (dedup family incl. clustering, ANN incl. IVF,
-#: corpus curation, PII, repetition, multimodal) into that window; redundant
-#: variants (compat modes, extra scalar suites, LSH multitable) follow after.
+#: The driver hash-checks the FIRST 50 registered queries. Round-4 rotation:
+#: rounds 1-3 accumulated driver-green rows for 64 of the 116 registered
+#: queries; this window keeps 8 anchors (one per major §2 family, all green
+#: in r3) and fills the other 42 slots with queries that have NEVER received
+#: a driver-side CORRECTNESS row (TPC-H tail q2/q6-q20/q22, the profiling/
+#: analytics tier, the four r3 scale queries, heavy hitters, tfidf, funnel/
+#: cohort, audio multimodal, map funcs). After this round the cumulative
+#: driver coverage is 106/116; the 10 still-unchecked names (redundant
+#: scalar-suite variants listed at the bottom of this file) rotate in next.
 CURATED_FIRST = [
-    # file-pipeline tier (reference pipelines A/B)
+    # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",
-    "manifest_status_counts",
-    "path_rewrite_ops",
-    "date_range_filter",
-    "json_content_predicate",
-    "json_probe_exact",
-    "filter_reason_cascade",
-    # relational core: agg + join family
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
-    "left_outer_customer_orders",
-    "full_outer_nation_presence",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "asof_purchase_prior_view",
-    "range_join_value_buckets",
-    "interval_attribution_bucketed",
-    # event-time windows + sessionization
     "sessionize_events",
-    "hourly_event_stats",
-    "window_latest_order",
-    "window_running_revenue",
-    "window_range_frame",
-    # top-k / set ops / grouping family
-    "top_customers",
-    "topk_per_group_parts",
-    "set_ops_segments",
-    "agg_distinct_stats",
-    "rollup_nation_region",
-    "grouping_sets_orders",
-    "approx_distinct_users",
-    "percentile_prices",
-    "pivot_event_type_counts",
-    "unpivot_lineitem_metrics",
-    "explode_token_topk",
-    # subquery family + one heavy TPC-H
-    "scalar_subquery_above_avg",
-    "q4_priority_exists",
-    "not_in_null_semantics",
-    "q21_late_exclusive_suppliers",
-    # scalar-function + UDF/multimodal surface
-    "props_key_stats",
-    "multimodal_decode_features",
-    # LLM-data-pipeline flagship tier
-    "dedup_exact",
+    "asof_purchase_prior_view",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "dedup_cluster_assignment",
-    "ann_brute_force",
-    "ann_lsh_bucketed",
     "ann_ivf_topk",
-    "repetition_stats",
-    "pii_redaction",
     "corpus_curation_pipeline",
+    # TPC-H tail — never driver-checked before this round
+    "q2_min_price_supplier",
+    "q6_revenue_filter",
+    "q7_bilateral_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_latency_priority_counts",
+    "q13_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_big_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q22_idle_rich_customers",
+    # r3 scale tier — never driver-checked
+    "event_dedup_tumbling",
+    "fuzzy_customer_pairs",
+    "skew_salted_event_join",
+    "pagerank_nation_flow",
+    # profiling / analytics tier — never driver-checked
+    "funnel_conversion",
+    "cohort_retention",
+    "tfidf_top_terms",
+    "value_histogram",
+    "table_profile_orders",
+    "winsorized_value_stats",
+    "regr_trend_by_nation",
+    "incremental_agg_merge",
+    "snapshot_diff_counts",
+    "zorder_locality",
+    "date_gap_fill",
+    # subquery / window variants — never driver-checked
+    "lateral_topk_orders",
+    "recursive_cte_tree_depth",
+    # r4's new hot-key salted as-of join (benched this round)
+    "asof_salted_hot_keys",
+    # corpus / text / multimodal tier — never driver-checked
+    "heavy_hitter_tokens",
+    "corpus_gate_counts",
+    "source_mixture_counts",
+    "sequence_packing_stats",
+    "ivf_list_sizes",
+    "multimodal_audio_features",
+    "map_funcs_suite",
+]
+
+#: Still without a driver-side CORRECTNESS row after round 4 (all are
+#: redundant variants of driver-green queries and all stay covered by the
+#: local DuckDB parity mirror in tests/test_oracle_parity.py). Rotate these
+#: into the window in round 5.
+NEVER_DRIVER_CHECKED_AFTER_R4 = [
+    "sliding_window_counts",
+    "window_lead_gap",
+    "array_funcs_suite",
+    "null_handling_suite",
+    "stats_corr_quantity_price",
+    "approx_percentile_prices",
+    "text_normalize",
+    "dataset_split_counts",
+    "deterministic_group_sample",
+    "char_entropy_stats",
+    "window_rank_suite",
 ]
 
 

@@ -28,13 +28,25 @@ def test_curated_window():
     assert set(o) == set(e.ORACLE)
     # the driver's hash compare needs an oracle for every curated query
     assert [n for n in e.CURATED_FIRST if n not in o] == []
-    flagship = {
-        "ann_ivf_topk",
-        "dedup_cluster_assignment",
-        "repetition_stats",
-        "pii_redaction",
-        "corpus_curation_pipeline",
-        "q21_late_exclusive_suppliers",
-        "multimodal_decode_features",
-    }
-    assert flagship <= set(e.CURATED_FIRST)
+
+
+def test_round4_rotation_targets_never_checked_queries():
+    """The 42 non-anchor slots must all be queries with no driver-side
+    CORRECTNESS row from rounds 1-3; the deferred list plus the window
+    plus the previously-checked set must cover the whole registry."""
+    import json
+
+    e = _load_entry()
+    root = Path(__file__).resolve().parents[1]
+    checked = set()
+    for name in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        p = root / name
+        if p.exists():
+            checked |= set(json.loads(p.read_text()))
+    anchors = set(e.CURATED_FIRST[:8])
+    rotation = set(e.CURATED_FIRST[8:])
+    assert anchors <= checked  # anchors re-verify known-green families
+    assert not (rotation & checked)  # every rotated slot is new evidence
+    deferred = set(e.NEVER_DRIVER_CHECKED_AFTER_R4)
+    assert not (deferred & set(e.CURATED_FIRST))
+    assert checked | rotation | deferred == set(e.QUERIES)

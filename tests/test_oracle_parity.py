@@ -1,6 +1,14 @@
 """Local mirror of the driver's correctness gate: run every registered query
-on Spark AND its oracle SQL on DuckDB at sf0.001, compare row count, column
-names, and an order-insensitive value hash.
+on Spark AND its oracle SQL on DuckDB, compare row count, column names, and
+an order-insensitive value hash.
+
+Two tiers (VERDICT r3 "What's missing" #2 — parity must reach the driver's
+scale so scale-sensitive divergences like percentile interpolation or float
+summation order surface locally first):
+
+- EVERY registered query at sf0.001 (fast full sweep), and
+- the driver's 50-slot curated window (``__spark_entry__.CURATED_FIRST``)
+  additionally at sf0.01 — exactly the data the driver hashes.
 
 Values are canonicalized the same way for both engines (repr of python
 scalars after float→17g formatting), rows sorted, columns sorted by name —
@@ -10,7 +18,10 @@ scheme is very likely to pass if this does.
 
 from __future__ import annotations
 
+import importlib.util
 import math
+import sys
+from pathlib import Path
 
 import duckdb
 import pytest
@@ -18,7 +29,22 @@ import pytest
 from py_datalake_move_files_spark.catalog import TABLES
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_SWEEP = "/root/testdata/sf0.001"
+SF_DRIVER = "/root/testdata/sf0.01"
+
+
+def _curated_window() -> list[str]:
+    path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__spark_entry__", mod)
+    spec.loader.exec_module(mod)
+    return list(mod.CURATED_FIRST)
+
+
+CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [
+    (n, SF_DRIVER) for n in _curated_window()
+]
 
 
 def _canon_value(v):
@@ -49,14 +75,25 @@ def _duck_conn(sf_dir: str):
 
 @pytest.fixture(scope="module")
 def duck():
-    con = _duck_conn(SF_DIR)
-    yield con
-    con.close()
+    cons: dict[str, duckdb.DuckDBPyConnection] = {}
+
+    def get(sf_dir: str):
+        if sf_dir not in cons:
+            cons[sf_dir] = _duck_conn(sf_dir)
+        return cons[sf_dir]
+
+    yield get
+    for c in cons.values():
+        c.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_DIR)
+@pytest.mark.parametrize(
+    "name,sf_dir",
+    CASES,
+    ids=[f"{n}@{Path(sf).name}" for n, sf in CASES],
+)
+def test_query_matches_oracle(name, sf_dir, spark, duck):
+    sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
 
@@ -65,7 +102,7 @@ def test_query_matches_oracle(name, spark, duck):
         assert len(srows) >= 0
         return
 
-    res = duck.execute(ORACLE[name])
+    res = duck(sf_dir).execute(ORACLE[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
 

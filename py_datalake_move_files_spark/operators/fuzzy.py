@@ -97,8 +97,15 @@ def fuzzy_hamming_pairs(
     ``key_a, key_b, hdist`` (hdist as long).
 
     Plan shape: band-explode (map-side) -> one hash self-join on
-    (group, __len, chunk_idx, chunk) -> distinct -> exact verify via a
-    zip_with/aggregate SQL expression. No cartesian product at any size.
+    (group, __len, chunk_idx, chunk) -> exact verify via a
+    zip_with/aggregate SQL expression (MAP-SIDE, directly on the join
+    output) -> distinct on the surviving (key_a, key_b, hdist) triples.
+    Verify-before-distinct matters at scale: a pair can match on up to
+    ``max_dist + 1`` classes, but deduplicating BEFORE the verify would
+    shuffle the full candidate set with both name strings as payload;
+    verifying first means the only post-join shuffle carries the
+    (typically tiny) verified-pair triples. No cartesian product at any
+    size.
     """
     banded = banded_strings(df, key_col, name_col, group_cols, max_dist)
     a, b = banded.alias("a"), banded.alias("b")
@@ -110,19 +117,19 @@ def fuzzy_hamming_pairs(
     )
     for g in group_cols:
         cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{key_col}").alias("key_a"),
-            F.col(f"b.{key_col}").alias("key_b"),
-            F.col(f"a.{name_col}").alias("name_a"),
-            F.col(f"b.{name_col}").alias("name_b"),
-        )
-        .distinct()  # a pair can match on up to max_dist+1 classes
+    cand = a.join(b, cond).select(
+        F.col(f"a.{key_col}").alias("key_a"),
+        F.col(f"b.{key_col}").alias("key_b"),
+        F.col(f"a.{name_col}").alias("name_a"),
+        F.col(f"b.{name_col}").alias("name_b"),
     )
-    # exact verify on the candidate-bounded set: positional mismatch count.
-    # SQL-text HOF with unique lambda variables (python-lambda HOFs corrupt
-    # under multiple bindings; see tests/test_lambda_safety.py).
+    # Exact verify on the candidate-bounded set: positional mismatch count
+    # via one zip_with/aggregate SQL expression. (An unrolled sum of 64
+    # per-position substr comparisons was tried and is ~3x SLOWER: substr
+    # seeks from the string start on UTF8 bytes — O(L^2) per row — and the
+    # 64-way CASE tree exceeds codegen expression limits. The array HOF is
+    # interpreted but linear.) SQL-text lambdas with unique variables per
+    # the engine's lambda-safety policy (see tests/test_lambda_safety.py).
     hdist = F.expr(
         "aggregate(zip_with(split(name_a, ''), split(name_b, ''), "
         "(fz_a, fz_b) -> IF(fz_a = fz_b, 0, 1)), 0, "
@@ -132,4 +139,5 @@ def fuzzy_hamming_pairs(
         cand.withColumn("hdist", hdist)
         .where(F.col("hdist") <= max_dist)
         .select("key_a", "key_b", F.col("hdist").cast("long").alias("hdist"))
+        .distinct()  # a pair can match on up to max_dist+1 classes
     )

@@ -94,6 +94,8 @@ CURATED_FIRST = [
 #: local DuckDB parity mirror in tests/test_oracle_parity.py). Rotate these
 #: into the window in round 5.
 NEVER_DRIVER_CHECKED_AFTER_R4 = [
+    "ann_recall_ivf",  # new in r4 (post-rotation); local parity both SFs
+    "key_skew_profile",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.operators import similarity as SIM
-from py_datalake_move_files_spark.queries import dd_cosine, register, _t
+from py_datalake_move_files_spark.queries import dd_cosine, register, _t  # noqa: F401
 
 N_LISTS = 8
 N_PROBE = 2
@@ -118,4 +118,97 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(
         emb, queries, k=10, n_lists=N_LISTS, n_probe=N_PROBE,
         centroids=_centroids(spark, sf_dir),
+    )
+
+
+@register(
+    "ann_recall_ivf",
+    _IVF_PRELUDE
+    + f""",
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc WHERE vec_id < 5
+  ) WHERE rn <= {N_PROBE}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+ivf_scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {dd_cosine('q.q_vec', 'a.embedding')} AS cosine_sim
+  FROM probes p
+  JOIN asg a USING (list_id)
+  JOIN qv q ON p.query_id = q.query_id
+  WHERE a.vec_id <> p.query_id
+),
+ivf_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM ivf_scored
+),
+ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
+  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+ex_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM ex_scored
+),
+hits AS (
+  SELECT i.query_id, count(*) AS n
+  FROM ivf_r i JOIN ex_r e
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  WHERE i.rn <= 10 AND e.rn <= 10
+  GROUP BY i.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_10
+FROM qv q LEFT JOIN hits h USING (query_id)
+""",
+)
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@10 of the IVF index against the exact brute-force baseline —
+    the standard ANN quality metric, and the eval a training pipeline runs
+    before trusting an approximate index for hard-negative mining or
+    near-dup retrieval.
+
+    Both arms are deterministic (md5-sampled centroids, rounded cosine,
+    id tie-breaks), so the whole evaluation has an exact DuckDB oracle.
+    Plan shape: the exact arm is the broadcast-queries BNLJ scan, the IVF
+    arm probes n_probe/n_lists of the corpus, the comparison is a
+    left-semi join on (query_id, neighbor_id) over 2x50 rows and a
+    5-group aggregate — evaluation cost is dominated by the exact arm,
+    which at 100 TB you run on a SAMPLE of queries (here all 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = SIM.ivf_topk(
+        emb, queries, k=10, n_lists=N_LISTS, n_probe=N_PROBE,
+        centroids=_centroids(spark, sf_dir),
+    )
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
+                "recall_at_10"
+            ),
+        )
     )

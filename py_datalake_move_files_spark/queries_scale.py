@@ -242,6 +242,67 @@ def q_asof_salted_hot_keys(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# key-skew diagnostic profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_profile",
+    """
+WITH counts AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_c FROM counts),
+top10 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS top10_c FROM (
+    SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT 10
+  )
+)
+SELECT t.n_keys, t.total, t.max_c,
+       round(t.max_c / CAST(t.total AS DOUBLE), 6) AS max_share,
+       round(p.top10_c / CAST(t.total AS DOUBLE), 6) AS top10_share
+FROM tot t CROSS JOIN top10 p
+""",
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Key-skew diagnostics over the event stream: max and top-10 key
+    shares of total rows. This is the pre-flight check that decides the
+    join strategy at scale — max_share near 1/parallelism or above means a
+    plain shuffle join serializes on the hot key and the plan needs
+    salting (functions/skew.salted_join, asof salt_buckets=) or AQE skew
+    splitting. Plan: one groupBy on the key (the same shuffle the join
+    would do), then three scalar aggregates over the per-key counts —
+    top-10 via TakeOrderedAndProject, never a global sort."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("total"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    top10 = (
+        counts.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("top10_c"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .select(
+            "n_keys",
+            "total",
+            "max_c",
+            F.round(F.col("max_c") / F.col("total").cast("double"), 6).alias(
+                "max_share"
+            ),
+            F.round(F.col("top10_c") / F.col("total").cast("double"), 6).alias(
+                "top10_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the nation trade graph
 # ---------------------------------------------------------------------------
 

@@ -57,6 +57,9 @@ HEADLINE = [
     "heavy_hitter_tokens",
     # r4: deliberately hot-keyed as-of join, salted (VERDICT r3 #8)
     "asof_salted_hot_keys",
+    # r4: similarity-tier eval + skew pre-flight diagnostics
+    "ann_recall_ivf",
+    "key_skew_profile",
 ]
 
 

@@ -44,21 +44,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _interleaved_chunk(name_col: str, j: int, k: int) -> Column:
+def _interleaved_chunk_expr(name_col: str, j: int, k: int) -> Column:
     """Position class ``j`` of ``k``: the characters at 0-based positions
     ``p ≡ j (mod k)``, gathered with a Java regex — ``(.)(.?)...`` matched
     repeatedly keeps every k-th character of the suffix starting at j.
     Pure codegen'd string expressions (no UDF, and no Python lambda HOF
     per the engine's lambda-safety policy)."""
     gather = "(.)" + "(.?)" * (k - 1)
-    return F.struct(
-        F.lit(j).alias("chunk_idx"),
-        F.regexp_replace(
-            # 2^30 ≈ "to end of string"; substring(pos, len) is 1-based
-            F.substring(F.col(name_col), j + 1, 1 << 30),
-            gather,
-            "$1",
-        ).alias("chunk"),
+    return F.regexp_replace(
+        # 2^30 ≈ "to end of string"; substring(pos, len) is 1-based
+        F.substring(F.col(name_col), j + 1, 1 << 30),
+        gather,
+        "$1",
     )
 
 
@@ -68,20 +65,51 @@ def banded_strings(
     name_col: str,
     group_cols: Sequence[str] = (),
     max_dist: int = 2,
+    n_classes: int | None = None,
 ) -> DataFrame:
-    """Explode each row into ``max_dist + 1`` (chunk_idx, chunk) bands —
-    interleaved position classes of ``name_col``. Exposed separately so
-    tests can assert the class partition invariants (disjoint cover,
-    non-degenerate buckets)."""
-    k = max_dist + 1
+    """Explode each row into (chunk_idx, chunk) bands over interleaved
+    position classes of ``name_col``.
+
+    With ``k = n_classes`` classes and at most ``d = max_dist`` mismatches,
+    at least ``k - d`` classes are untouched, so each band is one
+    ``(k - d)``-subset of classes concatenated — a close pair must agree on
+    at least one full band (PartEnum-style combinatorial banding).
+
+    - ``n_classes = d + 1`` (the default): bands are single classes —
+      minimal band multiplicity (k rows per input row), the right choice
+      when single classes are selective.
+    - ``n_classes > d + 1``: C(k, k-d) bands of compound keys — more
+      exploded rows, but bucket sizes shrink roughly multiplicatively
+      (each band now requires TWO+ classes to collide), which is the lever
+      when single-class buckets are dense (short alphabets, numeric tails:
+      measured 749k -> 9k candidates on the sf0.1 customer names with
+      k=4, d=2). Exposed separately so tests can assert the partition
+      invariants and bucket bounds."""
+    k = n_classes if n_classes is not None else max_dist + 1
+    if k <= max_dist:
+        raise ValueError(f"n_classes={k} must exceed max_dist={max_dist}")
+    from itertools import combinations
+
+    classes = [_interleaved_chunk_expr(name_col, j, k) for j in range(k)]
+    bands = []
+    for bi, combo in enumerate(combinations(range(k), k - max_dist)):
+        # class lengths are a function of (__len, k), so the concat is
+        # injective per (chunk_idx, __len); the separator just keeps the
+        # bands readable
+        chunk = (
+            classes[combo[0]]
+            if len(combo) == 1
+            else F.concat_ws("\x1f", *[classes[j] for j in combo])
+        )
+        bands.append(
+            F.struct(F.lit(bi).alias("chunk_idx"), chunk.alias("chunk"))
+        )
     base = df.select(
         key_col, name_col, *group_cols, F.length(name_col).alias("__len")
     )
     return base.select(
         "*",
-        F.explode(
-            F.array(*[_interleaved_chunk(name_col, j, k) for j in range(k)])
-        ).alias("band"),
+        F.explode(F.array(*bands)).alias("band"),
     ).select(key_col, name_col, *group_cols, "__len", "band.*")
 
 
@@ -91,6 +119,7 @@ def fuzzy_hamming_pairs(
     name_col: str,
     group_cols: Sequence[str] = (),
     max_dist: int = 2,
+    n_classes: int | None = None,
 ) -> DataFrame:
     """All pairs (a, b) with ``a.key < b.key``, equal group columns, equal
     length, and hamming distance <= ``max_dist``. Returns columns
@@ -105,9 +134,12 @@ def fuzzy_hamming_pairs(
     shuffle the full candidate set with both name strings as payload;
     verifying first means the only post-join shuffle carries the
     (typically tiny) verified-pair triples. No cartesian product at any
-    size.
+    size. ``n_classes`` forwards to :func:`banded_strings` (compound-band
+    selectivity vs band multiplicity).
     """
-    banded = banded_strings(df, key_col, name_col, group_cols, max_dist)
+    banded = banded_strings(
+        df, key_col, name_col, group_cols, max_dist, n_classes
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cond = (
         (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))

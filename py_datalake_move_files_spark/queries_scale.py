@@ -111,16 +111,22 @@ def q_fuzzy_customer_pairs(spark, sf_dir):
     non-degenerate on low-entropy corpora (contiguous thirds of
     ``Customer#000000001``-style names share a constant ``Custom``
     chunk → one bucket per nation → quadratic; measured 54 s vs ~2 s at
-    sf0.1). The verify step recomputes the exact distance on the
-    candidate-bounded set. At 100 TB this is 3 hash joins on
-    well-distributed keys — the all-pairs plan never exists.
-    The oracle is the naive quadratic join (fine at sf0.01).
+    sf0.1). This query runs the COMPOUND-band variant (``n_classes=4``:
+    any pair within distance 2 leaves >= 2 of 4 classes untouched, so the
+    C(4,2)=6 bands join on two-class compound keys — PartEnum-style),
+    which cuts candidates 749k -> 223k and runtime ~2x on this numeric-
+    tail corpus at the cost of 6 banded rows per input row. The verify
+    step recomputes the exact distance on the candidate-bounded set. At
+    100 TB this is 6 hash joins on well-distributed keys — the all-pairs
+    plan never exists. The oracle is the naive quadratic join (fine at
+    sf0.01).
     """
     from py_datalake_move_files_spark.operators.fuzzy import fuzzy_hamming_pairs
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
     pairs = fuzzy_hamming_pairs(
-        c, "c_custkey", "c_name", group_cols=("c_nationkey",), max_dist=2
+        c, "c_custkey", "c_name", group_cols=("c_nationkey",), max_dist=2,
+        n_classes=4,
     )
     return pairs.select(
         F.col("key_a").alias("custkey_a"),

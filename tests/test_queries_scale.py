@@ -116,6 +116,32 @@ def test_fuzzy_banding_is_length_adaptive_on_short_names(spark):
             assert all(c != "" for c in chunks), (nm, chunks)
 
 
+def test_fuzzy_compound_bands_agree_with_single_class_bands(spark):
+    """PartEnum-style compound banding (n_classes > max_dist + 1) is a pure
+    candidate-generation change: results must equal the single-class scheme
+    on every corpus, including short names where some classes are empty."""
+    import itertools
+
+    from py_datalake_move_files_spark.operators.fuzzy import fuzzy_hamming_pairs
+
+    base = ["cat", "car", "dog", "fog", "alpha", "alphb", "gamma", "gamut", "delta9"]
+    rows = [
+        (i, nm[:-1] + chr(ord("a") + i % 7))
+        for i, nm in enumerate(itertools.islice(itertools.cycle(base), 60))
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    singles = set(map(tuple, fuzzy_hamming_pairs(df, "id", "name").collect()))
+    for k in (4, 5):
+        compound = set(
+            map(
+                tuple,
+                fuzzy_hamming_pairs(df, "id", "name", n_classes=k).collect(),
+            )
+        )
+        assert compound == singles, k
+    assert len(singles) > 50
+
+
 def test_fuzzy_banding_no_constant_bucket_on_uniform_prefix_corpus(spark):
     """The TPC-H-shaped regression: names sharing a long constant prefix
     plus a high-entropy numeric tail must NOT band into one giant bucket

@@ -223,14 +223,21 @@ def q_deterministic_group_sample(spark, sf_dir):
 # The "new" snapshot is derived deterministically from orders so the diff is
 # oracle-checkable: 1/16 of keys removed, 1/16 repriced (+10%), and a
 # disjoint synthetic key range added.
+# repricing runs in the DECIMAL domain then casts to double: double-domain
+# round(x * 1.1, 2) diverges between engines on half-cent ties (Spark
+# rounds the shortest decimal repr, DuckDB the binary double) — invisible
+# to the counts-only diff query but fatal to scd2's value-level hashing
 _NEW_SNAP_SQL = """
   SELECT o_orderkey, o_orderstatus,
          CASE WHEN o_orderkey % 16 = 1
-              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+              THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                        AS DOUBLE)
+              ELSE o_totalprice END
            AS o_totalprice
   FROM orders WHERE o_orderkey % 16 <> 0
   UNION ALL
-  SELECT o_orderkey + 4000000000, 'N', round(o_totalprice, 2)
+  SELECT o_orderkey + 4000000000, 'N',
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
   FROM orders WHERE o_orderkey % 16 = 2
 """
 
@@ -261,24 +268,83 @@ def q_snapshot_diff_counts(spark, sf_dir):
     tally.  One key-partitioned join shuffle + one tiny aggregate; at 100 TB
     both snapshots hash-partition by the same key so no data is replicated.
     Operator: ``operators/delta.snapshot_diff``."""
+    old, new = _order_snapshots(spark, sf_dir)
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _order_snapshots(spark, sf_dir):
+    """The deterministic (old, new) orders snapshot pair behind the CDC
+    queries: 1/16 of keys removed, 1/16 repriced (+10%), a disjoint
+    synthetic key range added (mirrors ``_NEW_SNAP_SQL``)."""
     orders = _t(spark, sf_dir, "orders")
     old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # decimal-domain repricing (see _NEW_SNAP_SQL comment): exact in both
+    # engines, no half-cent tie divergence
+    repriced = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"),
+        2,
+    ).cast("double")
     kept = orders.where(F.col("o_orderkey") % 16 != 0).select(
         "o_orderkey",
         "o_orderstatus",
-        F.when(
-            F.col("o_orderkey") % 16 == 1, F.round(F.col("o_totalprice") * 1.1, 2)
-        )
+        F.when(F.col("o_orderkey") % 16 == 1, repriced)
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
     added = orders.where(F.col("o_orderkey") % 16 == 2).select(
         (F.col("o_orderkey") + 4000000000).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
     )
-    new = kept.unionByName(added)
-    d = snapshot_diff(
-        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    return old, kept.unionByName(added)
+
+
+_SCD2_ORACLE = f"""
+WITH new_snap AS ({_NEW_SNAP_SQL}),
+old_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+hist AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+         DATE '2024-01-01' AS valid_from,
+         CASE WHEN n.o_orderkey IS NULL
+                OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+              THEN DATE '2024-06-01' END AS valid_to
+  FROM old_snap o LEFT JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+  UNION ALL
+  SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice,
+         DATE '2024-06-01', NULL
+  FROM new_snap n LEFT JOIN old_snap o ON n.o_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+     OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+             AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist
+"""
+
+
+@register("scd2_order_history", _SCD2_ORACLE)
+def q_scd2_order_history(spark, sf_dir):
+    """Type-2 SCD history build over the deterministic snapshot pair: every
+    old row (closed at the new snapshot date iff removed/changed) plus one
+    open row per added/changed key. One full-outer key join; the up-to-two
+    history rows per key come from a map-side array_compact + explode, so
+    the whole history rewrite is a single shuffle at any scale. Operator:
+    ``operators/delta.scd2_apply``."""
+    from py_datalake_move_files_spark.operators.delta import scd2_apply
+
+    old, new = _order_snapshots(spark, sf_dir)
+    return scd2_apply(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+        old_from="2024-01-01",
+        new_from="2024-06-01",
     )
-    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))

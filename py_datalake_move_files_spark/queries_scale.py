@@ -1,22 +1,28 @@
-"""Scale-pattern tier (round 3): batch twins and 100 TB join strategies
-that complete the streaming/dedup surface.
+"""Scale-pattern tier (rounds 3-4): batch twins and 100 TB join
+strategies that complete the streaming/dedup surface.
 
 - ``event_dedup_tumbling`` — the BATCH twin of
   ``dropDuplicatesWithinWatermark`` (streaming/joins.py): first event per
   (user, type, tumbling window). One shuffle on the dedup key.
 - ``fuzzy_customer_pairs`` — string-similarity self-join via pigeonhole
-  banding (the PassJoin/Ed-Join family): strings within hamming distance
-  ≤ 2 must agree on at least one of 3 disjoint chunks, so candidates come
-  from 3 equi joins on (nation, chunk) — never an all-pairs comparison.
+  banding (operators/fuzzy.py, PassJoin/Ed-Join/PartEnum family):
+  strings within hamming distance ≤ 2 must agree on ≥ 2 of 4 interleaved
+  position classes, so candidates come from 6 equi joins on two-class
+  compound keys — never an all-pairs comparison.
 - ``skew_salted_event_join`` — a deliberately skewed big-big join routed
   through :func:`functions.skew.salted_join`; results identical to the
   plain join (the oracle), plan splits the hot key across ``salt`` tasks.
+- ``asof_salted_hot_keys`` (r4) — the as-of join under 70%-one-key skew,
+  salted into (key, time-bucket) windows (operators/asof.py); oracle is
+  DuckDB's native ASOF LEFT JOIN.
+- ``key_skew_profile`` (r4) — max/top-10 key share diagnostics, the
+  pre-flight that decides whether a join needs the remedies above.
 - ``pagerank_nation_flow`` — iterative tier beyond connected components:
-  8 weighted PageRank rounds over the nation-to-nation trade graph. The
-  graph is AGGREGATED first (25 nodes — the 100 TB shape: edge build is
-  the big job, iteration runs on the tiny aggregate), and the oracle
-  unrolls the same 8 rounds as chained CTEs (recursive CTEs cannot carry
-  GROUP BY in the recursive term).
+  8 weighted PageRank rounds over the nation-to-nation trade graph via
+  operators/graph.pagerank. The graph is AGGREGATED first (25 nodes —
+  the 100 TB shape: edge build is the big job, iteration runs on the
+  tiny aggregate), and the oracle unrolls the same 8 rounds as chained
+  CTEs (recursive CTEs cannot carry GROUP BY in the recursive term).
 
 The reference's surface (file pipelines, reference app/app.py +
 app/main.py) has no analogue for these; they are part of the

@@ -60,6 +60,8 @@ HEADLINE = [
     # r4: similarity-tier eval + skew pre-flight diagnostics
     "ann_recall_ivf",
     "key_skew_profile",
+    # r4: CDC tier — SCD2 history build (one full-outer join + explode)
+    "scd2_order_history",
 ]
 
 

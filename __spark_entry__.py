@@ -97,6 +97,8 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "ann_recall_ivf",  # new in r4 (post-rotation); local parity both SFs
     "key_skew_profile",  # new in r4 (post-rotation); local parity both SFs
     "scd2_order_history",  # new in r4 (post-rotation); local parity both SFs
+    "decontamination_overlap",  # new in r4 (post-rotation); local parity both SFs
+    "vocab_oov_rate",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -72,6 +72,61 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    id_col: str,
+    eval_filter: Column,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    k-word shingle with the evaluation slice of the corpus.
+
+    The standard LLM-corpus hygiene pass (n-gram overlap against held-out
+    benchmark text). Returns one row per CONTAMINATED training document:
+    ``(id, n_shared, n_shingles, contamination_ratio)`` where ``n_shared``
+    counts the doc's distinct shingles that also occur anywhere in the eval
+    slice and the ratio is ``n_shared / n_shingles`` (6 dp).
+
+    100 TB shape: the eval side of a real decontamination run is benchmark
+    suites (MBs) against a corpus of TBs, so the DISTINCT eval-shingle set
+    is the broadcast side of the join — the corpus is scanned exactly once
+    and never shuffled by shingle; the only corpus exchange is the final
+    per-doc count aggregate (map-side combined). A production variant would
+    broadcast ``xxhash64(shingle)`` instead of shingle strings to shrink
+    the broadcast ~10x; strings are kept here so the DuckDB oracle is
+    bit-for-bit (see queries_corpus.py).
+
+    Reference scope: the reference (a 565-LoC file mover, app/main.py) has
+    no corpus operators; this op belongs to the repo's LLM-pipeline tier.
+    """
+    sh = with_shingles(df, text_col, k)
+    ev_shingles = (
+        sh.where(eval_filter)
+        .select(F.explode("shingle_set").alias("shingle"))
+        .distinct()
+    )
+    train = sh.where(~eval_filter).select(
+        F.col(id_col),
+        F.size("shingle_set").cast("long").alias("n_shingles"),
+        F.explode("shingle_set").alias("shingle"),
+    )
+    hits = (
+        train.join(F.broadcast(ev_shingles), "shingle")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return hits.select(
+        F.col(id_col),
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -17,8 +17,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+from py_datalake_move_files_spark.operators import dedup as DD
 from py_datalake_move_files_spark.operators import text as TXT
-from py_datalake_move_files_spark.queries import _t, register
+from py_datalake_move_files_spark.queries import _t, dd_shingles, register
 
 # --- DuckDB twins of the repetition HOFs (1-based list indexing) ----------
 
@@ -321,6 +322,102 @@ SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_toks) AS BIGINT) AS pack_tokens
 FROM packed GROUP BY source, pack_id
 """
+
+
+# --- benchmark decontamination and vocabulary coverage --------------------
+
+#: the corpus slice standing in for held-out benchmark text (src0 = 5% of
+#: docs at every SF — realistically small relative to the train side)
+_EVAL_SOURCE = "src0"
+
+_DECON_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({dd_shingles('text')}) AS shingle
+  FROM documents WHERE source = '{_EVAL_SOURCE}'
+),
+tr AS (
+  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle
+  FROM documents WHERE NOT (source = '{_EVAL_SOURCE}')
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_shared, s.n_shingles,
+  round(h.n_shared / s.n_shingles, 6) AS contamination_ratio
+FROM hit h JOIN sz s USING (doc_id)
+"""
+
+
+@register("decontamination_overlap", _DECON_ORACLE)
+def q_decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing any 3-word shingle with
+    the eval slice. The distinct eval-shingle set (benchmark suites are MBs
+    vs a TB-scale corpus) is BROADCAST — the train side is scanned once,
+    never shuffled by shingle (plan-pinned, tests/test_plans.py)."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return DD.contamination_report(
+        docs, "doc_id", F.col("source") == _EVAL_SOURCE
+    )
+
+
+_VOCAB_V = 200
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+  ) ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_V}
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(count(*) AS BIGINT), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register("vocab_oov_rate", _VOCAB_ORACLE)
+def q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage analysis: build the top-V corpus vocabulary by
+    token frequency (ties broken lexicographically), then score every doc's
+    out-of-vocabulary token rate against it.
+
+    100 TB shape: pass 1 is wordcount (map-side combined) whose global top-V
+    is TakeOrderedAndProject — per-partition partial top-k, NO
+    single-partition sort; the V-row vocabulary broadcasts into pass 2,
+    which is map-only until the final per-doc count aggregate."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_V)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    agg = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )
 
 
 @register("sequence_packing_stats", _PACKING_ORACLE)

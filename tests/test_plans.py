@@ -177,3 +177,37 @@ def test_interval_join_bucketed_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_decontamination_broadcasts_eval_shingles(spark):
+    # the eval-shingle set (benchmark suites: MBs) must broadcast; the train
+    # corpus must never be hash-shuffled by shingle — its only exchange is
+    # the per-doc count aggregate keyed on (doc_id, n_shingles)
+    plan = _plan(spark, "decontamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    shingle_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+        and l.split("Exchange hashpartitioning", 1)[1].split(",")[0].lstrip("(").startswith("shingle")
+    ]
+    # exactly ONE shingle-keyed exchange is allowed: the EVAL slice's
+    # distinct (MB-scale, feeds the BroadcastExchange). The train corpus's
+    # only exchange is the per-doc count aggregate keyed on doc_id.
+    assert len(shingle_exchanges) == 1, plan
+    assert any(
+        "Exchange hashpartitioning" in l and "doc_id" in l for l in plan.splitlines()
+    )
+
+
+def test_vocab_topv_avoids_global_sort_and_broadcasts(spark):
+    # vocabulary selection must be TakeOrderedAndProject (per-partition
+    # partial top-V) and the OOV pass must join against a broadcast of the
+    # V-row vocabulary — the token stream is never sorted globally
+    plan = _plan(spark, "vocab_oov_rate")
+    assert "TakeOrderedAndProject(limit=200" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not re.search(r"Exchange SinglePartition(?!.*partial)", plan.splitlines()[0])

@@ -363,6 +363,97 @@ def ivf_assign(
     return corpus.withColumn(out, assign)
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means refinement of an IVF init — the aggregate-then-iterate
+    shape (like pagerank_nation_flow): per round, assignment is a ZERO-shuffle
+    map stage over centroid literals and the centroid update is ONE groupBy
+    producing k rows (map-side combined: the shuffle carries k·(dim+1) partial
+    sums per task, not vectors), collected k-rows-small to the driver exactly
+    like :func:`ivf_centroids`.
+
+    Per-dimension sums accumulate FIXED-POINT (``round(v·scale)`` as BIGINT,
+    one ``sum`` expression per dimension — no explode, so no dim-times row
+    inflation): integer addition is associative, making the refined centroids
+    independent of partition order/count — bit-identical across engines and
+    cluster layouts, which floating-point summation cannot guarantee. The
+    new component is then ONE IEEE division ``double(sum)/double(scale·n)``.
+    Exact until cluster mass reaches 2^63/scale ≈ 9.2e12 unit-scaled rows per
+    dimension; raise ``scale`` down or shard clusters past that.
+
+    Clusters that lose every member die (standard Lloyd's-with-death), so
+    the return may be shorter than the input. Returned sorted by centroid id.
+    """
+    dim = len(centroids[0][1])
+    cents = sorted(centroids)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, vec_col=vec_col, out="__c")
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+            F.sum(
+                F.round(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    * F.lit(float(scale))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"__s{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("__c").agg(*aggs).collect()
+        cents = sorted(
+            (
+                r["__c"],
+                [
+                    float(r[f"__s{i}"]) / float(scale * r["__n"])
+                    for i in range(dim)
+                ],
+            )
+            for r in rows
+        )
+    return cents
+
+
+def kmeans_profile(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out: str = "cluster_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cluster-quality report over a (refined) centroid set: per cluster,
+    member count and mean cosine-to-centroid. The mean is computed over
+    fixed-point quantized cosines (the 6-dp rounded cosine ×1e6 as BIGINT)
+    so the aggregate is partition-order-independent — same engine-portable
+    trick as :func:`kmeans_refine`. Map-only until the k-row aggregate."""
+    sims = _centroid_sims(vec_col, centroids)
+    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col, out=out)
+    return (
+        assigned.withColumn("__qc", F.round(best * F.lit(float(scale))).cast("long"))
+        .groupBy(out)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("__qc").cast("long").alias("__sq"),
+        )
+        .select(
+            F.col(out).cast("long").alias(out),
+            "n_vectors",
+            F.round(
+                F.col("__sq").cast("double")
+                / (F.lit(scale).cast("long") * F.col("n_vectors")).cast("double"),
+                6,
+            ).alias("mean_cos"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

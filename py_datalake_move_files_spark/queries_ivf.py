@@ -212,3 +212,93 @@ def q_ann_recall_ivf(spark, sf_dir):
             ),
         )
     )
+
+
+# --- Lloyd's k-means refinement over the IVF init -------------------------
+
+_KMEANS_ITERS = 2
+_KM_SCALE = 1_000_000
+
+#: refined-centroid cache per sf_dir — like _CENTROIDS: training runs once
+#: per corpus (iters small jobs), queries reuse the refined index
+_KM_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _kmeans_centroids(spark, sf_dir: str):
+    if sf_dir not in _KM_CENTROIDS:
+        emb = _t(spark, sf_dir, "embeddings")
+        _KM_CENTROIDS[sf_dir] = SIM.kmeans_refine(
+            emb, _centroids(spark, sf_dir), iters=_KMEANS_ITERS, scale=_KM_SCALE
+        )
+    return _KM_CENTROIDS[sf_dir]
+
+
+def _kmeans_oracle() -> str:
+    from py_datalake_move_files_spark.queries import EMB_DIM
+
+    sc = float(_KM_SCALE)
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_LISTS}
+)"""
+    ]
+    for i in range(_KMEANS_ITERS):
+        parts.append(
+            f"""sc{i} AS (
+  SELECT e.vec_id, e.embedding, c.cid, {dd_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c{i} c
+),
+asg{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc{i}) WHERE rn = 1
+),
+upd{i} AS (
+  SELECT cid, idx,
+    CAST(sum(CAST(round(CAST(v AS DOUBLE) * {sc}) AS BIGINT)) AS BIGINT) AS sq,
+    count(*) AS nv
+  FROM (SELECT cid, unnest(embedding) AS v,
+               unnest(range(1, {EMB_DIM + 1})) AS idx FROM asg{i})
+  GROUP BY cid, idx
+),
+c{i + 1} AS (
+  SELECT cid, list(CAST(sq AS DOUBLE) / CAST({_KM_SCALE} * nv AS DOUBLE) ORDER BY idx) AS cv
+  FROM upd{i} GROUP BY cid
+)"""
+        )
+    final = f"""scF AS (
+  SELECT e.vec_id, c.cid, {dd_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
+),
+asgF AS (
+  SELECT vec_id, cid, s FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scF) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  round(CAST(CAST(sum(CAST(round(s * {sc}) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        / CAST({_KM_SCALE} * count(*) AS DOUBLE), 6) AS mean_cos
+FROM asgF GROUP BY cid"""
+    return "WITH " + ",\n".join(parts) + ",\n" + final
+
+
+@register("kmeans_cluster_profile", _kmeans_oracle())
+def q_kmeans_cluster_profile(spark, sf_dir):
+    """Lloyd's k-means over the embedding corpus (2 refinement rounds on the
+    md5-sample init), reported as per-cluster sizes and mean cosine-to-
+    centroid — the clustering a pipeline runs for semantic dedup buckets,
+    topic balancing, or IVF index training.
+
+    100 TB shape (operators/similarity.kmeans_refine): per round ONE
+    map-only assignment over centroid literals plus ONE k-row aggregate
+    with map-side combine; the corpus is never shuffled. Fixed-point
+    (x1e6 BIGINT) accumulation makes the refined centroids independent of
+    partition order — the property that gives this whole iterative
+    pipeline an exact DuckDB oracle, and on a real cluster makes reruns
+    reproducible regardless of executor layout."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_profile(
+        emb, _kmeans_centroids(spark, sf_dir), scale=_KM_SCALE
+    )

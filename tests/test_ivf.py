@@ -100,3 +100,47 @@ def test_ivf_search_never_shuffles_corpus(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_refine_improves_mean_cosine(emb):
+    # Lloyd's monotonicity (up to quantization): mean cosine-to-centroid
+    # after refinement must not degrade vs the raw md5-sample init
+    from py_datalake_move_files_spark.operators.similarity import (
+        kmeans_profile,
+        kmeans_refine,
+    )
+
+    init = ivf_centroids(emb, n_lists=8)
+    refined = kmeans_refine(emb, init, iters=2)
+
+    def weighted_mean(cents):
+        rows = kmeans_profile(emb, cents).collect()
+        n = sum(r["n_vectors"] for r in rows)
+        return sum(r["mean_cos"] * r["n_vectors"] for r in rows) / n
+
+    assert weighted_mean(refined) > weighted_mean(init)
+
+
+def test_kmeans_refine_deterministic_across_partitionings(emb):
+    # fixed-point accumulation ⇒ identical centroids no matter how the
+    # corpus is partitioned (the floating-sum trap this design avoids)
+    from py_datalake_move_files_spark.operators.similarity import kmeans_refine
+
+    init = ivf_centroids(emb, n_lists=4)
+    a = kmeans_refine(emb, init, iters=1)
+    b = kmeans_refine(emb.repartition(17), init, iters=1)
+    assert a == b
+
+
+def test_kmeans_profile_assignment_stage_is_shuffle_free(emb):
+    # the per-round big job: assignment + k-row aggregate — the only
+    # exchange is the aggregate's (map-side combined), never the corpus
+    from py_datalake_move_files_spark.operators.similarity import (
+        ivf_centroids as _ic,
+        kmeans_profile,
+    )
+
+    df = kmeans_profile(emb, _ic(emb, n_lists=8))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -421,3 +421,149 @@ def q_heavy_hitter_tokens(spark, sf_dir):
     return heavy_hitters(
         toks, "token", min_frac=_HH_MIN_FRAC, candidates_per_partition=1024
     )
+
+
+# --------------------------------------------------------------------------
+# data-quality audit: declarative constraint checks -> one violations report
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH oj AS (
+  SELECT o.o_orderkey, o.o_totalprice, c.c_custkey AS ck
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+lj AS (
+  SELECT l.l_quantity, l.l_discount, o.o_orderkey AS ok
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+rules AS (
+  SELECT 'orders_orphan_custkey' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+    CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM oj
+  UNION ALL SELECT 'orders_dup_orderkey', CAST(count(*) AS BIGINT),
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM oj
+  UNION ALL SELECT 'orders_nonpositive_totalprice', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM oj
+  UNION ALL SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lj
+  UNION ALL SELECT 'lineitem_quantity_out_of_range', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lj
+  UNION ALL SELECT 'lineitem_discount_out_of_range', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) FROM lj
+  UNION ALL SELECT 'events_negative_value', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+  UNION ALL SELECT 'events_malformed_props', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN props IS NULL OR NOT props LIKE '{%' THEN 1 ELSE 0 END) AS BIGINT) FROM events
+  UNION ALL SELECT 'documents_empty_text', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+)
+SELECT rule, n_checked, n_violations,
+  round(n_violations / n_checked, 6) AS violation_rate
+FROM rules
+"""
+
+
+def _rule_report(agg_df, rules):
+    """Explode a single-row conditional-aggregate frame into one row per
+    rule — ONE scan of the checked table no matter how many rules it
+    carries (re-selecting per rule would re-execute the scan per rule)."""
+    structs = [
+        F.struct(
+            F.lit(r).alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col(c).alias("n_violations"),
+        )
+        for r, c in rules
+    ]
+    return agg_df.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+@register("data_quality_audit", _DQ_ORACLE)
+def q_data_quality_audit(spark, sf_dir):
+    """Declarative data-quality audit: nine constraint rules (referential
+    orphans, key uniqueness, domain ranges, malformed payloads, empty text)
+    over four tables, reported as one violations table — the admission gate
+    a pipeline runs before accepting a new data drop.
+
+    100 TB shape: every per-table rule family is ONE pass of conditional
+    aggregates (map-side combined; adding rules adds columns, not scans).
+    The two referential rules join on projected keys only — the lineitem
+    probe shuffles (key, quantity, discount), never whole rows, and AQE
+    picks broadcast when the primary side fits."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    oj = orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+    o_rules = _rule_report(
+        oj.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(F.col("c_custkey").isNull()).alias("orphan"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("long")
+            .alias("dup"),
+            cnt(F.col("o_totalprice") <= 0).alias("nonpos"),
+        ),
+        [
+            ("orders_orphan_custkey", "orphan"),
+            ("orders_dup_orderkey", "dup"),
+            ("orders_nonpositive_totalprice", "nonpos"),
+        ],
+    )
+    lj = lineitem.select(
+        "l_orderkey", "l_quantity", "l_discount"
+    ).join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    l_rules = _rule_report(
+        lj.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(F.col("o_orderkey").isNull()).alias("orphan"),
+            cnt(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ).alias("qty"),
+            cnt(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)
+            ).alias("disc"),
+        ),
+        [
+            ("lineitem_orphan_orderkey", "orphan"),
+            ("lineitem_quantity_out_of_range", "qty"),
+            ("lineitem_discount_out_of_range", "disc"),
+        ],
+    )
+    e_rules = _rule_report(
+        events.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(F.col("value") < 0.0).alias("neg"),
+            cnt(
+                F.col("props").isNull() | ~F.col("props").startswith("{")
+            ).alias("mal"),
+        ),
+        [
+            ("events_negative_value", "neg"),
+            ("events_malformed_props", "mal"),
+        ],
+    )
+    d_rules = _rule_report(
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(F.col("text").isNull() | (F.length("text") == 0)).alias("emp"),
+        ),
+        [("documents_empty_text", "emp")],
+    )
+    report = o_rules.unionAll(l_rules).unionAll(e_rules).unionAll(d_rules)
+    return report.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    )

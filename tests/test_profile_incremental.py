@@ -215,3 +215,58 @@ def test_heavy_hitters_rejects_insufficient_candidates(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError, match="superset guarantee"):
         heavy_hitters(df, "item", min_frac=0.001, candidates_per_partition=10)
+
+
+# ------------------------------------------------------- quality audit --
+
+
+def test_data_quality_audit_detects_injected_violations(spark, tmp_path):
+    # clean sf0.001 rows pass (all-zero report is verified by oracle
+    # parity); this pins DETECTION: a deliberately dirty drop must surface
+    # exact per-rule violation counts
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "dirty"
+    d.mkdir()
+    orders = load_table(spark, sf, "orders")
+    dirty_orders = orders.unionAll(
+        orders.limit(2).withColumn(  # 2 dup keys, orphan custkeys, bad price
+            "o_custkey", F.lit(-999).cast("long")
+        ).withColumn("o_totalprice", F.lit(-1.0).cast(dict(orders.dtypes)["o_totalprice"]))
+    )
+    dirty_orders.write.parquet(str(d / "orders.parquet"))
+    load_table(spark, sf, "customer").write.parquet(str(d / "customer.parquet"))
+    li = load_table(spark, sf, "lineitem").limit(50)
+    dirty_li = li.unionAll(
+        li.limit(3).withColumn("l_orderkey", F.lit(-1).cast("long"))
+        .withColumn("l_quantity", F.lit(999).cast(dict(li.dtypes)["l_quantity"]))
+        .withColumn("l_discount", F.lit(0.9).cast(dict(li.dtypes)["l_discount"]))
+    )
+    dirty_li.write.parquet(str(d / "lineitem.parquet"))
+    ev = load_table(spark, sf, "events").limit(20)
+    dirty_ev = ev.unionAll(
+        ev.limit(4).withColumn("value", F.lit(-5.0)).withColumn(
+            "props", F.lit("not json")
+        )
+    )
+    dirty_ev.write.parquet(str(d / "events.parquet"))
+    docs = load_table(spark, sf, "documents").limit(20)
+    dirty_docs = docs.unionAll(docs.limit(5).withColumn("text", F.lit("")))
+    dirty_docs.write.parquet(str(d / "documents.parquet"))
+
+    rep = {
+        r["rule"]: r for r in QUERIES["data_quality_audit"](spark, str(d)).collect()
+    }
+    assert rep["orders_orphan_custkey"]["n_violations"] == 2
+    assert rep["orders_dup_orderkey"]["n_violations"] == 2
+    assert rep["orders_nonpositive_totalprice"]["n_violations"] == 2
+    assert rep["lineitem_orphan_orderkey"]["n_violations"] == 3
+    assert rep["lineitem_quantity_out_of_range"]["n_violations"] == 3
+    assert rep["lineitem_discount_out_of_range"]["n_violations"] == 3
+    assert rep["events_negative_value"]["n_violations"] == 4
+    assert rep["events_malformed_props"]["n_violations"] == 4
+    assert rep["documents_empty_text"]["n_violations"] == 5
+    assert rep["orders_orphan_custkey"]["n_checked"] == orders.count() + 2
+    assert all(r["violation_rate"] is not None for r in rep.values())

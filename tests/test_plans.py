@@ -200,6 +200,13 @@ def test_decontamination_broadcasts_eval_shingles(spark):
     assert any(
         "Exchange hashpartitioning" in l and "doc_id" in l for l in plan.splitlines()
     )
+    # the scan filters must stay bare source predicates: join/explode
+    # constraints pushed into the scan inline the whole shingle HOF into
+    # the parquet filter (re-split per element — measured 4.1 s vs 1.3 s
+    # at sf0.1; the explode_outer fence in contamination_report stops it)
+    for l in plan.splitlines():
+        if "FileScan" in l:
+            assert "transform" not in l and "sequence" not in l, l
 
 
 def test_vocab_topv_avoids_global_sort_and_broadcasts(spark):

@@ -101,6 +101,7 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "vocab_oov_rate",  # new in r4 (post-rotation); local parity both SFs
     "kmeans_cluster_profile",  # new in r4 (post-rotation); local parity both SFs
     "data_quality_audit",  # new in r4 (post-rotation); local parity both SFs
+    "lang_temperature_resample",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -62,6 +62,13 @@ HEADLINE = [
     "key_skew_profile",
     # r4: CDC tier — SCD2 history build (one full-outer join + explode)
     "scd2_order_history",
+    # r4: LLM-pipeline additions — decontamination, vocab coverage,
+    # k-means refinement, and the four-table data-quality audit
+    "decontamination_overlap",
+    "vocab_oov_rate",
+    "kmeans_cluster_profile",
+    "data_quality_audit",
+    "lang_temperature_resample",
 ]
 
 

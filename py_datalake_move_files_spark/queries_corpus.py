@@ -432,3 +432,85 @@ def q_sequence_packing_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("pack_tokens"),
     )
+
+
+# --- temperature-balanced language resampling -----------------------------
+
+_TEMP_SCALE = 4294967296.0  # 2^32: acceptance thresholds in 32-bit space
+
+
+def _temperature_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    u32 = hex_value_sql("md5(CAST(d.doc_id AS VARCHAR))", 8)
+    return f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS mn FROM c),
+r AS (SELECT lang, cnt, sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+      FROM c CROSS JOIN m),
+rt AS (SELECT lang, rate, CAST(floor(rate * {_TEMP_SCALE}) AS BIGINT) AS thr FROM r),
+acc AS (
+  SELECT d.lang, rt.rate,
+         CASE WHEN ({u32}) < rt.thr THEN 1 ELSE 0 END AS a
+  FROM documents d JOIN rt ON d.lang = rt.lang
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(a) AS BIGINT) AS n_sampled,
+       round(rate, 6) AS rate
+FROM acc GROUP BY lang, rate
+"""
+
+
+@register("lang_temperature_resample", _temperature_oracle())
+def q_lang_temperature_resample(spark, sf_dir):
+    """Temperature-balanced multilingual resampling (alpha = 0.5): each
+    language keeps rate sqrt(min_count / count) — the rarest language keeps
+    everything, dominant languages are sqrt-downweighted, the standard
+    temperature trick for multilingual LLM mixtures. Acceptance is an
+    md5-derived 32-bit uniform against floor(rate * 2^32) — reproducible
+    across runs, engines, and partitionings, unlike ``sample()``.
+
+    alpha is fixed at 0.5 so the rate math is a single ``sqrt`` of a ratio
+    of exact BIGINTs — IEEE-correctly-rounded and therefore bit-identical
+    in any engine; arbitrary alpha needs ``pow``, whose libm rounding is
+    not portable (the same reasoning behind the registry's fixed-op-order
+    rules, queries.py module doc).
+
+    100 TB shape: pass 1 is a tiny per-language count; the 5-row rate table
+    broadcasts; the decision pass is map-only (the md5 bucket is a pure
+    projection). Re-materializing the mixture is a scan, not a shuffle."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rates = (
+        counts.withColumn("mn", F.min("cnt").over(Window.partitionBy()))
+        .select(
+            "lang",
+            F.sqrt(F.col("mn").cast("double") / F.col("cnt").cast("double")).alias(
+                "rate"
+            ),
+        )
+        .withColumn("thr", F.floor(F.col("rate") * F.lit(_TEMP_SCALE)).cast("long"))
+    )
+    u32 = F.expr(hex_value_sql("md5(CAST(doc_id AS STRING))", 8))
+    j = (
+        docs.select("doc_id", "lang")
+        .withColumn("__u32", u32)
+        .join(F.broadcast(rates), "lang")
+    )
+    return (
+        j.groupBy("lang", "rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("__u32") < F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+        )
+        .select(
+            "lang", "n_total", "n_sampled", F.round("rate", 6).alias("rate")
+        )
+    )

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
@@ -135,6 +135,46 @@ def contamination_report(
         F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
             "contamination_ratio"
         ),
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    index_keys: DataFrame,
+    id_col: str,
+    key_col: str = "digest",
+) -> DataFrame:
+    """Continuous-ingest dedup: classify each NEW document against the
+    standing dedup-key index without touching historical documents.
+
+    Returns ``(id, key, status)`` with status ``dup_of_index`` (key already
+    ingested), ``dup_in_batch`` (key repeats inside this batch; the min-id
+    row is the keeper), or ``unique`` (new key — append it to the index).
+
+    100 TB shape: corpus-wide re-dedup per drop is O(corpus); this is
+    O(index + batch) — and the index side carries ONLY keys (32-B digests
+    or fingerprints), never documents. The classify join shuffles both
+    sides on the key; a production index stored bucketed by key makes the
+    index side shuffle-free (plans/layout bucketing pattern). The
+    within-batch window rides the join's key partitioning. This is the
+    batch twin of the streaming tier's ``dedup_within_watermark``
+    (streaming/joins.py) with an unbounded, durable state."""
+    w = Window.partitionBy(key_col).orderBy(F.col(id_col).asc())
+    j = new_batch.join(
+        index_keys.select(key_col).distinct().withColumn("__hit", F.lit(1)),
+        key_col,
+        "left",
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.when(F.col("__hit") == 1, F.lit("dup_of_index"))
+            .when(F.col("__rn") == 1, F.lit("unique"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
     )
 
 

@@ -514,3 +514,58 @@ def q_lang_temperature_resample(spark, sf_dir):
             "lang", "n_total", "n_sampled", F.round("rate", 6).alias("rate")
         )
     )
+
+
+# --- incremental (continuous-ingest) dedup against a standing index -------
+
+
+def _incr_dedup_oracle() -> str:
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+    list_aggregate(list_transform({dd_shingles('text', 1)}, s -> md5(s)), 'min')
+      AS dedup_key
+  FROM documents
+),
+idx AS (SELECT DISTINCT dedup_key FROM fp WHERE doc_id % 2 = 0),
+nb AS (SELECT doc_id, dedup_key FROM fp WHERE doc_id % 2 = 1),
+j AS (
+  SELECT nb.doc_id, nb.dedup_key,
+    CASE WHEN i.dedup_key IS NOT NULL THEN 1 ELSE 0 END AS hit,
+    row_number() OVER (PARTITION BY nb.dedup_key ORDER BY nb.doc_id) AS rn
+  FROM nb LEFT JOIN idx i ON nb.dedup_key = i.dedup_key
+)
+SELECT doc_id, dedup_key,
+  CASE WHEN hit = 1 THEN 'dup_of_index'
+       WHEN rn = 1 THEN 'unique'
+       ELSE 'dup_in_batch' END AS status
+FROM j
+"""
+
+
+@register("incremental_dedup_batch", _incr_dedup_oracle())
+def q_incremental_dedup_batch(spark, sf_dir):
+    """Continuous-ingest near-dup classification: odd-id docs are the new
+    batch, even-id docs model the already-ingested corpus; the standing
+    index holds one-permutation MinHash fingerprints (min md5 over distinct
+    unigram shingles — the cheapest near-dup key), and each new doc is
+    classified dup_of_index / dup_in_batch / unique in one
+    O(index + batch) pass (operators/dedup.incremental_dedup) instead of
+    re-deduplicating the whole corpus per drop. Fingerprints are per-row
+    codegen (zero shuffles, same family as dedup_minhash_lsh); the
+    classify join shuffles 32-B keys only."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    u = DD._UNIQ
+    fp = DD.with_shingles(docs, "text", 1).withColumn(
+        "dedup_key",
+        F.expr(
+            "array_min(transform(shingle_set, g{0} -> md5(g{0})))".format(
+                next(u)
+            )
+        ),
+    )
+    index = fp.where(F.col("doc_id") % 2 == 0)
+    batch = fp.where(F.col("doc_id") % 2 == 1).select("doc_id", "dedup_key")
+    return DD.incremental_dedup(
+        batch, index.select("dedup_key"), "doc_id", "dedup_key"
+    )

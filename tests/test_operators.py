@@ -146,3 +146,24 @@ def test_asof_join_forward_and_tolerance(spark):
         right_cols=["vid"], direction="backward", tolerance_ms=2 * 3600 * 1000,
     ).first()
     assert back_tol.asof_vid == "before"
+
+
+def test_incremental_dedup_statuses_and_keeper(spark):
+    from py_datalake_move_files_spark.operators.dedup import incremental_dedup
+
+    index = spark.createDataFrame([("k1",), ("k2",)], "digest string")
+    batch = spark.createDataFrame(
+        [(10, "k1"), (11, "k3"), (12, "k3"), (13, "k4"), (14, "k3")],
+        "id long, digest string",
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in incremental_dedup(batch, index, "id").collect()
+    }
+    assert out == {
+        10: "dup_of_index",  # key already in the standing index
+        11: "unique",  # min-id keeper of the new k3 group
+        12: "dup_in_batch",
+        14: "dup_in_batch",
+        13: "unique",
+    }

@@ -102,6 +102,8 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "kmeans_cluster_profile",  # new in r4 (post-rotation); local parity both SFs
     "data_quality_audit",  # new in r4 (post-rotation); local parity both SFs
     "lang_temperature_resample",  # new in r4 (post-rotation); local parity both SFs
+    "incremental_dedup_batch",  # new in r4 (post-rotation); local parity both SFs
+    "ewma_user_values",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -69,6 +69,8 @@ HEADLINE = [
     "kmeans_cluster_profile",
     "data_quality_audit",
     "lang_temperature_resample",
+    "incremental_dedup_batch",
+    "ewma_user_values",
 ]
 
 

@@ -348,3 +348,74 @@ def q_scd2_order_history(spark, sf_dir):
         old_from="2024-01-01",
         new_from="2024-06-01",
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing over per-user event streams
+# --------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH fr AS (
+  SELECT event_id, user_id, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+),
+wt AS (
+  SELECT event_id, user_id, value,
+    list_transform(vals, (x, i) -> x * power(0.5, CAST(len(vals) - i AS DOUBLE))) AS w
+  FROM fr
+)
+SELECT event_id, user_id, value,
+  round(list_reduce(w, (a, x) -> a + x)
+        / (2.0 - power(0.5, CAST(len(w) - 1 AS DOUBLE))), 6) AS ewma
+FROM wt
+"""
+
+
+@register("ewma_user_values", _EWMA_ORACLE)
+def q_ewma_user_values(spark, sf_dir):
+    """Exponentially-weighted moving average (lambda = 1/2) of each user's
+    event values over a ROWS 8-deep frame — the time-series smoother behind
+    rate monitoring and anomaly baselines.
+
+    The decay factor is fixed at 1/2 so every weight is a dyadic 2^-j:
+    exactly representable, and ``pow(0.5, j)`` is exact in any faithful
+    libm — which is what gives a windowed EWMA a bit-for-bit cross-engine
+    oracle (arbitrary lambda would hit non-portable libm rounding; same
+    rule as lang_temperature_resample's alpha). The weighted sum is an
+    explicit left fold (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so
+    IEEE op order is pinned.
+
+    100 TB shape: ONE exchange on user_id; the frame list is bounded (8
+    doubles), so window state is O(frame), and the per-row fold is
+    map-side arithmetic. The closed-form normalizer 2 - 2^(1-m) avoids a
+    second fold."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, 0)
+    )
+    df = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.collect_list("value").over(w).alias("__vals"),
+    ).withColumn(
+        "__w",
+        F.expr(
+            "transform(__vals, (ew_v, ew_i) -> "
+            "ew_v * power(0.5D, CAST(size(__vals) - 1 - ew_i AS DOUBLE)))"
+        ),
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(
+            F.expr("aggregate(__w, 0D, (ew_a, ew_x) -> ew_a + ew_x)")
+            / F.expr("2.0D - power(0.5D, CAST(size(__w) - 1 AS DOUBLE))"),
+            6,
+        ).alias("ewma"),
+    )

@@ -21,14 +21,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 #: The driver hash-checks the FIRST 50 registered queries. Round-4 rotation:
-#: rounds 1-3 accumulated driver-green rows for 64 of the 116 registered
-#: queries; this window keeps 8 anchors (one per major §2 family, all green
-#: in r3) and fills the other 42 slots with queries that have NEVER received
-#: a driver-side CORRECTNESS row (TPC-H tail q2/q6-q20/q22, the profiling/
-#: analytics tier, the four r3 scale queries, heavy hitters, tfidf, funnel/
-#: cohort, audio multimodal, map funcs). After this round the cumulative
-#: driver coverage is 106/116; the 10 still-unchecked names (redundant
-#: scalar-suite variants listed at the bottom of this file) rotate in next.
+#: rounds 1-3 accumulated driver-green rows for 64 of the 116 queries that
+#: existed entering the round; this window keeps 8 anchors (one per major
+#: §2 family, all green in r3) and fills the other 42 slots with queries
+#: that have NEVER received a driver-side CORRECTNESS row (TPC-H tail
+#: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
+#: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
+#: After this round the cumulative driver coverage is 106 of those 116;
+#: everything newer (the r4 additions listed below) plus 11 redundant
+#: scalar-suite variants rotates into the window in round 5.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",
@@ -104,6 +105,8 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "lang_temperature_resample",  # new in r4 (post-rotation); local parity both SFs
     "incremental_dedup_batch",  # new in r4 (post-rotation); local parity both SFs
     "ewma_user_values",  # new in r4 (post-rotation); local parity both SFs
+    "cluster_canonical_docs",  # new in r4 (post-rotation); local parity both SFs
+    "embedding_quantization",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

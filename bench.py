@@ -71,6 +71,8 @@ HEADLINE = [
     "lang_temperature_resample",
     "incremental_dedup_batch",
     "ewma_user_values",
+    "cluster_canonical_docs",
+    "embedding_quantization",
 ]
 
 

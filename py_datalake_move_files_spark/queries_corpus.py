@@ -569,3 +569,65 @@ def q_incremental_dedup_batch(spark, sf_dir):
     return DD.incremental_dedup(
         batch, index.select("dedup_key"), "doc_id", "dedup_key"
     )
+
+
+# --- canonical-document selection over near-dup clusters ------------------
+
+
+def _canonical_oracle() -> str:
+    from py_datalake_move_files_spark.queries import ORACLE
+
+    return f"""
+WITH assign AS ({ORACLE['dedup_cluster_assignment']}),
+q AS ({ORACLE['quality_scores']}),
+j AS (
+  SELECT a.doc_id, a.cluster_id, q.quality
+  FROM assign a JOIN q ON a.doc_id = q.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM j
+)
+SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality,
+  CAST(n AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""
+
+
+@register("cluster_canonical_docs", _canonical_oracle())
+def q_cluster_canonical_docs(spark, sf_dir):
+    """Canonical-document selection: near-dup clusters (MinHash-LSH pairs →
+    connected components) each keep their HIGHEST-QUALITY member (ties to
+    the lowest id) — the dedup policy real pipelines want ('keep the best
+    copy'), not 'keep the first seen'. Composes three proven operators:
+    lsh candidate pairs → connected_components → quality_score keeper.
+
+    100 TB shape: the expensive stages are the banded LSH join and the
+    diameter-bounded CC iteration (both already scale-audited); the keeper
+    step adds ONE window over cluster_id — clusters are tiny by
+    construction, so the partition sizes are bounded. The oracle nests the
+    two registered oracles (recursive-CTE closure + quality arithmetic)
+    verbatim, so policy parity is checked end-to-end."""
+    from py_datalake_move_files_spark.queries import QUERIES
+    from pyspark.sql import Window
+
+    assign = QUERIES["dedup_cluster_assignment"](spark, sf_dir)
+    qual = QUERIES["quality_scores"](spark, sf_dir).select("doc_id", "quality")
+    j = assign.join(qual, "doc_id")
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(wq))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+            F.col("__n").cast("long").alias("n_members"),
+        )
+    )

@@ -302,3 +302,89 @@ def q_kmeans_cluster_profile(spark, sf_dir):
     return SIM.kmeans_profile(
         emb, _kmeans_centroids(spark, sf_dir), scale=_KM_SCALE
     )
+
+
+# --- int8 embedding quantization (storage / serving prep) -----------------
+
+_QUANT_ORACLE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, embedding,
+    CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+  FROM m
+),
+qq AS (
+  SELECT vec_id, embedding, scale,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q
+  FROM s
+),
+e AS (
+  SELECT vec_id, scale,
+    list_reduce(
+      list_transform(q, (qv, i) ->
+        abs(CAST(embedding[i] AS DOUBLE) - CAST(qv AS DOUBLE) * scale)),
+      (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_err
+  FROM qq
+)
+SELECT vec_id, round(scale, 6) AS scale, round(max_err, 6) AS max_abs_err
+FROM e
+"""
+
+
+@register("embedding_quantization", _QUANT_ORACLE)
+def q_embedding_quantization(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (scale = max|x| / 127, q = round(x/scale)) with the max reconstruction
+    error per vector — the storage/serving compression pass an embedding
+    store runs before ANN indexing (4x smaller than float32; errors bound
+    the cosine drift).
+
+    All arithmetic is per-row HOF expressions in fixed IEEE order
+    (zero-vector guarded by scale=1), so the whole quantize→reconstruct→
+    error pipeline has an exact DuckDB oracle. Map-only at any scale —
+    ZERO shuffles (the parallelism guard's round-robin aside), like the
+    signature stages it sits beside."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
+    df = (
+        ensure_parallelism(emb)
+        .withColumn(
+            "__mx",
+            F.expr(
+                "aggregate(embedding, 0D, (qz_a, qz_x) -> "
+                "greatest(qz_a, abs(CAST(qz_x AS DOUBLE))))"
+            ),
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("__mx") == 0.0, F.lit(1.0)).otherwise(
+                F.col("__mx") / 127.0
+            ),
+        )
+        .withColumn(
+            "__q",
+            F.expr(
+                "transform(embedding, qz_v -> "
+                "CAST(round(CAST(qz_v AS DOUBLE) / scale) AS INT))"
+            ),
+        )
+        .withColumn(
+            "__err",
+            F.expr(
+                "aggregate(zip_with(embedding, __q, (qz_e, qz_q) -> "
+                "abs(CAST(qz_e AS DOUBLE) - CAST(qz_q AS DOUBLE) * scale)), "
+                "0D, (qz_m, qz_y) -> greatest(qz_m, qz_y))"
+            ),
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round("__err", 6).alias("max_abs_err"),
+    )

@@ -218,3 +218,11 @@ def test_vocab_topv_avoids_global_sort_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert not re.search(r"Exchange SinglePartition(?!.*partial)", plan.splitlines()[0])
+
+
+def test_embedding_quantization_is_map_only(spark):
+    # quantize -> reconstruct -> error is per-row HOF arithmetic: no hash
+    # exchange anywhere (the parallelism guard's round-robin aside)
+    plan = _plan(spark, "embedding_quantization")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -143,3 +143,56 @@ def foreach_batch_movecopy(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_incremental_dedup(
+    doc_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    key_col: str = "dedup_key",
+):
+    """Continuous-ingest dedup loop: each arriving micro-batch is classified
+    against the DURABLE dedup-key index (operators/dedup.incremental_dedup
+    — dup_of_index / dup_in_batch / unique), the classification is appended
+    to ``out_path``, and the batch's newly-unique keys are appended to the
+    index so the next batch sees them. The streaming composition of the
+    batch `incremental_dedup_batch` query; unlike
+    ``dedup_within_watermark`` the state here is unbounded and durable
+    (parquet), which is what corpus ingest needs — watermark state evicts.
+
+    Exactly-once caveat (standard foreachBatch semantics): a replayed batch
+    re-appends. The INDEX tolerates that by construction (incremental_dedup
+    distincts the index side, so duplicate keys are harmless); the audit in
+    ``out_path`` is at-least-once and carries ``batch_id`` so consumers can
+    dedupe replays."""
+    from pyspark.errors import AnalysisException
+
+    from py_datalake_move_files_spark.operators.dedup import incremental_dedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            idx = spark.createDataFrame([], f"{key_col} string")
+        classified = incremental_dedup(
+            batch_df.select(id_col, key_col), idx, id_col, key_col
+        ).persist()
+        try:
+            classified.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_path)
+            classified.where(F.col("status") == "unique").select(
+                key_col
+            ).write.mode("append").parquet(index_path)
+        finally:
+            classified.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

@@ -94,3 +94,56 @@ def test_streaming_movecopy_sink(spark, tmp_path):
     ]
     audit = spark.read.parquet(str(tmp_path / "audit"))
     assert audit.where(F.col("status") == "ok").count() == 3
+
+
+def test_streaming_incremental_dedup_builds_durable_index(spark, tmp_path):
+    """The continuous-ingest loop: batch 2 must see batch 1's keys via the
+    durable index (dup_of_index), dedupe within itself (dup_in_batch), and
+    extend the index with its own unique keys."""
+    import os
+    import time
+
+    from py_datalake_move_files_spark.streaming.filestream import (
+        foreach_batch_incremental_dedup,
+    )
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "doc_id long, dedup_key string"
+    ).coalesce(1).write.parquet(str(src / "p0"))
+    spark.createDataFrame(
+        [(3, "B"), (4, "C"), (5, "C")], "doc_id long, dedup_key string"
+    ).coalesce(1).write.parquet(str(src / "p1"))
+    # file source orders batches by modification time: force p0 first
+    old = time.time() - 300
+    for root, _, files in os.walk(src / "p0"):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", "doc_id long, dedup_key string",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_incremental_dedup(
+        stream,
+        str(tmp_path / "ckpt"),
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out[1] == "unique" and out[2] == "unique"
+    assert out[3] == "dup_of_index"  # B was ingested in batch 1
+    assert sorted(s for d, s in out.items() if d in (4, 5)) == [
+        "dup_in_batch",
+        "unique",
+    ]
+    index_keys = sorted(
+        r["dedup_key"]
+        for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    )
+    assert index_keys == ["A", "B", "C"]

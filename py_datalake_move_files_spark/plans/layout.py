@@ -40,6 +40,19 @@ def read_pruned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     return spark.read.format(fmt).load(path)
 
 
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a layout whose parquet files were written under EVOLVING schemas
+    (columns added over time): ``mergeSchema`` unions every footer's schema
+    at planning time, and files missing a column yield nulls for it.
+
+    The lake-ingest reality a long-lived table faces — new drops grow
+    columns, history stays readable untouched. Schema merge costs one
+    footer read per file at planning (no data rewrite); at 100 TB you pin
+    the merged schema in a catalog instead of re-merging per query, but
+    the per-file null-fill behavior is identical."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def zorder_key(cols: list[str], *, bits: int = 8):
     """Z-order (Morton) interleave of ``bits`` low bits from each column —
     the multi-dimensional clustering key for data-skipping layouts.

@@ -40,3 +40,32 @@ def test_partitioned_write_and_pruning(spark, tmp_path):
     a = sorted(map(tuple, ev.select("event_id", "event_type").collect()))
     b = sorted(map(tuple, back.select("event_id", "event_type").collect()))
     assert a == b
+
+
+def test_schema_evolution_merge_and_null_fill(spark, tmp_path):
+    """Drops written under evolving schemas stay readable as one table:
+    the merged schema is the union, pre-evolution rows null-fill the new
+    column, and predicates on original columns still push down."""
+    from py_datalake_move_files_spark.plans.layout import read_evolved
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).coalesce(1).write.parquet(out)
+    spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "fr")],
+        "id long, payload string, lang string",
+    ).coalesce(1).write.mode("append").parquet(out)
+
+    merged = read_evolved(spark, out)
+    assert set(merged.columns) == {"id", "payload", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en", 4: "fr"}
+    # pushdown on a since-forever column survives the merge
+    plan = (
+        merged.where(F.col("id") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)" in plan

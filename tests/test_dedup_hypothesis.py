@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for incremental dedup and k-means
+assignment: randomized inputs checked against plain-Python recomputations.
+
+incremental_dedup's contract is a three-way partition of the batch whose
+correctness depends on join/null/window interplay — the part that can
+silently go wrong under refactoring; kmeans_refine's contract is exact
+argmax assignment + exact fixed-point means. Both properties run the whole
+operator through Spark and compare against brute force.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from py_datalake_move_files_spark.operators.dedup import incremental_dedup
+from py_datalake_move_files_spark.operators.similarity import kmeans_refine
+
+key = st.text(alphabet="kx1", min_size=1, max_size=2)
+index_keys = st.lists(key, min_size=0, max_size=6)
+batch = st.lists(key, min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(idx=index_keys, bat=batch)
+def test_incremental_dedup_matches_bruteforce(spark, idx, bat):
+    idx_df = spark.createDataFrame(
+        [(k,) for k in idx] or [("__none__",)], "digest string"
+    )
+    if not idx:
+        idx_df = idx_df.where("digest <> '__none__'")
+    bat_rows = list(enumerate(bat))
+    bat_df = spark.createDataFrame(bat_rows, "id long, digest string")
+
+    got = {
+        r["id"]: r["status"]
+        for r in incremental_dedup(bat_df, idx_df, "id").collect()
+    }
+
+    idx_set = set(idx)
+    seen_first: dict[str, int] = {}
+    for i, k in bat_rows:
+        seen_first.setdefault(k, i)
+    want = {}
+    for i, k in bat_rows:
+        if k in idx_set:
+            want[i] = "dup_of_index"
+        elif seen_first[k] == i:
+            want[i] = "unique"
+        else:
+            want[i] = "dup_in_batch"
+    assert got == want
+
+
+vec = st.lists(
+    st.floats(
+        min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=3,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vecs=st.lists(vec, min_size=4, max_size=12))
+def test_kmeans_refine_matches_bruteforce_one_round(spark, vecs):
+    # degenerate all-zero vectors have undefined cosine; keep corpora sane
+    vecs = [v if any(abs(x) > 1e-6 for x in v) else [1.0, 0.0, 0.0] for v in vecs]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = [(0, rows[0][1]), (1, rows[1][1])]
+
+    got = kmeans_refine(df, init, iters=1, vec_col="embedding")
+
+    # brute force: argmax of 6-dp-rounded cosine (ties to lowest cid),
+    # then exact fixed-point means — float32-widened inputs like Spark's
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d = d + f32(x) * y
+        na = 0.0
+        for x in a:
+            na = na + f32(x) * f32(x)
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return round(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    assign: dict[int, list[int]] = {}
+    for i, v in rows:
+        best = max(
+            sorted(init), key=lambda c: (cos(v, c[1]), -c[0])
+        )  # ties -> lowest cid
+        assign.setdefault(best[0], []).append(i)
+    want = []
+    for cid, members in sorted(assign.items()):
+        comps = []
+        for d in range(3):
+            s = sum(round(f32(vecs[m][d]) * 1_000_000) for m in members)
+            comps.append(float(s) / float(1_000_000 * len(members)))
+        want.append((cid, comps))
+    assert got == sorted(want)

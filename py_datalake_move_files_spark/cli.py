@@ -64,6 +64,16 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target", required=True)
     c.add_argument("--target-file-mb", type=int, default=128)
     c.add_argument("--format", default="parquet")
+
+    q = sub.add_parser(
+        "audit", help="data-quality constraint report over a test-table dir"
+    )
+    q.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
+    q.add_argument(
+        "--fail-on-violations",
+        action="store_true",
+        help="exit 2 if any rule reports violations (admission-gate mode)",
+    )
     return p
 
 
@@ -211,6 +221,23 @@ def cmd_compact(spark, args) -> int:
     return 0
 
 
+def cmd_audit(spark, args) -> int:
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    report = QUERIES["data_quality_audit"](spark, args.sf_dir)
+    rows = report.collect()
+    for r in sorted(rows, key=lambda r: r["rule"]):
+        print(
+            f"{r['rule']}: {r['n_violations']}/{r['n_checked']}"
+            f" ({r['violation_rate']})"
+        )
+    bad = sum(r["n_violations"] for r in rows)
+    if args.fail_on_violations and bad:
+        print(f"FAIL: {bad} violation(s)", file=sys.stderr)
+        return 2
+    return 0
+
+
 def _execute_with_progress(spark, plan, *, mode: str, dry_run: bool):
     """execute_plan plus the reference's running tally (app/main.py:280-303):
     a reporter thread prints accumulator-backed ok/error counts once a second
@@ -262,6 +289,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_vacuum(spark, args)
         if args.cmd == "compact":
             return cmd_compact(spark, args)
+        if args.cmd == "audit":
+            return cmd_audit(spark, args)
         return cmd_move(spark, args)
     except Exception as exc:  # one clean line instead of a JVM traceback
         msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__

@@ -94,3 +94,39 @@ def test_cli_vacuum_and_compact(tmp_path):
     ex = _run(["vacuum", "--source", str(lake), "--older-than-days", "30", "--execute"])
     assert ex.returncode == 0, ex.stderr[-2000:]
     assert not (lake / "old.txt").exists() and (lake / "new.txt").exists()
+
+
+def test_cli_audit_clean_and_gate_mode(tmp_path):
+    """audit prints the per-rule report; --fail-on-violations is the
+    admission gate (exit 2 on any violation — clean test data exits 0)."""
+    r = _run(["audit", "--sf-dir", "/root/testdata/sf0.001"])
+    assert r.returncode == 0, r.stderr
+    assert "orders_orphan_custkey: 0/" in r.stdout
+    assert "documents_empty_text: 0/" in r.stdout
+    assert r.stdout.count(":") >= 9
+
+    r2 = _run(
+        ["audit", "--sf-dir", "/root/testdata/sf0.001", "--fail-on-violations"]
+    )
+    assert r2.returncode == 0  # clean data passes the gate
+
+
+def test_cli_audit_gate_fails_on_dirty_drop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from py_datalake_move_files_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "dirty"
+    d.mkdir()
+    for t in ("orders", "customer", "lineitem", "events"):
+        load_table(spark, sf, t).write.parquet(str(d / f"{t}.parquet"))
+    docs = load_table(spark, sf, "documents")
+    docs.unionAll(docs.limit(2).withColumn("text", F.lit(""))).write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    r = _run(["audit", "--sf-dir", str(d), "--fail-on-violations"])
+    assert r.returncode == 2
+    assert "documents_empty_text: 2/" in r.stdout
+    assert "FAIL: 2 violation(s)" in r.stderr

@@ -107,6 +107,7 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "ewma_user_values",  # new in r4 (post-rotation); local parity both SFs
     "cluster_canonical_docs",  # new in r4 (post-rotation); local parity both SFs
     "embedding_quantization",  # new in r4 (post-rotation); local parity both SFs
+    "ann_recall_ivf_refined",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -73,6 +73,7 @@ HEADLINE = [
     "ewma_user_values",
     "cluster_canonical_docs",
     "embedding_quantization",
+    "ann_recall_ivf_refined",
 ]
 
 

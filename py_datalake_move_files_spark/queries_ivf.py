@@ -233,7 +233,9 @@ def _kmeans_centroids(spark, sf_dir: str):
     return _KM_CENTROIDS[sf_dir]
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> list[str]:
+    """CTE chain c0 -> asg/upd per round -> c{_KMEANS_ITERS}: the refined
+    centroid table every kmeans-derived oracle builds on."""
     from py_datalake_move_files_spark.queries import EMB_DIM
 
     sc = float(_KM_SCALE)
@@ -267,6 +269,12 @@ c{i + 1} AS (
   FROM upd{i} GROUP BY cid
 )"""
         )
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    parts = _kmeans_ctes()
+    sc = float(_KM_SCALE)
     final = f"""scF AS (
   SELECT e.vec_id, c.cid, {dd_cosine('e.embedding', 'c.cv')} AS s
   FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
@@ -387,4 +395,76 @@ def q_embedding_quantization(spark, sf_dir):
         "vec_id",
         F.round("scale", 6).alias("scale"),
         F.round("__err", 6).alias("max_abs_err"),
+    )
+
+
+# --- recall of the k-means-refined IVF index ------------------------------
+
+
+def _refined_recall_oracle() -> str:
+    from py_datalake_move_files_spark.queries import ORACLE
+
+    # the registered md5-init recall oracle is _IVF_PRELUDE + comparison
+    # tail (probes/exact arm/hits); the refined variant swaps the prelude
+    # for the kmeans CTE chain + an assignment over c{_KMEANS_ITERS} and
+    # reuses the tail verbatim, so both arms stay textually in lockstep
+    tail = ORACLE["ann_recall_ivf"][len(_IVF_PRELUDE) :]
+    parts = _kmeans_ctes()
+    prelude = (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cid, {dd_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
+),
+asg AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+)"""
+    )
+    return prelude + tail
+
+
+@register("ann_recall_ivf_refined", _refined_recall_oracle())
+def q_ann_recall_ivf_refined(spark, sf_dir):
+    """Recall@10 of the IVF index AFTER Lloyd refinement — the eval that
+    quantifies what kmeans_refine buys: refined centroids tighten the
+    cells, so the same n_probe budget covers more of each query's true
+    neighborhood. Same deterministic construction as ann_recall_ivf
+    (fixed-point centroids are what keep the refined index exactly
+    oracle-checkable); diff the two queries' outputs for the
+    recall-per-probe improvement."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = SIM.ivf_topk(
+        emb, queries, k=10, n_lists=N_LISTS, n_probe=N_PROBE,
+        centroids=_kmeans_centroids(spark, sf_dir),
+    )
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
+                "recall_at_10"
+            ),
+        )
     )

@@ -74,6 +74,8 @@ HEADLINE = [
     "cluster_canonical_docs",
     "embedding_quantization",
     "ann_recall_ivf_refined",
+    "lsh_quality_eval",
+    "boilerplate_char_windows",
 ]
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 from py_datalake_move_files_spark.operators import dedup as DD
 from py_datalake_move_files_spark.operators import text as TXT
+from py_datalake_move_files_spark.queries import QUERIES as QUERIES_REF
 from py_datalake_move_files_spark.queries import _t, dd_shingles, register
 
 # --- DuckDB twins of the repetition HOFs (1-based list indexing) ----------
@@ -630,4 +631,109 @@ def q_cluster_canonical_docs(spark, sf_dir):
             F.col("quality").alias("keep_quality"),
             F.col("__n").cast("long").alias("n_members"),
         )
+    )
+
+
+# --- LSH banding quality: recall against the exact Jaccard join -----------
+
+
+def _lsh_quality_oracle() -> str:
+    from py_datalake_move_files_spark.queries import ORACLE
+
+    return f"""
+WITH exact AS ({ORACLE['dedup_ngram_jaccard']}),
+lsh AS ({ORACLE['dedup_minhash_lsh']}),
+hits AS (
+  SELECT e.id_a, e.id_b FROM exact e
+  JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+  round(CAST((SELECT count(*) FROM hits) AS BIGINT)
+        / CAST((SELECT count(*) FROM exact) AS BIGINT), 6) AS lsh_recall
+"""
+
+
+@register("lsh_quality_eval", _lsh_quality_oracle())
+def q_lsh_quality_eval(spark, sf_dir):
+    """Recall of MinHash-LSH banding against the EXACT n-gram Jaccard join
+    at the same threshold — the eval that tells you whether 8 hashes / 4
+    bands is enough before trusting the banded index on a new corpus (the
+    dedup-tier twin of ann_recall_ivf). Both arms are deterministic and
+    already individually oracled; this oracle nests them verbatim.
+
+    100 TB shape: the exact arm is the inverted-index join (itself
+    bounded, never all-pairs) run on a SAMPLE in production; the
+    comparison is a semi join on id pairs plus four scalar counts."""
+    exact = QUERIES_REF["dedup_ngram_jaccard"](spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    lsh = QUERIES_REF["dedup_minhash_lsh"](spark, sf_dir).select("id_a", "id_b")
+    hits = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    counts = (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    )
+    return counts.select(
+        "n_exact",
+        "n_lsh",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("lsh_recall"),
+    )
+
+
+# --- cross-document repeated substrings (boilerplate detection) -----------
+
+_BP_W, _BP_S = 64, 16
+
+_BOILERPLATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_transform(range(0, CASE WHEN length(text) >= {_BP_W}
+      THEN CAST(floor((length(text) - {_BP_W}) / {_BP_S}) AS INT) + 1 ELSE 1 END),
+    i -> md5(substr(text, i*{_BP_S} + 1, {_BP_W})))) AS digest
+  FROM documents
+)
+SELECT digest, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences
+FROM w GROUP BY digest HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@register("boilerplate_char_windows", _BOILERPLATE_ORACLE)
+def q_boilerplate_char_windows(spark, sf_dir):
+    """Cross-document repeated-substring detection: hash overlapping
+    64-char windows (stride 16) and report every window digest shared by
+    >= 2 documents — the char-level boilerplate/template signal that
+    token-level shingles miss (headers, footers, licence blocks), and the
+    bounded-window stand-in for suffix-array substring dedup.
+
+    100 TB shape: window extraction is per-row (the one caveat: substr
+    seeks from the string start, so per-doc cost is O(L^2/stride) on char
+    data — a byte-level production variant slices fixed offsets; at this
+    corpus's doc sizes the constant is trivial); the only shuffle carries
+    32-char digests, with map-side partial counts. The >= 2-doc HAVING
+    keeps the output to actual boilerplate."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    n_windows = (
+        f"CASE WHEN length(text) >= {_BP_W} THEN "
+        f"CAST(floor((length(text) - {_BP_W}) / {_BP_S}) AS INT) + 1 ELSE 1 END"
+    )
+    w = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                f"transform(sequence(0, {n_windows} - 1), "
+                f"bp_i -> md5(substring(text, bp_i*{_BP_S} + 1, {_BP_W})))"
+            )
+        ).alias("digest"),
+    ).where(F.col("digest").isNotNull())
+    return (
+        w.groupBy("digest")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
     )

@@ -110,6 +110,7 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "ann_recall_ivf_refined",  # new in r4 (post-rotation); local parity both SFs
     "lsh_quality_eval",  # new in r4 (post-rotation); local parity both SFs
     "boilerplate_char_windows",  # new in r4 (post-rotation); local parity both SFs
+    "split_leakage_audit",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

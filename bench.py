@@ -76,6 +76,7 @@ HEADLINE = [
     "ann_recall_ivf_refined",
     "lsh_quality_eval",
     "boilerplate_char_windows",
+    "split_leakage_audit",
 ]
 
 

@@ -737,3 +737,81 @@ def q_boilerplate_char_windows(spark, sf_dir):
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- split-leakage audit: near-dup pairs straddling dataset splits --------
+
+
+def _leakage_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from py_datalake_move_files_spark.queries import ORACLE
+
+    hv = hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+    return f"""
+WITH pairs AS ({ORACLE['dedup_minhash_lsh']}),
+sp AS (
+  SELECT doc_id, CASE WHEN ({hv}) < 230 THEN 'train'
+                      WHEN ({hv}) < 243 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM documents
+),
+marked AS (
+  SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN sp sa ON p.id_a = sa.doc_id
+  JOIN sp sb ON p.id_b = sb.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking,
+  round(CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT)
+        / CAST(count(*) AS BIGINT), 6) AS leakage_rate
+FROM marked
+"""
+
+
+@register("split_leakage_audit", _leakage_oracle())
+def q_split_leakage_audit(spark, sf_dir):
+    """Split-leakage audit: how many verified near-dup pairs STRADDLE the
+    train/val/test boundary — the eval-integrity check a training pipeline
+    must run, because a val doc whose near-duplicate sits in train
+    invalidates the eval (the standard fix routes whole dedup CLUSTERS to
+    one split). Composes the LSH near-dup join with the md5-bucketed split
+    assignment; oracle nests the registered pair oracle verbatim.
+
+    100 TB shape: the pair join is the already-audited banded LSH; split
+    marking is two broadcast-or-keyed joins on doc_id over the (small)
+    pair set; the report is one scalar aggregate."""
+    from py_datalake_move_files_spark.operators.text import dataset_split
+
+    pairs = QUERIES_REF["dedup_minhash_lsh"](spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    sp = dataset_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    marked = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking"),
+    ).select(
+        "n_pairs",
+        "n_leaking",
+        F.round(F.col("n_leaking") / F.col("n_pairs"), 6).alias(
+            "leakage_rate"
+        ),
+    )

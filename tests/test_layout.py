@@ -69,3 +69,28 @@ def test_schema_evolution_merge_and_null_fill(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)" in plan
+
+
+def test_orc_layout_round_trip_with_pruning_and_pushdown(spark, tmp_path):
+    """The layout API is format-agnostic: ORC gets the same hive
+    partitioning, partition pruning, and predicate pushdown as parquet —
+    the second columnar lake format a migration target would demand."""
+    ev = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_orc")
+    write_partitioned(
+        ev, out, partition_by=["event_type"], sort_within=["ts"], fmt="orc"
+    )
+    back = read_pruned(spark, out, fmt="orc")
+    assert back.count() == ev.count()
+
+    sel = back.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") == 7)
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
+    want = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") == 7)
+    ).count()
+    assert sel.count() == want

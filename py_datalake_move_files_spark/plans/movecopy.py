@@ -82,6 +82,7 @@ def execute_plan(
     parallelism: int | None = None,
     progress: PlanProgress | None = None,
     _stagger_s: float = 0.0,
+    _fail_task_once: bool = False,
 ) -> DataFrame:
     """Execute a move/copy plan; return the (eager) audit DataFrame.
 
@@ -95,7 +96,11 @@ def execute_plan(
     tasks update as they complete — running-tally visibility while this call
     blocks. ``_stagger_s`` is a test-only hook delaying each task by
     ``partitionId * _stagger_s`` seconds so tests can observe non-final
-    progress deterministically.
+    progress deterministically. ``_fail_task_once`` is the chaos hook: each
+    task's FIRST attempt raises AFTER its side effects complete, so a
+    retry-capable master (``local[N,2]``, any real cluster) re-runs the
+    task against already-mutated storage — validating the idempotent-retry
+    audit path under genuine Spark task retries, not just plan re-runs.
 
     ``verify=False`` is the reference's fire-and-forget copy contract
     (``start_copy_from_url`` launched and never awaited, app/app.py:62-64,
@@ -150,6 +155,7 @@ def execute_plan(
         else:
             sess.conf.set("spark.sql.files.ignoreMissingFiles", prev_imf)
 
+    _fail_once = _fail_task_once
     do_move = mode == "move"
     do_delete = mode == "delete"
     ok_status = "ok" if verify else "initiated"
@@ -173,6 +179,7 @@ def execute_plan(
         def local(p: str) -> str:
             return p[5:] if p.startswith("file:") else p
 
+        frames = []
         for batch in batches:
             out = []
             for src, dst in zip(batch["source_path"], batch["target_path"]):
@@ -213,10 +220,20 @@ def execute_plan(
                 n_ok = sum(1 for r in out if r[3] != "error")
                 acc_ok.add(n_ok)
                 acc_error.add(len(out) - n_ok)
-            yield _pd.DataFrame(
-                out,
-                columns=["source_path", "target_path", "action", "status", "reason"],
+            frames.append(
+                _pd.DataFrame(
+                    out,
+                    columns=["source_path", "target_path", "action", "status", "reason"],
+                )
             )
+        if _fail_once:
+            from pyspark import TaskContext as _TC
+
+            if _TC.get().attemptNumber() == 0:
+                raise RuntimeError(
+                    "chaos: task lost after side effects (attempt 0)"
+                )
+        yield from frames
 
     # Eagerly materialize: the side effects run exactly ONCE, here — every
     # later action on the returned audit (counts, joins, shows) reads the

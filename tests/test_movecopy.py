@@ -8,6 +8,8 @@ import os
 
 from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 from py_datalake_move_files_spark.catalog import read_manifest_csv
 from py_datalake_move_files_spark.operators.manifest import build_archive_plan
 from py_datalake_move_files_spark.plans.movecopy import (
@@ -259,3 +261,46 @@ def test_fire_and_forget_rejected_for_move(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="fire-and-forget"):
         execute_plan(plan, mode="move", verify=False)
+
+
+def test_real_task_retry_hits_idempotent_path(tmp_path):
+    """Genuine Spark task retry (not a plan re-run): under local[2,2] every
+    task's first attempt dies AFTER its side effects via the chaos hook;
+    the retried attempt must find source-gone/target-present and report
+    'already completed' — files moved exactly once, zero errors."""
+    import subprocess
+    import sys as _sys
+
+    script = f"""
+import sys
+sys.path.insert(0, {str(_REPO)!r})
+from py_datalake_move_files_spark.session import get_spark
+from py_datalake_move_files_spark.plans.movecopy import execute_plan
+
+spark = get_spark("retry-test", master="local[2,2]", shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+import os
+src, dst = {str(tmp_path / 'src')!r}, {str(tmp_path / 'dst')!r}
+os.makedirs(src)
+for i in range(4):
+    open(os.path.join(src, f"f{{i}}.txt"), "w").write("x" * (i + 1))
+plan = spark.createDataFrame(
+    [(f"{{src}}/f{{i}}.txt", f"{{dst}}/f{{i}}.txt") for i in range(4)],
+    ["source_path", "target_path"],
+)
+audit = execute_plan(plan, mode="move", _fail_task_once=True).collect()
+print("STATUSES", sorted({{a.status for a in audit}}))
+print("COMPLETED", sum(1 for a in audit if a.reason == "already completed"))
+print("MOVED", sorted(os.listdir(dst)), "SRC_LEFT", os.listdir(src))
+spark.stop()
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "STATUSES ['ok']" in r.stdout
+    assert "COMPLETED 4" in r.stdout  # every row re-audited by the retry
+    assert "MOVED ['f0.txt', 'f1.txt', 'f2.txt', 'f3.txt'] SRC_LEFT []" in r.stdout

@@ -138,6 +138,29 @@ def contamination_report(
     )
 
 
+def fingerprint_min_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 1,
+    out: str = "dedup_key",
+) -> DataFrame:
+    """One-permutation MinHash fingerprint: min md5 over the doc's distinct
+    k-word shingles — the cheapest near-dup key (one md5 per shingle, per-row
+    codegen, zero shuffles). k=1 is a bag-of-words signature; larger k
+    tightens it toward minhash_signatures' families. Shared by the
+    incremental-dedup tier and the curation pipeline's near-dup stage."""
+    u = next(_UNIQ)
+    return (
+        with_shingles(df, text_col, k)
+        .withColumn(
+            out,
+            F.expr(f"array_min(transform(shingle_set, fp{u} -> md5(fp{u})))"),
+        )
+        .drop("shingle_set")
+    )
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     index_keys: DataFrame,

@@ -432,9 +432,21 @@ def kmeans_profile(
     fixed-point quantized cosines (the 6-dp rounded cosine ×1e6 as BIGINT)
     so the aggregate is partition-order-independent — same engine-portable
     trick as :func:`kmeans_refine`. Map-only until the k-row aggregate."""
+    # ONE _centroid_sims call feeds BOTH the assignment when-chain and the
+    # winning-cosine column: calling ivf_assign separately would rebuild
+    # the k cosine HOFs with fresh lambda variable names, and Catalyst
+    # cannot CSE structurally-unequal trees — 2k HOF evaluations per row
+    # instead of k
     sims = _centroid_sims(vec_col, centroids)
     best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
-    assigned = ivf_assign(corpus, centroids, vec_col=vec_col, out=out)
+    assign = None
+    for cid, sc in sims:  # ascending cid => lowest id wins ties
+        assign = (
+            F.when(sc == best, F.lit(cid))
+            if assign is None
+            else assign.when(sc == best, F.lit(cid))
+        )
+    assigned = corpus.withColumn(out, assign)
     return (
         assigned.withColumn("__qc", F.round(best * F.lit(float(scale))).cast("long"))
         .groupBy(out)

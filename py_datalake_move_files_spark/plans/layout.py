@@ -40,7 +40,7 @@ def read_pruned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     return spark.read.format(fmt).load(path)
 
 
-def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Read a layout whose parquet files were written under EVOLVING schemas
     (columns added over time): ``mergeSchema`` unions every footer's schema
     at planning time, and files missing a column yield nulls for it.
@@ -49,8 +49,9 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     columns, history stays readable untouched. Schema merge costs one
     footer read per file at planning (no data rewrite); at 100 TB you pin
     the merged schema in a catalog instead of re-merging per query, but
-    the per-file null-fill behavior is identical."""
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    the per-file null-fill behavior is identical. ``fmt`` accepts any
+    footer-schema'd columnar source (parquet, orc)."""
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
 
 
 def zorder_key(cols: list[str], *, bits: int = 8):

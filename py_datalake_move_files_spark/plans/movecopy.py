@@ -220,12 +220,19 @@ def execute_plan(
                 n_ok = sum(1 for r in out if r[3] != "error")
                 acc_ok.add(n_ok)
                 acc_error.add(len(out) - n_ok)
-            frames.append(
-                _pd.DataFrame(
-                    out,
-                    columns=["source_path", "target_path", "action", "status", "reason"],
-                )
+            frame = _pd.DataFrame(
+                out,
+                columns=["source_path", "target_path", "action", "status", "reason"],
             )
+            if _fail_once:
+                # chaos mode only: buffer so the raise below lands after
+                # ALL side effects — a failed attempt's yields are
+                # discarded by Spark anyway
+                frames.append(frame)
+            else:
+                # production path: stream one frame per arrow batch —
+                # worker memory stays O(batch), not O(partition)
+                yield frame
         if _fail_once:
             from pyspark import TaskContext as _TC
 
@@ -233,7 +240,7 @@ def execute_plan(
                 raise RuntimeError(
                     "chaos: task lost after side effects (attempt 0)"
                 )
-        yield from frames
+            yield from frames
 
     # Eagerly materialize: the side effects run exactly ONCE, here — every
     # later action on the returned audit (counts, joins, shows) reads the

@@ -556,15 +556,7 @@ def q_incremental_dedup_batch(spark, sf_dir):
     codegen (zero shuffles, same family as dedup_minhash_lsh); the
     classify join shuffles 32-B keys only."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    u = DD._UNIQ
-    fp = DD.with_shingles(docs, "text", 1).withColumn(
-        "dedup_key",
-        F.expr(
-            "array_min(transform(shingle_set, g{0} -> md5(g{0})))".format(
-                next(u)
-            )
-        ),
-    )
+    fp = DD.fingerprint_min_md5(docs, "text", k=1)
     index = fp.where(F.col("doc_id") % 2 == 0)
     batch = fp.where(F.col("doc_id") % 2 == 1).select("doc_id", "dedup_key")
     return DD.incremental_dedup(
@@ -664,19 +656,30 @@ def q_lsh_quality_eval(spark, sf_dir):
     already individually oracled; this oracle nests them verbatim.
 
     100 TB shape: the exact arm is the inverted-index join (itself
-    bounded, never all-pairs) run on a SAMPLE in production; the
-    comparison is a semi join on id pairs plus four scalar counts."""
+    bounded, never all-pairs) run on a SAMPLE in production. ONE
+    full-outer join of the two pair sets marks presence on each side, so
+    each (expensive) arm is scanned exactly once — the earlier semi-join +
+    per-arm-count formulation re-executed both pipelines twice."""
     exact = QUERIES_REF["dedup_ngram_jaccard"](spark, sf_dir).select(
-        "id_a", "id_b"
+        "id_a", "id_b", F.lit(1).alias("__e")
     )
-    lsh = QUERIES_REF["dedup_minhash_lsh"](spark, sf_dir).select("id_a", "id_b")
-    hits = exact.join(lsh, ["id_a", "id_b"], "left_semi")
-    counts = (
-        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    lsh = QUERIES_REF["dedup_minhash_lsh"](spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__l")
     )
-    return counts.select(
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("__l").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lsh"),
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
         "n_exact",
         "n_lsh",
         "n_hits",
@@ -697,7 +700,8 @@ WITH w AS (
 )
 SELECT digest, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
   CAST(count(*) AS BIGINT) AS n_occurrences
-FROM w GROUP BY digest HAVING count(DISTINCT doc_id) >= 2
+FROM w WHERE digest IS NOT NULL
+GROUP BY digest HAVING count(DISTINCT doc_id) >= 2
 """
 
 

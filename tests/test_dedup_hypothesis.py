@@ -89,6 +89,15 @@ def test_kmeans_refine_matches_bruteforce_one_round(spark, vecs):
     def f32(x):
         return struct.unpack("f", struct.pack("f", x))[0]
 
+    def round6_spark(x):
+        # Spark F.round = BigDecimal.valueOf(double) [shortest repr, like
+        # Python repr] then setScale(6, HALF_UP); Python round() is
+        # half-even over the exact binary value and can differ on 6-dp
+        # boundaries, flipping the argmax
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
     def cos(a, b):
         d = 0.0
         for x, y in zip(a, b):
@@ -99,7 +108,7 @@ def test_kmeans_refine_matches_bruteforce_one_round(spark, vecs):
         nb = 0.0
         for y in b:
             nb = nb + y * y
-        return round(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+        return round6_spark(d / (math.sqrt(na) * math.sqrt(nb)))
 
     assign: dict[int, list[int]] = {}
     for i, v in rows:

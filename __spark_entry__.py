@@ -21,15 +21,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 #: The driver hash-checks the FIRST 50 registered queries. Round-4 rotation:
-#: rounds 1-3 accumulated driver-green rows for 64 of the 116 queries that
-#: existed entering the round; this window keeps 8 anchors (one per major
-#: §2 family, all green in r3) and fills the other 42 slots with queries
-#: that have NEVER received a driver-side CORRECTNESS row (TPC-H tail
+#: rounds 1-3 accumulated driver-green rows for 64 distinct queries; this
+#: window keeps 8 anchors (one per major §2 family, all green in r3) and
+#: fills the other 42 slots with queries that had NEVER received a
+#: driver-side CORRECTNESS row when the rotation was set (TPC-H tail
 #: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
 #: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
-#: After this round the cumulative driver coverage is 106 of those 116;
-#: everything newer (the r4 additions listed below) plus 11 redundant
-#: scalar-suite variants rotates into the window in round 5.
+#: After this round the cumulative driver coverage is 64 + 42 = 106 of the
+#: 133 now registered; the 27 names below (16 operators added during round
+#: 4 after the rotation was fixed, plus 11 redundant scalar-suite variants
+#: of driver-green queries) rotate into the window in round 5. All 27 are
+#: covered by the local DuckDB parity mirror at sf0.001 AND sf0.01 (and
+#: the r4 additions at sf0.1 as well) pending their driver rows.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",
@@ -90,10 +93,12 @@ CURATED_FIRST = [
     "map_funcs_suite",
 ]
 
-#: Still without a driver-side CORRECTNESS row after round 4 (all are
-#: redundant variants of driver-green queries and all stay covered by the
-#: local DuckDB parity mirror in tests/test_oracle_parity.py). Rotate these
-#: into the window in round 5.
+#: Still without a driver-side CORRECTNESS row after round 4: the first 16
+#: are NEW r4 operators (registered after the 50-slot window was fixed for
+#: the round — novel capabilities, not variants); the last 11 are redundant
+#: variants of driver-green queries. All 27 stay covered by the local DuckDB
+#: parity mirror in tests/test_oracle_parity.py. Rotate ALL of these into
+#: the window in round 5, prioritizing the 16 new operators.
 NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "ann_recall_ivf",  # new in r4 (post-rotation); local parity both SFs
     "key_skew_profile",  # new in r4 (post-rotation); local parity both SFs

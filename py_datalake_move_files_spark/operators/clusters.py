@@ -33,15 +33,26 @@ def _lineage_cutter(df_or_spark, checkpoint_dir: str | None):
     invalidates its blocks mid-iteration and fails the job). Passing a
     directory switches to RELIABLE ``checkpoint()`` (blocks written to the
     fault-tolerant store): the right choice for long CC runs on a real
-    cluster where executor churn is expected. The dir is set once on the
-    SparkContext; Spark requires it before the first checkpoint() call.
+    cluster where executor churn is expected.
+
+    The SparkContext checkpoint dir is application-global state: if the
+    app already configured one, it is KEPT (setting ours would silently
+    redirect every other checkpoint() in the application); ``checkpoint_dir``
+    only seeds the setting when none exists. Checkpoint-file lifecycle:
+    intermediate per-iteration files are garbage-collected by Spark's
+    ContextCleaner when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is enabled (on by default in this engine's session factory); the final
+    checkpoint backing the returned DataFrame lives until the app exits or
+    the caller deletes the directory.
     """
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint(eager=True)
     sc = df_or_spark.sparkSession.sparkContext if isinstance(
         df_or_spark, DataFrame
     ) else df_or_spark.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
+    existing = sc._jsc.sc().getCheckpointDir()
+    if existing.isEmpty():
+        sc.setCheckpointDir(checkpoint_dir)
     return lambda df: df.checkpoint(eager=True)
 
 

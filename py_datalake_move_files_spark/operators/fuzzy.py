@@ -50,7 +50,12 @@ def _interleaved_chunk_expr(name_col: str, j: int, k: int) -> Column:
     repeatedly keeps every k-th character of the suffix starting at j.
     Pure codegen'd string expressions (no UDF, and no Python lambda HOF
     per the engine's lambda-safety policy)."""
-    gather = "(.)" + "(.?)" * (k - 1)
+    # (?s): Java-regex '.' excludes line terminators (\n \r \u0085
+    # \u2028 \u2029) by default, so a terminator anywhere in the string
+    # would break the position-class partition and silently DROP true
+    # pairs (distance-1 strings banding into disjoint buckets); DOTALL
+    # makes '.' match every char, restoring the lossless guarantee
+    gather = "(?s)(.)" + "(.?)" * (k - 1)
     return F.regexp_replace(
         # 2^30 ≈ "to end of string"; substring(pos, len) is 1-based
         F.substring(F.col(name_col), j + 1, 1 << 30),

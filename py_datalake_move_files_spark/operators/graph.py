@@ -60,6 +60,11 @@ def pagerank(
     """
     if n_nodes is None:
         n_nodes = nodes.count()
+    if checkpoint_dir is not None and not checkpoint_every:
+        raise ValueError(
+            "checkpoint_dir without checkpoint_every would be silently "
+            "ignored — pass checkpoint_every >= 1 to enable lineage cuts"
+        )
     cut = _lineage_cutter(norm, checkpoint_dir) if checkpoint_every else None
     norm = cut(norm) if cut else norm
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

@@ -56,6 +56,11 @@ def get_spark(
         # this knob only changes the small-shuffle/CPU-heavy regime.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # reliable-checkpoint GC: iterative operators (connected components,
+        # pagerank) checkpoint per round; the ContextCleaner deletes a
+        # round's files once its RDD is unreferenced, bounding checkpoint
+        # storage at O(live rounds) instead of O(all rounds)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -24,7 +24,9 @@ from py_datalake_move_files_spark.operators.fuzzy import fuzzy_hamming_pairs
 
 # small alphabet on purpose: maximizes collisions, near-dups, repeated
 # chars, and shared prefixes — the regimes where banding breaks
-name = st.text(alphabet="abπ0", min_size=0, max_size=9)
+# \n included deliberately: Java-regex '.' excludes line terminators,
+# which broke the class partition until the (?s) fix (review finding, r4)
+name = st.text(alphabet="abπ0\n", min_size=0, max_size=9)
 corpus = st.lists(name, min_size=2, max_size=24)
 
 

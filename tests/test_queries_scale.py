@@ -183,3 +183,20 @@ def test_salted_join_plan_spreads_hot_key(spark, sf_small):
         .toString()
     )
     assert "__salt" in plan  # join key carries the salt column
+
+
+def test_fuzzy_banding_lossless_with_line_terminators(spark):
+    """Java-regex '.' excludes \\n/\\r by default; without (?s) in the
+    position-class gather a terminator broke the class partition and
+    distance-1 pairs silently vanished (review finding, r4)."""
+    from py_datalake_move_files_spark.operators.fuzzy import fuzzy_hamming_pairs
+
+    rows = [(1, "a\nb"), (2, "a\nc"), (3, "x\ry"), (4, "x\rz"), (5, "a b")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["key_a"], r["key_b"], r["hdist"])
+        for r in fuzzy_hamming_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert (1, 2, 1) in got
+    assert (3, 4, 1) in got
+    assert (1, 5, 1) in got  # \n vs   at position 1

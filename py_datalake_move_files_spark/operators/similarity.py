@@ -527,3 +527,155 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PQ (product quantization) — the compressed-corpus ANN scale path
+# --------------------------------------------------------------------------
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ 'training': the ``k`` corpus vectors with the
+    smallest ``md5(id)`` become the shared codeword pool; codeword ``c`` of
+    subspace ``j`` is the ``j``-th slice of pool vector ``c``. (Production
+    PQ runs k-means per subspace — :func:`kmeans_refine` shows that shape;
+    the md5 sample is the standard init and keeps the whole index exactly
+    oracle-checkable.) Driver-side collect is ``k`` rows — KBs.
+
+    Returns the pool ordered by (md5(id), id): index in the list IS the
+    code id, mirrored by ``row_number() OVER (ORDER BY md5(id), id) - 1``
+    in the SQL oracle."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")).asc(), F.col("cid").asc())
+        .limit(k)
+        .collect()
+    )
+    return [[float(v) for v in r["cv"]] for r in rows]
+
+
+def _pq_cb_subspace_sql(codebook: list[list[float]], j: int, subdim: int) -> str:
+    """Literal ``array<array<double>>`` of subspace ``j``'s codewords."""
+    words = []
+    for w in codebook:
+        vals = ", ".join(f"{float(w[j * subdim + i])!r}D" for i in range(subdim))
+        words.append(f"array({vals})")
+    return "array(" + ", ".join(words) + ")"
+
+
+def pq_subdist_sql(vec_sql: str, cbj_sql: str, code1_sql: str, j: int, subdim: int) -> str:
+    """Spark-SQL text for the FIXED-POINT squared L2 distance between
+    subspace ``j`` of ``vec_sql`` and codeword ``code1_sql`` (1-based) of
+    the literal subspace codebook ``cbj_sql``: a sequential
+    ``zip_with``/``aggregate`` fold (left-associative, starting at 0 — the
+    exact IEEE order of the oracle's explicit ``+`` chain), scaled x1e6 and
+    rounded to BIGINT. Integer distances make every downstream sum/argmin
+    associativity-free — the same trick :func:`kmeans_refine` uses for
+    exact cross-engine parity. HOF loops (not unrolled literals) keep the
+    generated bytecode far below the JVM's 64 KB method limit, so the
+    whole pipeline stays inside whole-stage codegen."""
+    u = _u()
+    return (
+        f"CAST(round(aggregate(zip_with(slice({vec_sql}, {j * subdim + 1}, {subdim}), "
+        f"element_at({cbj_sql}, {code1_sql}), (x{u}, y{u}) -> "
+        f"(CAST(x{u} AS DOUBLE) - y{u}) * (CAST(x{u} AS DOUBLE) - y{u})), 0D, "
+        f"(a{u}, v{u}) -> a{u} + v{u}) * 1000000) AS BIGINT)"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[float]],
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """Encode every vector into ``m`` sub-codes (nearest codeword per
+    subspace, fixed-point distances, ties to the lowest code id via struct
+    ``array_min``). Pure column expressions over codeword literals — ZERO
+    shuffles, embarrassingly parallel at 100 TB, and the encoded corpus is
+    ``m`` small ints per row (here 8 B) instead of dim floats (256 B for a
+    64-dim float32 vector): a 32x memory compression that is what lets a
+    1000-executor cluster hold a trillion-vector index in RAM."""
+    dim = len(codebook[0])
+    subdim = dim // m
+    k = len(codebook)
+    code_cols = []
+    for j in range(m):
+        cbj = _pq_cb_subspace_sql(codebook, j, subdim)
+        u = _u()
+        sd = pq_subdist_sql(vec_col, cbj, f"c{u} + 1", j, subdim)
+        code_cols.append(
+            F.expr(
+                f"array_min(transform(sequence(0, {k - 1}), c{u} -> "
+                f"named_struct('d', {sd}, 'c', c{u}))).c"
+            ).cast("int")
+        )
+    return ensure_parallelism(corpus).withColumn(out, F.array(*code_cols))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    *,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: rank the encoded corpus by the
+    sum over subspaces of the distance between the QUERY's subvector and
+    the codeword the NEIGHBOR chose — the FAISS ADC scan.
+
+    Plan shape: the per-query distance tables (m x |codebook| fixed-point
+    ints) are expressions over the broadcast query vector, so the scan is a
+    broadcast-nested-loop over the encoded corpus with a per-row lookup
+    ``element_at(table_j, code_j + 1)`` and an integer-chain sum — the
+    corpus is never shuffled, never decoded, and only the final per-query
+    top-k exchanges. The full-precision vectors are NOT read by this scan
+    (column pruning drops them): at 100 TB the scan touches only the 8-byte
+    code column."""
+    dim = len(codebook[0])
+    subdim = dim // m
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    approx = None
+    for j in range(m):
+        cbj = _pq_cb_subspace_sql(codebook, j, subdim)
+        term = F.expr(
+            pq_subdist_sql(
+                "q_vec", cbj, f"element_at({codes_col}, {j + 1}) + 1", j, subdim
+            )
+        )
+        approx = term if approx is None else approx + term
+    scored = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), codes_col)
+        .crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(approx.cast("double") / 1000000.0, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    )

@@ -486,3 +486,56 @@ def heavy_hitters(
             F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
         )
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashing-trick linear quality classifier — the fastText/DCLM-style
+    model-based filter a curation pipeline runs after the heuristic gates:
+    each token hashes into one of ``n_buckets`` weight slots, the document
+    logit is the mean slot weight, and ``keep`` thresholds it at zero.
+
+    The weight table is FROZEN and derived from the bucket id's md5 (a
+    stand-in for trained weights — swapping in a real table is a literal
+    ``array`` or a broadcast join on ``bucket``); tokens that collide in a
+    bucket share a weight, which is the hashing trick's defining property.
+
+    Exactness: weights are centered 24-bit INTEGERS summed with an
+    associativity-free integer fold, so the logit is bit-identical across
+    engines and partition layouts; the single float op is the final
+    mean + round. Per-row HOF expressions only — ZERO shuffles, a pure map
+    stage at 100 TB (2 md5 per token: one for the bucket, one for the
+    slot weight)."""
+    bucket = (
+        f"CAST(conv(substring(md5(qc_t), 1, 5), 16, 10) AS BIGINT) % {n_buckets}"
+    )
+    w_int = (
+        f"CAST(conv(substring(md5(CAST({bucket} AS STRING)), 1, 6), 16, 10) AS BIGINT)"
+        " - 8388608"
+    )
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
+    e = ensure_parallelism(df).withColumn(
+        "__qc_toks", F.expr(f"split({text_col}, ' ')")
+    )
+    e = e.withColumn(
+        "__qc_s",
+        F.expr(
+            f"aggregate(transform(__qc_toks, qc_t -> {w_int}), 0L, "
+            "(qc_a, qc_v) -> qc_a + qc_v)"
+        ),
+    )
+    n = F.size("__qc_toks")
+    return e.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        F.round(
+            F.col("__qc_s").cast("double") / (n.cast("double") * 16777216.0), 6
+        ).alias("quality_logit"),
+        (F.col("__qc_s") > 0).alias("keep"),
+    )

@@ -2007,6 +2007,7 @@ from py_datalake_move_files_spark import queries_analytics  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_profiling  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_corpus  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_ivf  # noqa: E402,F401
+from py_datalake_move_files_spark import queries_pq  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_scale  # noqa: E402,F401
 

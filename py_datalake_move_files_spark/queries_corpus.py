@@ -819,3 +819,36 @@ def q_split_leakage_audit(spark, sf_dir):
             "leakage_rate"
         ),
     )
+
+
+# --- hashing-trick linear quality classifier ------------------------------
+
+_QC_BUCKET_DD = "('0x' || substr(md5(qt), 1, 5))::BIGINT % 1024"
+_QC_W_DD = (
+    f"('0x' || substr(md5(CAST({_QC_BUCKET_DD} AS VARCHAR)), 1, 6))::BIGINT"
+    " - 8388608"
+)
+
+_QC_ORACLE = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+    list_sum(list_transform(toks, qt -> {_QC_W_DD})) AS sm
+  FROM tk
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+  round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0), 6) AS quality_logit,
+  sm > 0 AS keep
+FROM s
+"""
+
+
+@register("quality_classifier_scores", _QC_ORACLE)
+def q_quality_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering (the stage after heuristic gates in a
+    DCLM/FineWeb-style pipeline): hashing-trick linear classifier with a
+    frozen md5-derived weight table — per-doc logit + keep decision.
+    Integer weight sums make the logit exactly oracle-checkable; the whole
+    stage is map-only (see operators/text.quality_classifier)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.quality_classifier(docs)

@@ -468,3 +468,83 @@ def q_ann_recall_ivf_refined(spark, sf_dir):
             ),
         )
     )
+
+
+# --- SemDeDup-style semantic dedup over the k-means clusters --------------
+
+_SEMDEDUP_T = 0.30
+
+
+def _semantic_dedup_oracle() -> str:
+    parts = _kmeans_ctes()
+    tail = f"""scS AS (
+  SELECT e.vec_id, e.embedding, c.cid, {dd_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c{_KMEANS_ITERS} c
+),
+asgS AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scS) WHERE rn = 1
+),
+p AS (
+  SELECT a.cid, b.vec_id AS ib
+  FROM asgS a JOIN asgS b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {dd_cosine('a.embedding', 'b.embedding')} >= {_SEMDEDUP_T}
+),
+rem AS (SELECT cid, count(DISTINCT ib) AS n_removed FROM p GROUP BY cid),
+sz AS (SELECT cid, count(*) AS n_vectors FROM asgS GROUP BY cid)
+SELECT CAST(sz.cid AS BIGINT) AS cluster_id,
+  CAST(sz.n_vectors AS BIGINT) AS n_vectors,
+  CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+  CAST(sz.n_vectors - coalesce(rem.n_removed, 0) AS BIGINT) AS n_kept
+FROM sz LEFT JOIN rem ON sz.cid = rem.cid"""
+    return "WITH " + ",\n".join(parts) + ",\n" + tail
+
+
+@register("semantic_dedup_summary", _semantic_dedup_oracle())
+def q_semantic_dedup_summary(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    k-means, then drop, within each cluster, every vector that has a
+    lower-id partner above the cosine threshold — keeping one deterministic
+    representative per semantic near-dup group. Reported as per-cluster
+    kept/removed counts (the curation decision a pipeline audits before
+    applying).
+
+    100 TB shape: assignment is the zero-shuffle map stage over refined
+    centroid literals (operators/similarity.ivf_assign on kmeans_refine
+    output); the pairwise stage joins ONLY within a cluster — candidates
+    are bounded by Σ cluster_size², never all-pairs (the reason SemDeDup
+    clusters first). Oversized clusters would be sub-bucketed with the LSH
+    cap device (similarity._cap_bucket_size) before pairing; at this
+    corpus's k the per-cluster sizes are already bounded. Exactly
+    oracle-checked end-to-end (fixed-point centroids + rounded cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids(spark, sf_dir)
+    asg = SIM.ivf_assign(emb, cents, out="cluster_id")
+    a = asg.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = asg.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(SIM.cosine("va", "vb"), 6) >= _SEMDEDUP_T)
+    )
+    rem = pairs.groupBy("cluster_id").agg(
+        F.count_distinct(F.col("id_b")).alias("n_removed")
+    )
+    sz = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        sz.join(rem, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("long"),
+            F.col("n_vectors").cast("long"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

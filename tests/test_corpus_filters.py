@@ -171,3 +171,59 @@ def test_repetition_stats_property_vs_python(spark):
             assert r["dup_trigram_frac"] == dup_tg
 
     check()
+
+
+def test_quality_classifier_matches_python_recomputation(spark):
+    """HOF chain (2 nested md5/conv per token) recomputed in plain Python —
+    guards the silent-HOF-corruption class (tests/test_lambda_safety.py)."""
+    import hashlib
+
+    from py_datalake_move_files_spark.operators.text import quality_classifier
+
+    texts = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "spark spark spark spark"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+
+    def w_int(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:5], 16) % 1024
+        return int(hashlib.md5(str(b).encode()).hexdigest()[:6], 16) - 8388608
+
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        s = sum(w_int(t) for t in toks)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["keep"] == (s > 0)
+        assert r["quality_logit"] == round(s / (len(toks) * 16777216.0), 6)
+
+
+def test_quality_classifier_bucket_collisions_share_weight(spark):
+    """Tokens landing in the same bucket MUST contribute the same weight —
+    the hashing trick's defining property. Construct a collision by brute
+    force over short tokens."""
+    import hashlib
+
+    from py_datalake_move_files_spark.operators.text import quality_classifier
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:5], 16) % 1024
+
+    seen: dict[int, str] = {}
+    pair = None
+    i = 0
+    while pair is None:
+        tok = f"t{i}"
+        b = bucket(tok)
+        if b in seen:
+            pair = (seen[b], tok)
+        seen[b] = tok
+        i += 1
+
+    a, b = pair
+    df = spark.createDataFrame([("x", a), ("y", b)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["quality_logit"] for r in quality_classifier(df).collect()}
+    assert rows["x"] == rows["y"]

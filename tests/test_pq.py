@@ -1,0 +1,97 @@
+"""Product-quantization ANN tier: encode determinism, ADC column pruning
+on a materialized code index, recall sanity, and the no-shuffle encode
+plan — the properties that make PQ the compressed-corpus path at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _cb(spark):
+    return SIM.pq_codebook(_emb(spark), k=16)
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    cb = _cb(spark)
+    assert len(cb) == 16 and len(cb[0]) == 64
+    enc1 = SIM.pq_encode(_emb(spark), cb, m=8).select("vec_id", "codes")
+    enc2 = SIM.pq_encode(_emb(spark), cb, m=8).select("vec_id", "codes")
+    rows1 = {r["vec_id"]: list(r["codes"]) for r in enc1.collect()}
+    rows2 = {r["vec_id"]: list(r["codes"]) for r in enc2.collect()}
+    assert rows1 == rows2
+    for codes in rows1.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_encode_plans_no_hash_shuffle(spark):
+    enc = SIM.pq_encode(_emb(spark), _cb(spark), m=8)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    # per-row encoding: the only exchange is the parallelism guard's
+    # round-robin (local small-file case), never a hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pq_adc_scan_prunes_full_precision_vectors(spark, tmp_path):
+    """The 100 TB claim made by pq_adc_topk's docstring, verified: searching
+    a MATERIALIZED code index must read only (id, codes) — the float
+    vectors stored alongside them are pruned from the scan."""
+    cb = _cb(spark)
+    enc = SIM.pq_encode(_emb(spark), cb, m=8).select("vec_id", "embedding", "codes")
+    path = str(tmp_path / "pq_index")
+    enc.write.mode("overwrite").parquet(path)
+
+    index = spark.read.parquet(path)
+    queries = _emb(spark).where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.pq_adc_topk(index, queries, cb, k=5, m=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the index scan is the one whose projected column list carries codes
+    # (plan toString truncates long tmp paths, so match on schema not path)
+    scan_cols = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    index_cols = [c for c in scan_cols if "codes" in c]
+    assert index_cols, plan
+    assert all("embedding" not in c for c in index_cols), index_cols
+    assert out.count() == 3 * 5
+
+
+def test_pq_adc_agrees_with_full_precision_on_coded_distances(spark):
+    """ADC(q, x) must equal the exact distance between q and x's
+    RECONSTRUCTION (the codeword concatenation) — PQ's defining identity."""
+    cb = _cb(spark)
+    emb = _emb(spark)
+    enc = SIM.pq_encode(emb, cb, m=8)
+    row = enc.where(F.col("vec_id") == 7).select("codes").first()
+    recon = []
+    for j, c in enumerate(row["codes"]):
+        recon.extend(cb[c][j * 8 : (j + 1) * 8])
+
+    q = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = (
+        SIM.pq_adc_topk(enc, q, cb, k=10**6, m=8)
+        .where(F.col("neighbor_id") == 7)
+        .first()["approx_dist"]
+    )
+    qv = [float(v) for v in q.first()["embedding"]]
+    acc = 0
+    for j in range(8):
+        sub = 0.0
+        for i in range(8):
+            d = qv[j * 8 + i] - recon[j * 8 + i]
+            sub = sub + d * d
+        acc += int(round(sub * 1_000_000))
+    assert adc == round(acc / 1_000_000.0, 6)

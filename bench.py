@@ -77,6 +77,12 @@ HEADLINE = [
     "lsh_quality_eval",
     "boilerplate_char_windows",
     "split_leakage_audit",
+    # r4: PQ ANN tier, model-based quality filter, SemDeDup
+    "ann_pq_topk",
+    "pq_code_histogram",
+    "ann_recall_pq",
+    "quality_classifier_scores",
+    "semantic_dedup_summary",
 ]
 
 

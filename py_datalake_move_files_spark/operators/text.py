@@ -539,3 +539,85 @@ def quality_classifier(
         ).alias("quality_logit"),
         (F.col("__qc_s") > 0).alias("keep"),
     )
+
+
+def unigram_logfreq_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """CCNet-style language-model frequency scoring, integer-exact: build a
+    unigram model over the corpus (token -> count), then score each document
+    by the mean log2-bucketed frequency of its tokens plus the fraction of
+    rare tokens. Low-scoring docs are tail/noise (the docs CCNet's KenLM
+    perplexity filter drops); the log2 bucket ``length(bin(count)) - 1`` is
+    an exact-integer surrogate for log-probability, which keeps the whole
+    two-pass pipeline bit-identical across engines (libm ``log`` is not).
+
+    Plan shape: ONE exchange builds the model (map-side combined token
+    counts), the model broadcasts back onto the exploded token stream, and
+    ONE exchange re-aggregates per document — the token stream itself is
+    never shuffled. At 100 TB the model is built once on a corpus sample
+    (or via :func:`heavy_hitters`) and reused across scoring runs."""
+    from pyspark.sql import functions as F
+
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    )
+    model = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    flog2 = (F.length(F.bin(F.col("__c"))) - 1).cast("long")
+    scored = tok.join(F.broadcast(model), "__t").select(
+        F.col(id_col),
+        flog2.alias("__f"),
+        F.when(F.col("__c") <= rare_max_count, 1).otherwise(0).alias("__r"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("__f").alias("__fs"),
+            F.sum("__r").alias("__rs"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                F.col("__fs").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("mean_log2_freq"),
+            F.round(
+                F.col("__rs").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("rare_frac"),
+        )
+    )
+
+
+def canonical_url(url) -> Column:
+    """Canonicalize a URL for dedup keying, the CommonCrawl-pipeline way:
+    strip the fragment, lowercase the host and drop a leading ``www.``,
+    drop the port (canonical scheme is https), strip trailing slashes
+    (empty path -> ``/``), remove ``utm_*`` tracking parameters, and SORT
+    the surviving query parameters so param order never splits a dup
+    group. Pure regex/array expressions — map-only, exactly mirrored by
+    the DuckDB oracle (Java-regex/RE2-common subset, like the PII tier)."""
+    u = F.regexp_replace(url, "#.*$", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, "^[a-zA-Z]+://([^/:?#]+)", 1)), "^www\\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, "^[a-zA-Z]+://[^/?#]+(/[^?#]*)?", 1), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(u, "\\?([^#]*)", 1)
+    qs = F.regexp_replace(qs, "(^|&)utm_[a-zA-Z_]+=[^&]*", "")
+    qs = F.regexp_replace(qs, "^&", "")
+    qsorted = F.array_join(F.array_sort(F.split(qs, "&")), "&")
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
+    )

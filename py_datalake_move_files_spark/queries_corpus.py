@@ -852,3 +852,105 @@ def q_quality_classifier_scores(spark, sf_dir):
     stage is map-only (see operators/text.quality_classifier)."""
     docs = _t(spark, sf_dir, "documents")
     return TXT.quality_classifier(docs)
+
+
+# --- unigram LM frequency scoring (CCNet-style, integer-exact) ------------
+
+_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+m AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+s AS (
+  SELECT doc_id,
+    count(*) AS n,
+    sum(length(bin(c)) - 1) AS fs,
+    sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS rs
+  FROM tok JOIN m USING (t) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+  round(CAST(fs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_log2_freq,
+  round(CAST(rs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rare_frac
+FROM s
+"""
+
+
+@register("unigram_logfreq_scores", _LM_ORACLE)
+def q_unigram_logfreq_scores(spark, sf_dir):
+    """LM-frequency filtering signal (CCNet runs KenLM perplexity here):
+    per-doc mean log2-bucketed unigram frequency + rare-token fraction,
+    from a corpus-built unigram model. Integer log2 buckets keep the
+    two-pass build+score pipeline exactly oracle-checkable
+    (operators/text.unigram_logfreq_scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.unigram_logfreq_scores(docs)
+
+
+# --- URL canonicalization dedup (CommonCrawl-style keying) ----------------
+
+#: messy synthetic URLs derived deterministically from (doc_id, source) —
+#: same device as the multimodal tier's synth_media: the VALUE is derived,
+#: the operator plumbing is real. Varieties: scheme case, www. prefix,
+#: explicit :443 port, trailing slash, param order flips, utm_* tracking
+#: params, fragments.
+_URL_SYNTH = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+source || '.example.com' ||
+CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+'/docs/' || CAST(doc_id % 40 AS STRING) ||
+CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 1
+     THEN '?ref=rss&id=' || CAST(doc_id % 6 AS STRING)
+     WHEN doc_id % 7 = 0
+     THEN '?id=' || CAST(doc_id % 6 AS STRING) || '&ref=rss'
+     ELSE '?id=' || CAST(doc_id % 6 AS STRING) END ||
+CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=w' ELSE '' END ||
+CASE WHEN doc_id % 8 = 0 THEN '#section-2' ELSE '' END
+"""
+
+_URL_CANON_DD = """
+'https://' ||
+regexp_replace(lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') ||
+CASE WHEN regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '') = ''
+     THEN '/'
+     ELSE regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '') END ||
+CASE WHEN qs = '' THEN ''
+     ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END
+"""
+
+_URL_ORACLE = f"""
+WITH raw AS (SELECT doc_id, ({_URL_SYNTH}) AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id, url, u,
+    regexp_replace(regexp_replace(
+      regexp_extract(u, '\\?([^#]*)', 1),
+      '(^|&)utm_[a-zA-Z_]+=[^&]*', '', 'g'), '^&', '') AS qs
+  FROM s1
+),
+c AS (SELECT doc_id, url, ({_URL_CANON_DD}) AS canonical_url FROM s2)
+SELECT canonical_url,
+  CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+  CAST(min(doc_id) AS BIGINT) AS keeper_doc
+FROM c GROUP BY canonical_url
+"""
+
+
+@register("url_canonical_dedup", _URL_ORACLE)
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-keyed dedup, the first dedup stage of a CommonCrawl-style
+    pipeline (before any content hashing): canonicalize messy URLs
+    (case/www/port/trailing-slash/utm/param-order/fragment noise) and
+    group — keeper is the lowest doc id per canonical key. Map-only
+    canonicalization (operators/text.canonical_url); the one exchange is
+    the 16-byte-key group-by, never the documents themselves."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", F.expr(_URL_SYNTH).alias("url"))
+    c = raw.withColumn("canonical_url", TXT.canonical_url(F.col("url")))
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct(F.col("url")).cast("long").alias("n_raw_variants"),
+        F.min("doc_id").cast("long").alias("keeper_doc"),
+    )

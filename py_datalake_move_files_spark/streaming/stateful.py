@@ -90,3 +90,69 @@ def running_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) via ``transformWithStateInPandas``
+    — the Spark 4 stateful API that succeeds ``applyInPandasWithState``
+    (:func:`running_counts` is the legacy twin, kept for comparison).
+
+    Why the new API matters at scale: state lives in NAMED, individually
+    typed variables (``ValueState``/``ListState``/``MapState``) managed by
+    the RocksDB-backed store with per-state TTL support, instead of one
+    monolithic tuple per key — so a 1000-executor job can evolve state
+    schema, expire idle keys, and register per-key timers without custom
+    plumbing. The processor class is self-contained (module-pickling
+    rule: only stdlib/site-package imports inside).
+
+    Environment gate: PySpark's transformWithState Python client talks to
+    the JVM state server over protobuf; without the ``protobuf`` package
+    the driver-side state worker crashes opaquely (XXKST), so fail fast
+    with a clear message here. :func:`running_counts` is the dependency-
+    free legacy equivalent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(PySpark's state-server wire protocol); it is not installed in "
+            "this environment. Use running_counts (applyInPandasWithState) "
+            "for the same semantics."
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, float(total)))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.selectExpr("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -227,3 +227,28 @@ def test_quality_classifier_bucket_collisions_share_weight(spark):
     df = spark.createDataFrame([("x", a), ("y", b)], ["doc_id", "text"])
     rows = {r["doc_id"]: r["quality_logit"] for r in quality_classifier(df).collect()}
     assert rows["x"] == rows["y"]
+
+
+def test_canonical_url_normalizations(spark):
+    """Each canonicalization rule exercised on a crafted URL set."""
+    from py_datalake_move_files_spark.operators.text import canonical_url
+
+    cases = [
+        # case + www + port + fragment
+        ("HTTPS://WWW.Ex.COM:443/a#frag", "https://ex.com/a"),
+        # trailing slashes collapse; empty path becomes /
+        ("https://ex.com/a///", "https://ex.com/a"),
+        ("https://ex.com", "https://ex.com/"),
+        # utm params stripped wherever they sit; survivors sorted
+        ("https://ex.com/p?utm_source=x&b=2&a=1", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?b=2&utm_campaign=y&a=1", "https://ex.com/p?a=1&b=2"),
+        # param order alone never splits a group
+        ("https://ex.com/p?a=1&b=2", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),
+        # all params were tracking -> no query at all
+        ("https://ex.com/p?utm_source=x", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(canonical_url(df.url)).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, (raw, g, want)

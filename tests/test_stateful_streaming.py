@@ -66,3 +66,70 @@ def test_running_counts_match_batch(spark, sf_small, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 0.02, k
+
+
+def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): running totals
+    accumulated across TWO micro-batches must equal the batch groupBy —
+    proving ValueState persists through the checkpointed store.
+
+    Requires protobuf (Spark's state-server wire protocol) — absent in
+    some environments, in which case the operator's fail-fast gate is
+    asserted instead."""
+    import pytest
+
+    from py_datalake_move_files_spark.streaming.stateful import running_totals_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        ev = load_table(spark, sf_small, "events").limit(10)
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_totals_tws(ev)
+        pytest.skip("protobuf not installed: transformWithState gate verified")
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = load_table(spark, sf_small, "events").limit(400)
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(f"{tmp_path}/in/b0")
+
+    def run_once():
+        stream = file_arrival_stream(spark, f"{tmp_path}/in/*", ev.schema)
+        got = {}
+
+        def harvest(df, _bid):
+            for r in df.collect():
+                got[r.user_id] = (r.n_events, r.total_value)
+
+        q = (
+            running_totals_tws(stream)
+            .writeStream.foreachBatch(harvest)
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return got
+
+    run_once()
+    half2.coalesce(1).write.parquet(f"{tmp_path}/in/b1")
+    got = run_once()  # resumes from checkpoint; state carries over
+
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # second run emits only users present in batch 2; every emitted row
+    # must already include batch-1 state
+    assert got, "second run emitted nothing"
+    for k, (n, total) in got.items():
+        assert n == want[k][0], k
+        assert abs(total - want[k][1]) < 0.02, k

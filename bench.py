@@ -83,6 +83,8 @@ HEADLINE = [
     "ann_recall_pq",
     "quality_classifier_scores",
     "semantic_dedup_summary",
+    "unigram_logfreq_scores",
+    "url_canonical_dedup",
 ]
 
 

@@ -81,21 +81,29 @@ def brute_force_topk(
     ``queries`` must have (query_id_col, vec_col). Similarity is rounded to
     6 dp for stable cross-engine comparison; ties break on neighbor id.
     Self-matches (query_id == neighbor id) are excluded.
+
+    Norms are computed ONCE per row on each side before the join (not per
+    pair): the pair expression is a single dot product — 3x fewer HOF
+    flops on the quadratic stage, bit-identical values (same sequential
+    folds, same ``dot/(nq*nc)`` IEEE order the oracle uses).
     """
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+        ).withColumn("q_nrm", norm("q_vec"))
     )
     scored = (
         ensure_parallelism(corpus)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("c_nrm", norm("c_vec"))
         .crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -231,16 +239,20 @@ def lsh_bucketed_topk(
         ensure_parallelism(corpus), "neighbor_id", "c_vec", id_col, vec_col,
         planes_per_table,
     )
-    c = _cap_bucket_size(c, keys, max_bucket)
+    c = _cap_bucket_size(c, keys, max_bucket).withColumn("c_nrm", norm("c_vec"))
     q, _ = _multi_bucketed(queries, "query_id", "q_vec", query_id_col, vec_col,
                            planes_per_table)
+    q = q.withColumn("q_nrm", norm("q_vec"))
     scored = (
         c.join(F.broadcast(q), keys)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+            # per-row norms precomputed above: one dot per candidate pair
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine_sim"),
         )
     )
     if n_tables > 1:
@@ -277,7 +289,7 @@ def embedding_near_dup_pairs(
     b, keys = _multi_bucketed(
         ensure_parallelism(corpus), "vid", "vec", id_col, vec_col, planes_per_table
     )
-    b = _cap_bucket_size(b, keys, max_bucket)
+    b = _cap_bucket_size(b, keys, max_bucket).withColumn("nrm", norm("vec"))
     pairs = (
         b.alias("a")
         .join(b.alias("x"), keys)
@@ -285,7 +297,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("x.vid").alias("id_b"),
-            F.round(cosine("a.vec", "x.vec"), 6).alias("cosine_sim"),
+            # per-row norms precomputed above: one dot per candidate pair
+            F.round(
+                dot("a.vec", "x.vec") / (F.col("a.nrm") * F.col("x.nrm")), 6
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -497,9 +512,11 @@ def ivf_topk(
         ),
         cents,
         vec_col="c_vec",
-    )
+    ).withColumn("c_nrm", norm("c_vec"))
     # per-query probe lists: sort (−sim, cid) structs, take first n_probe
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_nrm", norm("q_vec"))
     sims = _centroid_sims("q_vec", cents)
     probe_structs = F.array(
         *[F.struct((-s).alias("neg"), F.lit(cid).alias("cid")) for cid, s in sims]
@@ -516,7 +533,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cosine_sim"),
+            # per-row norms precomputed above: one dot per candidate pair
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

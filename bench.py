@@ -85,6 +85,7 @@ HEADLINE = [
     "semantic_dedup_summary",
     "unigram_logfreq_scores",
     "url_canonical_dedup",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -219,3 +219,95 @@ def q_ann_recall_pq(spark, sf_dir):
             ),
         )
     )
+
+
+# --- IVF+PQ composed search with exact re-ranking -------------------------
+
+_RERANK = 20
+
+
+def _ivfpq_oracle() -> str:
+    from py_datalake_move_files_spark.queries_ivf import _IVF_PRELUDE, N_PROBE
+
+    # merge the IVF prelude (c/sc/asg) with the PQ prelude (cb/ec/lj/codes):
+    # strip the PQ prelude's leading WITH and chain the CTE lists
+    pq_ctes = _pq_prelude().strip()
+    assert pq_ctes.startswith("WITH ")
+    adc_case = " ".join(
+        f"WHEN {j} THEN " + _dd_subdist("q.q_vec", "c.cv", j)
+        for j in range(M_SUB)
+    )
+    return (
+        _IVF_PRELUDE
+        + ",\n"
+        + pq_ctes[len("WITH ") :]
+        + f""",
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc WHERE vec_id < 5
+  ) WHERE rn <= {N_PROBE}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+candv AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asg a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+adc2 AS (
+  SELECT c2.query_id, c2.neighbor_id,
+    SUM(CASE cd.j {adc_case} END) AS di
+  FROM candv c2
+  JOIN codes cd ON cd.vec_id = c2.neighbor_id
+  JOIN cb c ON cd.code = c.c
+  JOIN qv q ON q.query_id = c2.query_id
+  GROUP BY c2.query_id, c2.neighbor_id
+),
+a_r AS (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY di ASC, neighbor_id ASC) AS rn
+  FROM adc2
+),
+rr AS (
+  SELECT a2.query_id, a2.neighbor_id,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
+  FROM a_r a2
+  JOIN embeddings e ON e.vec_id = a2.neighbor_id
+  JOIN qv q ON q.query_id = a2.query_id
+  WHERE a2.rn <= {_RERANK}
+),
+fin AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM rr
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
+FROM fin WHERE rn <= 10
+"""
+    )
+
+
+@register("ann_ivfpq_topk", _ivfpq_oracle())
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """The composed FAISS-style serving path — IVF routing, compressed ADC
+    scan, exact re-rank of the top survivors — as ONE Spark plan with an
+    exact DuckDB oracle (operators/similarity.ivfpq_topk). Same query set
+    and output shape as the other ANN paths: diff against ann_brute_force
+    for end-to-end recall, against ann_pq_topk for what re-ranking buys."""
+    from py_datalake_move_files_spark.queries_ivf import N_PROBE, _centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(
+        emb,
+        queries,
+        _centroids(spark, sf_dir),
+        _codebook(spark, sf_dir),
+        k=10,
+        rerank=_RERANK,
+        n_probe=N_PROBE,
+        m=M_SUB,
+    )

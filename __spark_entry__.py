@@ -28,11 +28,13 @@ from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 #: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
 #: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
 #: After this round the cumulative driver coverage is 64 + 42 = 106 of the
-#: 133 now registered; the 27 names below (16 operators added during round
-#: 4 after the rotation was fixed, plus 11 redundant scalar-suite variants
-#: of driver-green queries) rotate into the window in round 5. All 27 are
-#: covered by the local DuckDB parity mirror at sf0.001 AND sf0.01 (and
-#: the r4 additions at sf0.1 as well) pending their driver rows.
+#: 141 now registered; the 35 names past the window (24 operators added
+#: during round 4 after the rotation was fixed — including the late-r4 PQ
+#: / quality-classifier / SemDeDup / unigram-LM / URL-dedup / IVF+PQ
+#: tier — plus 11 redundant scalar-suite variants of driver-green
+#: queries) rotate into the window in round 5. All 35 are covered by the
+#: local DuckDB parity mirror at sf0.001 AND sf0.01 (and the r4 additions
+#: at sf0.1 as well) pending their driver rows.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",

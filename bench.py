@@ -86,6 +86,7 @@ HEADLINE = [
     "unigram_logfreq_scores",
     "url_canonical_dedup",
     "ann_ivfpq_topk",
+    "cdc_upsert_apply",
 ]
 
 

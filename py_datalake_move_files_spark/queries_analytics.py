@@ -419,3 +419,39 @@ def q_ewma_user_values(spark, sf_dir):
             6,
         ).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply: the post-MERGE table (upsert semantics over the snapshot pair)
+# --------------------------------------------------------------------------
+
+_UPSERT_ORACLE = f"""
+WITH new_snap AS ({_NEW_SNAP_SQL}),
+old_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT
+  coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+  CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+       ELSE o.o_orderstatus END AS o_orderstatus,
+  CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+       ELSE o.o_totalprice END AS o_totalprice
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+@register("cdc_upsert_apply", _UPSERT_ORACLE)
+def q_cdc_upsert_apply(spark, sf_dir):
+    """MERGE INTO emulation (the Delta/Iceberg upsert, engine-level): new
+    snapshot rows win per key, unmatched old rows survive — the full
+    post-merge table from ONE full-outer key join
+    (``operators/delta.upsert_preview``; ``delete_missing=True`` is the
+    WHEN-NOT-MATCHED-BY-SOURCE-DELETE variant, unit-tested). At 100 TB
+    both sides hash-partition on the merge key — the same single-shuffle
+    shape as snapshot_diff/scd2, which share this join."""
+    from py_datalake_move_files_spark.operators.delta import upsert_preview
+
+    old, new = _order_snapshots(spark, sf_dir)
+    return upsert_preview(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )

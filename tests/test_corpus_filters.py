@@ -252,3 +252,88 @@ def test_canonical_url_normalizations(spark):
     got = [r[0] for r in df.select(canonical_url(df.url)).collect()]
     for (raw, want), g in zip(cases, got):
         assert g == want, (raw, g, want)
+
+
+def test_canonical_url_idempotent_hypothesis(spark):
+    """Canonicalization must be a projection: canonical(canonical(u)) ==
+    canonical(u) for arbitrary messy URLs — otherwise dedup keys drift
+    when a pipeline re-canonicalizes already-clean data."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from py_datalake_move_files_spark.operators.text import canonical_url
+
+    seg = st.text(alphabet="abcXYZ09-_", min_size=1, max_size=6)
+    param = st.tuples(
+        st.sampled_from(["a", "b", "utm_source", "utm_campaign", "ref"]),
+        seg,
+    ).map(lambda kv: f"{kv[0]}={kv[1]}")
+
+    urls = st.builds(
+        lambda scheme, www, host, port, path, params, frag: (
+            f"{scheme}://{www}{host}.example.com{port}"
+            + ("/" + "/".join(path) if path else "")
+            + ("?" + "&".join(params) if params else "")
+            + (f"#{frag}" if frag else "")
+        ),
+        st.sampled_from(["http", "https", "HTTPS"]),
+        st.sampled_from(["", "www.", "WWW."]),
+        seg,
+        st.sampled_from(["", ":443", ":8080"]),
+        st.lists(seg, max_size=3),
+        st.lists(param, max_size=3),
+        st.sampled_from(["", "frag"]),
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(urls, min_size=1, max_size=10, unique=True))
+    def check(batch):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(u,) for u in batch], ["url"])
+        once = df.select(canonical_url(df.url).alias("c1"))
+        twice = once.select(
+            F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+        )
+        for r in twice.collect():
+            assert r["c1"] == r["c2"], r
+
+    check()
+
+
+def test_quality_classifier_composes_with_streams(spark, sf_small, tmp_path):
+    """The classifier is a pure map-stage projection, so it must run
+    unchanged over a streaming DataFrame (stream/batch unification) and
+    emit the same rows the batch path does."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.text import quality_classifier
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    docs.coalesce(1).write.parquet(f"{tmp_path}/in/b0")
+    stream = file_arrival_stream(spark, f"{tmp_path}/in/*", docs.schema)
+    q = (
+        quality_classifier(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp_path}/out")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality_logit"], r["keep"])
+        for r in spark.read.parquet(f"{tmp_path}/out").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["quality_logit"], r["keep"])
+        for r in quality_classifier(docs).collect()
+    }
+    assert got == want

@@ -42,8 +42,23 @@ def _curated_window() -> list[str]:
     return list(mod.CURATED_FIRST)
 
 
+#: late-r4 additions sit past the driver's 50-slot window until the round-5
+#: rotation — run them at driver scale here so their sf0.01 evidence does
+#: not depend on ad-hoc session checks
+R4_LATE_SF001 = [
+    "pq_code_histogram",
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "ann_ivfpq_topk",
+    "quality_classifier_scores",
+    "semantic_dedup_summary",
+    "unigram_logfreq_scores",
+    "url_canonical_dedup",
+    "cdc_upsert_apply",
+]
+
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [
-    (n, SF_DRIVER) for n in _curated_window()
+    (n, SF_DRIVER) for n in _curated_window() + R4_LATE_SF001
 ]
 
 

@@ -87,6 +87,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "ann_ivfpq_topk",
     "cdc_upsert_apply",
+    "ann_recall_ivfpq",
 ]
 
 

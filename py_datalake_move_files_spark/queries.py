@@ -58,7 +58,13 @@ from py_datalake_move_files_spark.operators.predicates import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-EMB_DIM = 64
+from py_datalake_move_files_spark.oracle_frags import (  # noqa: F401 — re-export
+    EMB_DIM,
+    dd_cosine,
+    dd_dot,
+    dd_norm,
+)
+
 N_PLANES = 8
 MINHASHES = 8
 BANDS = 4
@@ -93,20 +99,6 @@ def dd_shingles(text: str, k: int = 3) -> str:
         f"ELSE list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
         f"i -> {joined})) END"
     )
-
-
-def dd_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
-    """Left-associative explicit dot product — IEEE-identical to Spark's
-    sequential ``aggregate`` fold."""
-    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
-
-
-def dd_norm(a: str, dim: int = EMB_DIM) -> str:
-    return "sqrt(" + " + ".join(f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1)) + ")"
-
-
-def dd_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
-    return f"round(({dd_dot(a, b, dim)}) / (({dd_norm(a, dim)}) * ({dd_norm(b, dim)})), 6)"
 
 
 def dd_hexbyte(h: str, i: int) -> str:

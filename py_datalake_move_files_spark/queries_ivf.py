@@ -15,10 +15,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.oracle_ivf import (  # noqa: F401
+    IVF_PRELUDE as _IVF_PRELUDE,
+    N_LISTS,
+    N_PROBE,
+)
 from py_datalake_move_files_spark.queries import dd_cosine, register, _t  # noqa: F401
-
-N_LISTS = 8
-N_PROBE = 2
 
 #: centroid cache per (sf_dir) — centroid selection is deterministic
 #: (md5-ordered sample), so re-collecting it on every query invocation
@@ -34,27 +36,6 @@ def _centroids(spark, sf_dir: str):
         )
     return _CENTROIDS[sf_dir]
 
-#: shared oracle prelude: centroid selection + full-corpus assignment,
-#: mirroring ivf_centroids (md5-ordered sample) and ivf_assign (argmax of
-#: ROUNDED cosine, ties to the lowest centroid id)
-_IVF_PRELUDE = f"""
-WITH c AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_LISTS}
-),
-sc AS (
-  SELECT e.vec_id, e.embedding, c.cid,
-    {dd_cosine('e.embedding', 'c.cv')} AS s
-  FROM embeddings e CROSS JOIN c
-),
-asg AS (
-  SELECT vec_id, embedding, cid AS list_id FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-    FROM sc
-  ) WHERE rn = 1
-)
-"""
 
 
 @register(

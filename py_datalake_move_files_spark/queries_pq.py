@@ -226,8 +226,11 @@ def q_ann_recall_pq(spark, sf_dir):
 _RERANK = 20
 
 
-def _ivfpq_oracle() -> str:
-    from py_datalake_move_files_spark.queries_ivf import _IVF_PRELUDE, N_PROBE
+def _ivfpq_ctes() -> str:
+    from py_datalake_move_files_spark.oracle_ivf import (
+        IVF_PRELUDE as _IVF_PRELUDE,
+        N_PROBE,
+    )
 
     # merge the IVF prelude (c/sc/asg) with the PQ prelude (cb/ec/lj/codes):
     # strip the PQ prelude's leading WITH and chain the CTE lists
@@ -282,6 +285,14 @@ fin AS (
     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
   FROM rr
 )
+"""
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return (
+        _ivfpq_ctes()
+        + """
 SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
 FROM fin WHERE rn <= 10
 """
@@ -310,4 +321,79 @@ def q_ann_ivfpq_topk(spark, sf_dir):
         rerank=_RERANK,
         n_probe=N_PROBE,
         m=M_SUB,
+    )
+
+
+@register(
+    "ann_recall_ivfpq",
+    _ivfpq_ctes()
+    + f""",
+ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
+  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+ex_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM ex_scored
+),
+hits AS (
+  SELECT p.query_id, count(*) AS n
+  FROM fin p JOIN ex_r e
+    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+  WHERE p.rn <= 10 AND e.rn <= 10
+  GROUP BY p.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_10
+FROM qv q LEFT JOIN hits h USING (query_id)
+""",
+)
+def q_ann_recall_ivfpq(spark, sf_dir):
+    """Recall@10 of the COMPOSED IVF+PQ+rerank path vs the exact baseline —
+    read alongside ann_recall_ivf (routing-only loss) and ann_recall_pq
+    (compression-only loss): within the probed lists, exact re-ranking
+    recovers everything ADC approximation costs, so this metric equals
+    IVF's whenever the true neighbors survive the top-``rerank`` ADC cut.
+    That separation (routing loss vs compression loss vs rerank budget) is
+    exactly how a production ANN deployment tunes n_probe / m / rerank."""
+    from py_datalake_move_files_spark.queries_ivf import N_PROBE, _centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    composed = SIM.ivfpq_topk(
+        emb,
+        queries,
+        _centroids(spark, sf_dir),
+        _codebook(spark, sf_dir),
+        k=10,
+        rerank=_RERANK,
+        n_probe=N_PROBE,
+        m=M_SUB,
+    )
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    hits = (
+        composed.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
+                "recall_at_10"
+            ),
+        )
     )

@@ -55,6 +55,7 @@ R4_LATE_SF001 = [
     "unigram_logfreq_scores",
     "url_canonical_dedup",
     "cdc_upsert_apply",
+    "ann_recall_ivfpq",
 ]
 
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [

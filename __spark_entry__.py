@@ -28,13 +28,15 @@ from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 #: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
 #: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
 #: After this round the cumulative driver coverage is 64 + 42 = 106 of the
-#: 141 now registered; the 35 names past the window (24 operators added
+#: 143 now registered; the 37 names past the window (26 operators added
 #: during round 4 after the rotation was fixed — including the late-r4 PQ
-#: / quality-classifier / SemDeDup / unigram-LM / URL-dedup / IVF+PQ
-#: tier — plus 11 redundant scalar-suite variants of driver-green
-#: queries) rotate into the window in round 5. All 35 are covered by the
-#: local DuckDB parity mirror at sf0.001 AND sf0.01 (and the r4 additions
-#: at sf0.1 as well) pending their driver rows.
+#: / quality-classifier / SemDeDup / unigram-LM / URL-dedup / IVF+PQ /
+#: CDC-merge tier — plus 11 redundant scalar-suite variants of
+#: driver-green queries) rotate into the window in round 5, enumerated in
+#: ``NEVER_DRIVER_CHECKED_AFTER_R4`` below. All 37 are covered by the
+#: local DuckDB parity mirror at sf0.001 (and the late-r4 additions at
+#: sf0.01 via ``tests/test_oracle_parity.R4_LATE_SF001``) pending their
+#: driver rows.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",
@@ -118,6 +120,16 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "lsh_quality_eval",  # new in r4 (post-rotation); local parity both SFs
     "boilerplate_char_windows",  # new in r4 (post-rotation); local parity both SFs
     "split_leakage_audit",  # new in r4 (post-rotation); local parity both SFs
+    "pq_code_histogram",  # new in r4 (post-rotation); local parity both SFs
+    "ann_pq_topk",  # new in r4 (post-rotation); local parity both SFs
+    "ann_recall_pq",  # new in r4 (post-rotation); local parity both SFs
+    "ann_ivfpq_topk",  # new in r4 (post-rotation); local parity both SFs
+    "ann_recall_ivfpq",  # new in r4 (post-rotation); local parity both SFs
+    "quality_classifier_scores",  # new in r4 (post-rotation); local parity both SFs
+    "semantic_dedup_summary",  # new in r4 (post-rotation); local parity both SFs
+    "unigram_logfreq_scores",  # new in r4 (post-rotation); local parity both SFs
+    "url_canonical_dedup",  # new in r4 (post-rotation); local parity both SFs
+    "cdc_upsert_apply",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -88,6 +88,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "cdc_upsert_apply",
     "ann_recall_ivfpq",
+    "web_corpus_pipeline",
 ]
 
 

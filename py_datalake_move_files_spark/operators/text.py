@@ -488,6 +488,23 @@ def heavy_hitters(
     )
 
 
+def qc_weight_sum_sql(toks_sql: str, n_buckets: int = 1024) -> str:
+    """Spark-SQL text for the classifier's integer weight sum over a token
+    array expression — shared by :func:`quality_classifier` and composed
+    pipelines that inline the gate (``web_corpus_pipeline``)."""
+    bucket = (
+        f"CAST(conv(substring(md5(qc_t), 1, 5), 16, 10) AS BIGINT) % {n_buckets}"
+    )
+    w_int = (
+        f"CAST(conv(substring(md5(CAST({bucket} AS STRING)), 1, 6), 16, 10) AS BIGINT)"
+        " - 8388608"
+    )
+    return (
+        f"aggregate(transform({toks_sql}, qc_t -> {w_int}), 0L, "
+        "(qc_a, qc_v) -> qc_a + qc_v)"
+    )
+
+
 def quality_classifier(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -511,24 +528,13 @@ def quality_classifier(
     mean + round. Per-row HOF expressions only — ZERO shuffles, a pure map
     stage at 100 TB (2 md5 per token: one for the bucket, one for the
     slot weight)."""
-    bucket = (
-        f"CAST(conv(substring(md5(qc_t), 1, 5), 16, 10) AS BIGINT) % {n_buckets}"
-    )
-    w_int = (
-        f"CAST(conv(substring(md5(CAST({bucket} AS STRING)), 1, 6), 16, 10) AS BIGINT)"
-        " - 8388608"
-    )
     from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 
     e = ensure_parallelism(df).withColumn(
         "__qc_toks", F.expr(f"split({text_col}, ' ')")
     )
     e = e.withColumn(
-        "__qc_s",
-        F.expr(
-            f"aggregate(transform(__qc_toks, qc_t -> {w_int}), 0L, "
-            "(qc_a, qc_v) -> qc_a + qc_v)"
-        ),
+        "__qc_s", F.expr(qc_weight_sum_sql("__qc_toks", n_buckets))
     )
     n = F.size("__qc_toks")
     return e.select(

@@ -954,3 +954,89 @@ def q_url_canonical_dedup(spark, sf_dir):
         F.count_distinct(F.col("url")).cast("long").alias("n_raw_variants"),
         F.min("doc_id").cast("long").alias("keeper_doc"),
     )
+
+
+# --- composed WEB-corpus pipeline: URL dedup -> model gate -> near-dup ----
+
+_WEB_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, source, text, ({_URL_SYNTH}) AS url FROM documents
+),
+u1 AS (SELECT *, regexp_replace(url, '#.*$', '') AS u FROM raw),
+u2 AS (
+  SELECT *, regexp_replace(regexp_replace(
+      regexp_extract(u, '\\?([^#]*)', 1),
+      '(^|&)utm_[a-zA-Z_]+=[^&]*', '', 'g'), '^&', '') AS qs
+  FROM u1
+),
+c AS (
+  SELECT doc_id, source, text, ({_URL_CANON_DD}) AS canonical_url FROM u2
+),
+k1 AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY canonical_url ORDER BY doc_id ASC) AS rn
+    FROM c
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT doc_id, source, text FROM k1
+  WHERE list_sum(list_transform(string_split(text, ' '), qt -> {_QC_W_DD})) > 0
+),
+fp AS (
+  SELECT doc_id, source, text,
+    list_aggregate(list_transform({dd_shingles('text', 1)}, s -> md5(s)), 'min') AS f
+  FROM qc
+),
+k2 AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id ASC) AS rn
+    FROM fp
+  ) WHERE rn = 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_kept
+FROM k2 GROUP BY source
+"""
+
+
+@register("web_corpus_pipeline", _WEB_ORACLE)
+def q_web_corpus_pipeline(spark, sf_dir):
+    """The WEB flavor of the composed curation flow (the twin of
+    ``corpus_curation_pipeline``, built from the round-4 operators):
+    URL-canonical dedup (lowest doc id per canonical key) -> hashing-trick
+    quality-classifier gate -> min-md5 fingerprint near-dup keep-first ->
+    per-source survivor counts.
+
+    Plan shape: ONE FileScan (plan-pinned) — every stage is either a
+    map-side projection or a window-then-filter on the running frame, so
+    the corpus is read once; the three exchanges are the two dedup keys
+    (canonical_url, fingerprint — both small keys, never the documents)
+    and the final per-source aggregate. The gates run cheap-first:
+    URL keying costs 2 md5-free regex passes, the classifier 2 md5/token,
+    the fingerprint 1 md5/token — the same cheap-before-expensive
+    ordering the reference hard-codes in its filter loop
+    (app/main.py:126-141)."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "source", "text", F.expr(_URL_SYNTH).alias("url")
+    ).withColumn("canonical_url", TXT.canonical_url(F.col("url")))
+    w1 = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
+    d = (
+        d.withColumn("__url_rk", F.row_number().over(w1))
+        .where(F.col("__url_rk") == 1)
+        .where(F.expr(TXT.qc_weight_sum_sql("split(text, ' ')")) > 0)
+    )
+    d = DD.fingerprint_min_md5(d, "text", k=1, out="__fp")
+    w2 = Window.partitionBy("__fp").orderBy(F.col("doc_id").asc())
+    d = d.withColumn("__fp_rk", F.row_number().over(w2)).where(
+        F.col("__fp_rk") == 1
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )

@@ -56,6 +56,7 @@ R4_LATE_SF001 = [
     "url_canonical_dedup",
     "cdc_upsert_apply",
     "ann_recall_ivfpq",
+    "web_corpus_pipeline",
 ]
 
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [

@@ -227,3 +227,12 @@ def test_embedding_quantization_is_map_only(spark):
     plan = _plan(spark, "embedding_quantization")
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_web_pipeline_scans_corpus_once(spark):
+    # same invariant as the curation pipeline: the composed URL-dedup ->
+    # classifier-gate -> fingerprint-dedup flow must stay one linear
+    # lineage over a single corpus scan
+    plan = _plan(spark, "web_corpus_pipeline")
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan

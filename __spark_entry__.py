@@ -131,6 +131,7 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "url_canonical_dedup",  # new in r4 (post-rotation); local parity both SFs
     "cdc_upsert_apply",  # new in r4 (post-rotation); local parity both SFs
     "web_corpus_pipeline",  # new in r4 (post-rotation); local parity both SFs
+    "document_chunks",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -89,6 +89,7 @@ HEADLINE = [
     "cdc_upsert_apply",
     "ann_recall_ivfpq",
     "web_corpus_pipeline",
+    "document_chunks",
 ]
 
 

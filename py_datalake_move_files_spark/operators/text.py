@@ -627,3 +627,43 @@ def canonical_url(url) -> Column:
         path,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking pass a
+    RAG / embedding pipeline runs before vectorizing, and a pretraining
+    pipeline runs to fit documents into a context budget. Stride is
+    ``chunk_tokens - overlap``; every token lands in at least one chunk
+    (starts are ``0, stride, 2*stride, ... < n``), the final chunk may be
+    short, and ``chunk_id = start / stride`` is derived (no window, no
+    shuffle — the op is pure projection + explode, map-side at 100 TB;
+    the ~chunk/stride duplication factor is the only data growth)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
+    e = ensure_parallelism(df).withColumn(
+        "__ck_toks", F.expr(f"split({text_col}, ' ')")
+    )
+    e = e.select(
+        F.col(id_col),
+        "__ck_toks",
+        F.explode(
+            F.expr(f"sequence(0, size(__ck_toks) - 1, {stride})")
+        ).alias("__ck_s"),
+    )
+    chunk = F.expr(f"slice(__ck_toks, __ck_s + 1, {chunk_tokens})")
+    return e.select(
+        F.col(id_col),
+        (F.col("__ck_s") / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -1040,3 +1040,34 @@ def q_web_corpus_pipeline(spark, sf_dir):
         .cast("long")
         .alias("n_tokens_kept"),
     )
+
+
+# --- RAG/pretraining document chunking ------------------------------------
+
+_CHUNK, _OVERLAP = 32, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS s FROM tk
+)
+SELECT doc_id,
+  CAST(s / {_STRIDE} AS INT) AS chunk_id,
+  CAST(len(toks[s + 1 : s + {_CHUNK}]) AS INT) AS n_chunk_tokens,
+  array_to_string(toks[s + 1 : s + {_CHUNK}], ' ') AS chunk_text
+FROM st
+"""
+
+
+@register("document_chunks", _CHUNK_ORACLE)
+def q_document_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — the pass before embedding/vectorizing in a RAG pipeline or
+    packing into a context budget for pretraining. Pure projection +
+    explode (operators/text.chunk_documents): zero shuffles, the only
+    growth is the chunk/stride duplication factor."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)

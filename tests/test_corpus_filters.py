@@ -337,3 +337,32 @@ def test_quality_classifier_composes_with_streams(spark, sf_small, tmp_path):
         for r in quality_classifier(docs).collect()
     }
     assert got == want
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in at least one chunk; consecutive chunks share
+    exactly `overlap` tokens (except the possibly-short tail); stripping
+    each chunk's overlap prefix after the first reconstructs the doc."""
+    from py_datalake_move_files_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(75))
+    df = spark.createDataFrame([("d", text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = 32 - 8
+    toks = text.split(" ")
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    recon = []
+    for i, r in enumerate(rows):
+        chunk = r["chunk_text"].split(" ")
+        assert r["n_chunk_tokens"] == len(chunk) <= 32
+        assert chunk == toks[i * stride : i * stride + 32]
+        recon.extend(chunk if i == 0 else chunk[8:])
+    assert recon == toks  # lossless coverage
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)

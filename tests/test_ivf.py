@@ -144,3 +144,39 @@ def test_kmeans_profile_assignment_stage_is_shuffle_free(emb):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_semantic_dedup_cluster_cap_bounds_candidates(spark):
+    """The SemDeDup degenerate-corpus guard: a corpus collapsing into one
+    cluster must be boundable with the LSH cap device applied to the
+    cluster key — pair candidates stay O(max_bucket^2), not O(N^2)."""
+    from pyspark.sql import functions as F
+
+    from py_datalake_move_files_spark.operators.similarity import (
+        _cap_bucket_size,
+        dot,
+        norm,
+    )
+
+    n = 200
+    base = [0.5] * 8
+    rows = [(i, [v + (0.001 * (i % 3)) for v in base]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    one_cluster = df.withColumn("cluster_id", F.lit(0))
+
+    cap = 20
+    capped = _cap_bucket_size(one_cluster, ["cluster_id"], cap).withColumn(
+        "nrm", norm("embedding")
+    )
+    a = capped.select(
+        "cluster_id", F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = capped.select(
+        "cluster_id", F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "cluster_id").where(F.col("ia") < F.col("ib"))
+    # the whole degenerate cluster is dropped by the cap (> max_bucket),
+    # so candidates are zero here — and NEVER the quadratic 19900
+    assert pairs.count() <= cap * (cap - 1) // 2

@@ -57,6 +57,7 @@ R4_LATE_SF001 = [
     "cdc_upsert_apply",
     "ann_recall_ivfpq",
     "web_corpus_pipeline",
+    "document_chunks",
 ]
 
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [

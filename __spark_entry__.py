@@ -28,15 +28,15 @@ from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 #: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
 #: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
 #: After this round the cumulative driver coverage is 64 + 42 = 106 of the
-#: 143 now registered; the 37 names past the window (26 operators added
+#: 146 now registered; the 40 names past the window (29 operators added
 #: during round 4 after the rotation was fixed — including the late-r4 PQ
-#: / quality-classifier / SemDeDup / unigram-LM / URL-dedup / IVF+PQ /
-#: CDC-merge tier — plus 11 redundant scalar-suite variants of
-#: driver-green queries) rotate into the window in round 5, enumerated in
-#: ``NEVER_DRIVER_CHECKED_AFTER_R4`` below. All 37 are covered by the
-#: local DuckDB parity mirror at sf0.001 (and the late-r4 additions at
-#: sf0.01 via ``tests/test_oracle_parity.R4_LATE_SF001``) pending their
-#: driver rows.
+#: / IVF+PQ / quality-classifier / SemDeDup / unigram-LM / URL-dedup /
+#: CDC-merge / chunking / hard-negative tier — plus 11 redundant
+#: scalar-suite variants of driver-green queries) rotate into the window
+#: in round 5, enumerated in ``NEVER_DRIVER_CHECKED_AFTER_R4`` below. All
+#: 40 are covered by the local DuckDB parity mirror at sf0.001 (and the
+#: late-r4 additions at sf0.01 via
+#: ``tests/test_oracle_parity.R4_LATE_SF001``) pending their driver rows.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",
@@ -97,12 +97,12 @@ CURATED_FIRST = [
     "map_funcs_suite",
 ]
 
-#: Still without a driver-side CORRECTNESS row after round 4: the first 16
+#: Still without a driver-side CORRECTNESS row after round 4: the first 29
 #: are NEW r4 operators (registered after the 50-slot window was fixed for
 #: the round — novel capabilities, not variants); the last 11 are redundant
-#: variants of driver-green queries. All 27 stay covered by the local DuckDB
+#: variants of driver-green queries. All 40 stay covered by the local DuckDB
 #: parity mirror in tests/test_oracle_parity.py. Rotate ALL of these into
-#: the window in round 5, prioritizing the 16 new operators.
+#: the window in round 5, prioritizing the 29 new operators.
 NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "ann_recall_ivf",  # new in r4 (post-rotation); local parity both SFs
     "key_skew_profile",  # new in r4 (post-rotation); local parity both SFs
@@ -132,6 +132,7 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "cdc_upsert_apply",  # new in r4 (post-rotation); local parity both SFs
     "web_corpus_pipeline",  # new in r4 (post-rotation); local parity both SFs
     "document_chunks",  # new in r4 (post-rotation); local parity both SFs
+    "hard_negative_mining",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

@@ -90,6 +90,7 @@ HEADLINE = [
     "ann_recall_ivfpq",
     "web_corpus_pipeline",
     "document_chunks",
+    "hard_negative_mining",
 ]
 
 

@@ -397,3 +397,78 @@ def q_ann_recall_ivfpq(spark, sf_dir):
             ),
         )
     )
+
+
+# --- hard-negative mining for contrastive training ------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
+  FROM qv q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(neg_label AS INT) AS neg_label,
+       cosine_sim, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 10
+"""
+
+
+@register("hard_negative_mining", _HARDNEG_ORACLE)
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor, the
+    top-10 most-similar vectors with a DIFFERENT label — the negatives
+    that actually move an embedding model (random negatives are too easy).
+    Same broadcast-anchors corpus-scan shape as ann_brute_force with the
+    label-disagreement filter applied BEFORE the top-k (so the window
+    ranks only true negatives); per-row norms precomputed once. At 100 TB
+    the mining scan swaps in the IVF/PQ index exactly like the search
+    path — the filter composes with any of the four ANN strategies."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        ).withColumn("q_nrm", SIM.norm("q_vec"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("label").alias("neg_label"),
+        )
+        .withColumn("c_nrm", SIM.norm("c_vec"))
+        .crossJoin(q)
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("neg_label").cast("int"),
+            F.round(
+                SIM.dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id", "neg_label", "cosine_sim", "rnk")
+    )

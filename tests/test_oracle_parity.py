@@ -58,6 +58,7 @@ R4_LATE_SF001 = [
     "ann_recall_ivfpq",
     "web_corpus_pipeline",
     "document_chunks",
+    "hard_negative_mining",
 ]
 
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [

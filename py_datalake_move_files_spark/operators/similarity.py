@@ -625,6 +625,8 @@ def pq_encode(
     64-dim float32 vector): a 32x memory compression that is what lets a
     1000-executor cluster hold a trillion-vector index in RAM."""
     dim = len(codebook[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide the vector dim {dim}")
     subdim = dim // m
     k = len(codebook)
     code_cols = []
@@ -666,6 +668,8 @@ def pq_adc_topk(
     (column pruning drops them): at 100 TB the scan touches only the 8-byte
     code column."""
     dim = len(codebook[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide the vector dim {dim}")
     subdim = dim // m
     q = F.broadcast(
         queries.select(

@@ -121,3 +121,13 @@ def test_ivfpq_composed_shape_and_ordering(spark):
         assert [r["rnk"] for r in rs] == list(range(1, 11))
         sims = [r["cosine_sim"] for r in rs]
         assert all(a >= b for a, b in zip(sims, sims[1:])), (q, sims)
+
+
+def test_pq_rejects_indivisible_subspace_count(spark):
+    import pytest
+
+    cb = _cb(spark)
+    with pytest.raises(ValueError, match="divide"):
+        SIM.pq_encode(_emb(spark), cb, m=7)
+    with pytest.raises(ValueError, match="divide"):
+        SIM.pq_adc_topk(_emb(spark), _emb(spark), cb, m=7)

@@ -63,8 +63,10 @@ def norm(a: str) -> Column:
     )
 
 
-def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+# NOTE: there is deliberately no cosine(a, b) convenience helper — it would
+# recompute both norms per candidate PAIR (3x the HOF flops on exactly the
+# quadratic stage). Every call site materializes norms once per row and
+# scores with dot(a, b) / (na * nb); new operators must do the same.
 
 
 def brute_force_topk(
@@ -621,14 +623,17 @@ def pq_encode(
     subspace, fixed-point distances, ties to the lowest code id via struct
     ``array_min``). Pure column expressions over codeword literals — ZERO
     shuffles, embarrassingly parallel at 100 TB, and the encoded corpus is
-    ``m`` small ints per row (here 8 B) instead of dim floats (256 B for a
-    64-dim float32 vector): a 32x memory compression that is what lets a
-    1000-executor cluster hold a trillion-vector index in RAM."""
+    ``m`` BYTES per row (codes are TINYINT, valid for codebooks up to 127
+    codewords) instead of dim floats — 8 B vs 256 B for a 64-dim float32
+    vector, the 32x compression that lets a 1000-executor cluster hold a
+    trillion-vector index in RAM."""
     dim = len(codebook[0])
     if dim % m:
         raise ValueError(f"m={m} must divide the vector dim {dim}")
-    subdim = dim // m
     k = len(codebook)
+    if k > 127:
+        raise ValueError("codebook larger than 127 needs a wider code type")
+    subdim = dim // m
     code_cols = []
     for j in range(m):
         cbj = _pq_cb_subspace_sql(codebook, j, subdim)
@@ -638,7 +643,7 @@ def pq_encode(
             F.expr(
                 f"array_min(transform(sequence(0, {k - 1}), c{u} -> "
                 f"named_struct('d', {sd}, 'c', c{u}))).c"
-            ).cast("int")
+            ).cast("tinyint")
         )
     return ensure_parallelism(corpus).withColumn(out, F.array(*code_cols))
 

@@ -619,13 +619,18 @@ def canonical_url(url) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(path)
     qs = F.regexp_extract(u, "\\?([^#]*)", 1)
     qs = F.regexp_replace(qs, "(^|&)utm_[a-zA-Z_]+=[^&]*", "")
-    qs = F.regexp_replace(qs, "^&", "")
-    qsorted = F.array_join(F.array_sort(F.split(qs, "&")), "&")
+    # drop EMPTY segments (trailing '&', '&&') before sorting: an empty
+    # segment sorts first and would mint a distinct malformed '?&a=1' key
+    # for the same resource AND break idempotence; the emptiness test must
+    # then run on the filtered join, not the raw query string
+    qsorted = F.array_join(
+        F.array_sort(F.array_remove(F.split(qs, "&"), "")), "&"
+    )
     return F.concat(
         F.lit("https://"),
         host,
         path,
-        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
+        F.when(qsorted == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
     )
 
 

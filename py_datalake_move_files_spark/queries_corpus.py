@@ -915,8 +915,8 @@ regexp_replace(lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.'
 CASE WHEN regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '') = ''
      THEN '/'
      ELSE regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '') END ||
-CASE WHEN qs = '' THEN ''
-     ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END
+CASE WHEN array_to_string(list_sort(list_filter(string_split(qs, '&'), uq -> uq != '')), '&') = '' THEN ''
+     ELSE '?' || array_to_string(list_sort(list_filter(string_split(qs, '&'), uq -> uq != '')), '&') END
 """
 
 _URL_ORACLE = f"""

@@ -125,7 +125,10 @@ def q_pq_code_histogram(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     enc = SIM.pq_encode(emb, _codebook(spark, sf_dir), m=M_SUB)
     return (
-        enc.select(F.posexplode("codes").alias("subspace", "code"))
+        enc.select(
+            F.posexplode("codes").alias("subspace", "__code")
+        )
+        .select("subspace", F.col("__code").cast("int").alias("code"))
         .groupBy("subspace", "code")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     )
@@ -433,6 +436,8 @@ def q_hard_negative_mining(spark, sf_dir):
     ranks only true negatives); per-row norms precomputed once. At 100 TB
     the mining scan swaps in the IVF/PQ index exactly like the search
     path — the filter composes with any of the four ANN strategies."""
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
     emb = _t(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.where(F.col("vec_id") < 5).select(
@@ -444,7 +449,8 @@ def q_hard_negative_mining(spark, sf_dir):
     from pyspark.sql import Window
 
     scored = (
-        emb.select(
+        ensure_parallelism(emb)
+        .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_vec"),
             F.col("label").alias("neg_label"),

@@ -247,6 +247,12 @@ def test_canonical_url_normalizations(spark):
         ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),
         # all params were tracking -> no query at all
         ("https://ex.com/p?utm_source=x", "https://ex.com/p"),
+        # empty segments (trailing '&', bare '&&') never mint a distinct
+        # '?&a=1' key or a dangling '?' (review finding: the empty split
+        # segment sorted FIRST before it was filtered out)
+        ("https://ex.com/p?a=1&", "https://ex.com/p?a=1"),
+        ("https://ex.com/p?&&", "https://ex.com/p"),
+        ("https://ex.com/p?utm_source=x&", "https://ex.com/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r[0] for r in df.select(canonical_url(df.url)).collect()]
@@ -264,10 +270,15 @@ def test_canonical_url_idempotent_hypothesis(spark):
     from py_datalake_move_files_spark.operators.text import canonical_url
 
     seg = st.text(alphabet="abcXYZ09-_", min_size=1, max_size=6)
-    param = st.tuples(
-        st.sampled_from(["a", "b", "utm_source", "utm_campaign", "ref"]),
-        seg,
-    ).map(lambda kv: f"{kv[0]}={kv[1]}")
+    # include EMPTY params ('' -> a trailing/double '&'): the segment-filter
+    # regression class the crafted-case test pins
+    param = st.one_of(
+        st.just(""),
+        st.tuples(
+            st.sampled_from(["a", "b", "utm_source", "utm_campaign", "ref"]),
+            seg,
+        ).map(lambda kv: f"{kv[0]}={kv[1]}"),
+    )
 
     urls = st.builds(
         lambda scheme, www, host, port, path, params, frag: (

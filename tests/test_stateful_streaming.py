@@ -88,9 +88,16 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
             running_totals_tws(ev)
         pytest.skip("protobuf not installed: transformWithState gate verified")
 
-    # transformWithState requires the RocksDB state store provider
+    # transformWithState requires the RocksDB state store provider; the
+    # spark fixture is session-scoped, so restore the previous provider in
+    # the finally below — later streaming tests must not inherit it
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev_provider = spark.conf.get(conf_key)
+    except Exception:
+        prev_provider = None
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        conf_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     ev = load_table(spark, sf_small, "events").limit(400)
@@ -117,9 +124,15 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
         q.awaitTermination(180)
         return got
 
-    run_once()
-    half2.coalesce(1).write.parquet(f"{tmp_path}/in/b1")
-    got = run_once()  # resumes from checkpoint; state carries over
+    try:
+        run_once()
+        half2.coalesce(1).write.parquet(f"{tmp_path}/in/b1")
+        got = run_once()  # resumes from checkpoint; state carries over
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
 
     want = {
         r.user_id: (r.n, round(r.s, 2))

@@ -91,6 +91,7 @@ HEADLINE = [
     "web_corpus_pipeline",
     "document_chunks",
     "hard_negative_mining",
+    "stratified_split_counts",
 ]
 
 

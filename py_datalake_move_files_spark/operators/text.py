@@ -672,3 +672,44 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    weights: dict[str, int] | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """EXACT stratified train/val/test assignment: within each stratum,
+    rows are ranked by ``md5(id)`` (a reproducible shuffle) and cumulative
+    integer-weight boundaries ``ceil(n·cum_w/total)`` slice the ranking —
+    every stratum lands within one row of its target proportion, the
+    guarantee :func:`dataset_split`'s hash-bucketing only approaches in
+    expectation (and the one an imbalanced-label eval set actually needs).
+
+    Cost: ONE exchange on the stratum key (the ranking window); boundaries
+    are integer arithmetic on the window count — exact in any engine.
+    Deterministic across runs, engines, partitionings."""
+    from pyspark.sql import Window
+
+    w = weights or {"train": 8, "val": 1, "test": 1}
+    total = sum(w.values())
+    win = Window.partitionBy(strata_col)
+    rk = F.row_number().over(
+        win.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    )
+    n = F.count(F.lit(1)).over(win)
+    e = df.withColumn("__st_rk", rk).withColumn("__st_n", n)
+    expr = None
+    acc = 0
+    for name, weight in w.items():
+        acc += weight
+        # ceil(n * acc / total) with integers only
+        bound = (F.col("__st_n") * acc + (total - 1)) / total
+        cond = F.col("__st_rk") <= F.floor(bound)
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        )
+    return e.withColumn(out, expr).drop("__st_rk", "__st_n")

@@ -478,3 +478,41 @@ def q_hard_negative_mining(spark, sf_dir):
         .where(F.col("rnk") <= 10)
         .select("query_id", "neighbor_id", "neg_label", "cosine_sim", "rnk")
     )
+
+
+# --- exact label-stratified split over the embedding corpus ---------------
+
+_STRAT_ORACLE = """
+WITH r AS (
+  SELECT label,
+    row_number() OVER (
+      PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+    count(*) OVER (PARTITION BY label) AS n
+  FROM embeddings
+),
+s AS (
+  SELECT label,
+    CASE WHEN rk <= (n * 8 + 9) // 10 THEN 'train'
+         WHEN rk <= (n * 9 + 9) // 10 THEN 'val'
+         ELSE 'test' END AS split
+  FROM r
+)
+SELECT CAST(label AS INT) AS label, split, CAST(count(*) AS BIGINT) AS n_vectors
+FROM s GROUP BY label, split
+"""
+
+
+@register("stratified_split_counts", _STRAT_ORACLE)
+def q_stratified_split_counts(spark, sf_dir):
+    """Exact label-stratified train/val/test allocation over the embedding
+    corpus (8/1/1) — every label lands within one row of its target
+    proportion via md5-ranked slicing, the guarantee an imbalanced-label
+    eval needs and hash-bucket splits give only in expectation
+    (operators/text.stratified_split). One exchange on the label key."""
+    from py_datalake_move_files_spark.operators.text import stratified_split
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = stratified_split(emb, "vec_id", "label")
+    return s.groupBy(F.col("label").cast("int").alias("label"), "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )

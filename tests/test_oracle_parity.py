@@ -59,6 +59,7 @@ R4_LATE_SF001 = [
     "web_corpus_pipeline",
     "document_chunks",
     "hard_negative_mining",
+    "stratified_split_counts",
 ]
 
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [

@@ -100,7 +100,7 @@ CURATED_FIRST = [
 #: Still without a driver-side CORRECTNESS row after round 4: the first 30
 #: are NEW r4 operators (registered after the 50-slot window was fixed for
 #: the round — novel capabilities, not variants); the last 11 are redundant
-#: variants of driver-green queries. All 40 stay covered by the local DuckDB
+#: variants of driver-green queries. All 41 stay covered by the local DuckDB
 #: parity mirror in tests/test_oracle_parity.py. Rotate ALL of these into
 #: the window in round 5, prioritizing the 30 new operators.
 NEVER_DRIVER_CHECKED_AFTER_R4 = [

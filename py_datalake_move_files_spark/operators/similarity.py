@@ -615,7 +615,6 @@ def pq_encode(
     codebook: list[list[float]],
     *,
     m: int = 8,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "codes",
 ) -> DataFrame:
@@ -802,4 +801,39 @@ def ivfpq_topk(
         .withColumn("rnk", F.row_number().over(wr))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+def recall_vs_exact(
+    approx: DataFrame,
+    exact: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact baseline —
+    the ONE definition every index eval (IVF, refined IVF, PQ, IVF+PQ)
+    shares, so the metrics stay comparable by construction. Both inputs
+    must carry (query_id, neighbor_id); ``queries`` supplies the per-query
+    left spine so zero-hit queries still report recall 0."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / float(k), 6).alias(
+                f"recall_at_{k}"
+            ),
+        )
     )

@@ -567,8 +567,6 @@ def unigram_logfreq_scores(
     ONE exchange re-aggregates per document — the token stream itself is
     never shuffled. At 100 TB the model is built once on a corpus sample
     (or via :func:`heavy_hitters`) and reused across scoring runs."""
-    from pyspark.sql import functions as F
-
     from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 
     tok = ensure_parallelism(df).select(
@@ -706,9 +704,11 @@ def stratified_split(
     acc = 0
     for name, weight in w.items():
         acc += weight
-        # ceil(n * acc / total) with integers only
-        bound = (F.col("__st_n") * acc + (total - 1)) / total
-        cond = F.col("__st_rk") <= F.floor(bound)
+        # ceil(n * acc / total) in the INTEGER domain (`div`, not `/`):
+        # double division would round once n*acc exceeds 2^53 and land one
+        # off the exact ceil, silently diverging from the oracle's `//`
+        bound = F.expr(f"(__st_n * {acc} + {total - 1}) div {total}")
+        cond = F.col("__st_rk") <= bound
         expr = (
             F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         )

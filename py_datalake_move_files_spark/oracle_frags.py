@@ -25,3 +25,35 @@ def dd_norm(a: str, dim: int = EMB_DIM) -> str:
 
 def dd_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
     return f"round(({dd_dot(a, b, dim)}) / (({dd_norm(a, dim)}) * ({dd_norm(b, dim)})), 6)"
+
+
+def dd_recall_tail(approx_cte: str, k: int = 10) -> str:
+    """Shared recall@k oracle tail: compares an approximate top-k CTE
+    (columns ``query_id, neighbor_id, rn``) against the exact brute-force
+    baseline. Requires a ``qv(query_id, q_vec)`` CTE in scope. One
+    definition keeps the ivf / refined-ivf / pq / ivf+pq recall metrics
+    textually in lockstep — tie-break or denominator changes cannot
+    desynchronize them."""
+    return f""",
+ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
+  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+ex_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM ex_scored
+),
+hits AS (
+  SELECT p.query_id, count(*) AS n
+  FROM {approx_cte} p JOIN ex_r e
+    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+  WHERE p.rn <= {k} AND e.rn <= {k}
+  GROUP BY p.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / {k}.0, 6) AS recall_at_{k}
+FROM qv q LEFT JOIN hits h USING (query_id)
+"""

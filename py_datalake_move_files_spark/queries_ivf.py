@@ -20,6 +20,7 @@ from py_datalake_move_files_spark.oracle_ivf import (  # noqa: F401
     N_LISTS,
     N_PROBE,
 )
+from py_datalake_move_files_spark.oracle_frags import dd_recall_tail
 from py_datalake_move_files_spark.queries import dd_cosine, register, _t  # noqa: F401
 
 #: centroid cache per (sf_dir) — centroid selection is deterministic
@@ -126,29 +127,9 @@ ivf_r AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
   FROM ivf_scored
-),
-ex_scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
-  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
-),
-ex_r AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-  FROM ex_scored
-),
-hits AS (
-  SELECT i.query_id, count(*) AS n
-  FROM ivf_r i JOIN ex_r e
-    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
-  WHERE i.rn <= 10 AND e.rn <= 10
-  GROUP BY i.query_id
 )
-SELECT q.query_id,
-       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_10
-FROM qv q LEFT JOIN hits h USING (query_id)
-""",
+"""
+    + dd_recall_tail("ivf_r"),
 )
 def q_ann_recall_ivf(spark, sf_dir):
     """Recall@10 of the IVF index against the exact brute-force baseline —
@@ -172,27 +153,7 @@ def q_ann_recall_ivf(spark, sf_dir):
         centroids=_centroids(spark, sf_dir),
     )
     exact = SIM.brute_force_topk(emb, queries, k=10)
-    hits = (
-        ivf.select("query_id", "neighbor_id")
-        .join(
-            exact.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
-                "recall_at_10"
-            ),
-        )
-    )
+    return SIM.recall_vs_exact(ivf, exact, queries, k=10)
 
 
 # --- Lloyd's k-means refinement over the IVF init -------------------------
@@ -428,27 +389,7 @@ def q_ann_recall_ivf_refined(spark, sf_dir):
         centroids=_kmeans_centroids(spark, sf_dir),
     )
     exact = SIM.brute_force_topk(emb, queries, k=10)
-    hits = (
-        ivf.select("query_id", "neighbor_id")
-        .join(
-            exact.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
-                "recall_at_10"
-            ),
-        )
-    )
+    return SIM.recall_vs_exact(ivf, exact, queries, k=10)
 
 
 # --- SemDeDup-style semantic dedup over the k-means clusters --------------

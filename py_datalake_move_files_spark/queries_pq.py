@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.oracle_frags import dd_recall_tail
 from py_datalake_move_files_spark.queries import EMB_DIM, dd_cosine, register, _t
 
 K_CODES = 16
@@ -161,29 +162,7 @@ def q_ann_pq_topk(spark, sf_dir):
     "ann_recall_pq",
     _pq_prelude()
     + _ADC_TAIL
-    + f""",
-ex_scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
-  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
-),
-ex_r AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-  FROM ex_scored
-),
-hits AS (
-  SELECT p.query_id, count(*) AS n
-  FROM pq_r p JOIN ex_r e
-    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
-  WHERE p.rn <= 10 AND e.rn <= 10
-  GROUP BY p.query_id
-)
-SELECT q.query_id,
-       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_10
-FROM qv q LEFT JOIN hits h USING (query_id)
-""",
+    + dd_recall_tail("pq_r"),
 )
 def q_ann_recall_pq(spark, sf_dir):
     """Recall@10 of the PQ index against the exact brute-force baseline —
@@ -201,27 +180,7 @@ def q_ann_recall_pq(spark, sf_dir):
     )
     pq = SIM.pq_adc_topk(enc, queries, cb, k=10, m=M_SUB)
     exact = SIM.brute_force_topk(emb, queries, k=10)
-    hits = (
-        pq.select("query_id", "neighbor_id")
-        .join(
-            exact.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
-                "recall_at_10"
-            ),
-        )
-    )
+    return SIM.recall_vs_exact(pq, exact, queries, k=10)
 
 
 # --- IVF+PQ composed search with exact re-ranking -------------------------
@@ -330,29 +289,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 @register(
     "ann_recall_ivfpq",
     _ivfpq_ctes()
-    + f""",
-ex_scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
-  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
-),
-ex_r AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-  FROM ex_scored
-),
-hits AS (
-  SELECT p.query_id, count(*) AS n
-  FROM fin p JOIN ex_r e
-    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
-  WHERE p.rn <= 10 AND e.rn <= 10
-  GROUP BY p.query_id
-)
-SELECT q.query_id,
-       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.n, 0) / 10.0, 6) AS recall_at_10
-FROM qv q LEFT JOIN hits h USING (query_id)
-""",
+    + dd_recall_tail("fin"),
 )
 def q_ann_recall_ivfpq(spark, sf_dir):
     """Recall@10 of the COMPOSED IVF+PQ+rerank path vs the exact baseline —
@@ -379,27 +316,7 @@ def q_ann_recall_ivfpq(spark, sf_dir):
         m=M_SUB,
     )
     exact = SIM.brute_force_topk(emb, queries, k=10)
-    hits = (
-        composed.select("query_id", "neighbor_id")
-        .join(
-            exact.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 6).alias(
-                "recall_at_10"
-            ),
-        )
-    )
+    return SIM.recall_vs_exact(composed, exact, queries, k=10)
 
 
 # --- hard-negative mining for contrastive training ------------------------

@@ -28,13 +28,13 @@ from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 #: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
 #: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
 #: After this round the cumulative driver coverage is 64 + 42 = 106 of the
-#: 147 now registered; the 41 names past the window (30 operators added
+#: 148 now registered; the 42 names past the window (31 operators added
 #: during round 4 after the rotation was fixed — including the late-r4 PQ
 #: / IVF+PQ / quality-classifier / SemDeDup / unigram-LM / URL-dedup /
 #: CDC-merge / chunking / hard-negative tier — plus 11 redundant
 #: scalar-suite variants of driver-green queries) rotate into the window
 #: in round 5, enumerated in ``NEVER_DRIVER_CHECKED_AFTER_R4`` below. All
-#: 41 are covered by the local DuckDB parity mirror at sf0.001 (and the
+#: 42 are covered by the local DuckDB parity mirror at sf0.001 (and the
 #: late-r4 additions at sf0.01 via
 #: ``tests/test_oracle_parity.R4_LATE_SF001``) pending their driver rows.
 CURATED_FIRST = [
@@ -97,12 +97,12 @@ CURATED_FIRST = [
     "map_funcs_suite",
 ]
 
-#: Still without a driver-side CORRECTNESS row after round 4: the first 30
+#: Still without a driver-side CORRECTNESS row after round 4: the first 31
 #: are NEW r4 operators (registered after the 50-slot window was fixed for
 #: the round — novel capabilities, not variants); the last 11 are redundant
-#: variants of driver-green queries. All 41 stay covered by the local DuckDB
+#: variants of driver-green queries. All 42 stay covered by the local DuckDB
 #: parity mirror in tests/test_oracle_parity.py. Rotate ALL of these into
-#: the window in round 5, prioritizing the 30 new operators.
+#: the window in round 5, prioritizing the 31 new operators.
 NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "ann_recall_ivf",  # new in r4 (post-rotation); local parity both SFs
     "key_skew_profile",  # new in r4 (post-rotation); local parity both SFs
@@ -134,6 +134,7 @@ NEVER_DRIVER_CHECKED_AFTER_R4 = [
     "document_chunks",  # new in r4 (post-rotation); local parity both SFs
     "hard_negative_mining",  # new in r4 (post-rotation); local parity both SFs
     "stratified_split_counts",  # new in r4 (post-rotation); local parity both SFs
+    "length_bucket_padding",  # new in r4 (post-rotation); local parity both SFs
     "sliding_window_counts",
     "window_lead_gap",
     "array_funcs_suite",

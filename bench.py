@@ -92,6 +92,7 @@ HEADLINE = [
     "document_chunks",
     "hard_negative_mining",
     "stratified_split_counts",
+    "length_bucket_padding",
 ]
 
 

@@ -1071,3 +1071,55 @@ def q_document_chunks(spark, sf_dir):
     growth is the chunk/stride duplication factor."""
     docs = _t(spark, sf_dir, "documents")
     return TXT.chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+# --- length-bucketed batching: padding-waste accounting -------------------
+
+_PAD_ORACLE = """
+WITH n AS (
+  SELECT len(string_split(text, ' ')) AS nt FROM documents
+),
+b AS (
+  SELECT nt,
+    greatest(16, (1::BIGINT << length(bin(nt - 1)))) AS bucket
+  FROM n
+)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(bucket - nt) AS BIGINT) AS n_pad,
+  round(CAST(sum(bucket - nt) AS DOUBLE)
+        / CAST(sum(bucket) AS DOUBLE), 6) AS pad_frac
+FROM b GROUP BY bucket
+"""
+
+
+@register("length_bucket_padding", _PAD_ORACLE)
+def q_length_bucket_padding(spark, sf_dir):
+    """Length-bucketed batching audit: assign every document to its
+    next-power-of-two token bucket (min 16) and report per-bucket padding
+    waste — the efficiency signal behind bucketed batching (padding to a
+    shared bucket length wastes ``pad_frac`` of every batch's FLOPs; the
+    alternative is sequence packing, see ``sequence_packing_stats``).
+    Map-only bucketing (``2^length(bin(n-1))`` — integer bit arithmetic,
+    no libm log2 boundary risk) + one small-key aggregate."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    b = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("nt")
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "greatest(16L, shiftleft(1L, "
+            "CAST(length(bin(CAST(nt AS BIGINT) - 1)) AS INT)))"
+        ),
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum(F.col("bucket") - F.col("nt")).cast("long").alias("n_pad"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("nt")).cast("double")
+            / F.sum("bucket").cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )

@@ -32,7 +32,7 @@ def test_module_imports_first(mod):
         f"import sys; sys.path.insert(0, {REPO!r}); "
         f"import py_datalake_move_files_spark.{mod}; "
         "from py_datalake_move_files_spark.queries import QUERIES, ORACLE; "
-        "assert len(QUERIES) == len(ORACLE) >= 147, len(QUERIES)"
+        "assert len(QUERIES) == len(ORACLE) >= 148, len(QUERIES)"
     )
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

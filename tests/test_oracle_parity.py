@@ -60,6 +60,7 @@ R4_LATE_SF001 = [
     "document_chunks",
     "hard_negative_mining",
     "stratified_split_counts",
+    "length_bucket_padding",
 ]
 
 CASES = [(n, SF_SWEEP) for n in sorted(QUERIES)] + [

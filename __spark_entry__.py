@@ -34,9 +34,9 @@ from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 #: CDC-merge / chunking / hard-negative tier — plus 11 redundant
 #: scalar-suite variants of driver-green queries) rotate into the window
 #: in round 5, enumerated in ``NEVER_DRIVER_CHECKED_AFTER_R4`` below. All
-#: 42 are covered by the local DuckDB parity mirror at sf0.001 (and the
-#: late-r4 additions at sf0.01 via
-#: ``tests/test_oracle_parity.R4_LATE_SF001``) pending their driver rows.
+#: 42 are covered by the local DuckDB parity mirror, which runs EVERY
+#: registered query at BOTH sf0.001 and sf0.01 (tests/test_oracle_parity
+#: two-scale matrix) pending their driver rows.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all r3-green)
     "manifest_archive_plan",

@@ -622,7 +622,7 @@ def pq_encode(
     subspace, fixed-point distances, ties to the lowest code id via struct
     ``array_min``). Pure column expressions over codeword literals — ZERO
     shuffles, embarrassingly parallel at 100 TB, and the encoded corpus is
-    ``m`` BYTES per row (codes are TINYINT, valid for codebooks up to 127
+    ``m`` BYTES per row (codes are TINYINT, valid for codebooks up to 128
     codewords) instead of dim floats — 8 B vs 256 B for a 64-dim float32
     vector, the 32x compression that lets a 1000-executor cluster hold a
     trillion-vector index in RAM."""
@@ -630,8 +630,8 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"m={m} must divide the vector dim {dim}")
     k = len(codebook)
-    if k > 127:
-        raise ValueError("codebook larger than 127 needs a wider code type")
+    if k > 128:  # codes are 0..k-1; 127 is the TINYINT max
+        raise ValueError("codebook larger than 128 needs a wider code type")
     subdim = dim // m
     code_cols = []
     for j in range(m):
@@ -815,7 +815,16 @@ def recall_vs_exact(
     the ONE definition every index eval (IVF, refined IVF, PQ, IVF+PQ)
     shares, so the metrics stay comparable by construction. Both inputs
     must carry (query_id, neighbor_id); ``queries`` supplies the per-query
-    left spine so zero-hit queries still report recall 0."""
+    left spine so zero-hit queries still report recall 0.
+
+    Both sides are capped at their top ``k`` via the ``rnk`` column when
+    present — the same ``rn <= k`` cut the SQL twin (``dd_recall_tail``)
+    applies, so an over-full ranking (e.g. a k=20 search scored at k=10)
+    cannot push recall past 1.0 on one engine only."""
+    if "rnk" in approx.columns:
+        approx = approx.where(F.col("rnk") <= k)
+    if "rnk" in exact.columns:
+        exact = exact.where(F.col("rnk") <= k)
     hits = (
         approx.select("query_id", "neighbor_id")
         .join(

@@ -909,14 +909,19 @@ CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=w' ELSE '' END ||
 CASE WHEN doc_id % 8 = 0 THEN '#section-2' ELSE '' END
 """
 
-_URL_CANON_DD = """
+#: single Python definitions used twice below — the emptiness test and the
+#: emitted string can never desynchronize
+_QSS_DD = "array_to_string(list_sort(list_filter(string_split(qs, '&'), uq -> uq != '')), '&')"
+_PATH_DD = "regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '')"
+
+_URL_CANON_DD = f"""
 'https://' ||
 regexp_replace(lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') ||
-CASE WHEN regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '') = ''
+CASE WHEN {_PATH_DD} = ''
      THEN '/'
-     ELSE regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '') END ||
-CASE WHEN array_to_string(list_sort(list_filter(string_split(qs, '&'), uq -> uq != '')), '&') = '' THEN ''
-     ELSE '?' || array_to_string(list_sort(list_filter(string_split(qs, '&'), uq -> uq != '')), '&') END
+     ELSE {_PATH_DD} END ||
+CASE WHEN {_QSS_DD} = '' THEN ''
+     ELSE '?' || {_QSS_DD} END
 """
 
 _URL_ORACLE = f"""
@@ -1078,6 +1083,7 @@ def q_document_chunks(spark, sf_dir):
 _PAD_ORACLE = """
 WITH n AS (
   SELECT len(string_split(text, ' ')) AS nt FROM documents
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT nt,
@@ -1103,7 +1109,11 @@ def q_length_bucket_padding(spark, sf_dir):
     alternative is sequence packing, see ``sequence_packing_stats``).
     Map-only bucketing (``2^length(bin(n-1))`` — integer bit arithmetic,
     no libm log2 boundary risk) + one small-key aggregate."""
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # NULL text is excluded on BOTH engines up front: Spark's legacy
+    # size(split(NULL)) = -1 vs DuckDB's NULL row would otherwise diverge
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
     b = docs.select(
         F.size(F.split(F.col("text"), " ")).alias("nt")
     ).withColumn(

@@ -88,9 +88,15 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
             running_totals_tws(ev)
         pytest.skip("protobuf not installed: transformWithState gate verified")
 
+    ev = load_table(spark, sf_small, "events").limit(400)
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(f"{tmp_path}/in/b0")
+
     # transformWithState requires the RocksDB state store provider; the
-    # spark fixture is session-scoped, so restore the previous provider in
-    # the finally below — later streaming tests must not inherit it
+    # spark fixture is session-scoped, so the override happens IMMEDIATELY
+    # before the try whose finally restores it — no statement in between
+    # can fail and leak the provider to later streaming tests
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     try:
         prev_provider = spark.conf.get(conf_key)
@@ -100,10 +106,6 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
         conf_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    ev = load_table(spark, sf_small, "events").limit(400)
-    half1 = ev.where(F.col("event_id") % 2 == 0)
-    half2 = ev.where(F.col("event_id") % 2 == 1)
-    half1.coalesce(1).write.parquet(f"{tmp_path}/in/b0")
 
     def run_once():
         stream = file_arrival_stream(spark, f"{tmp_path}/in/*", ev.schema)

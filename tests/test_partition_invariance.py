@@ -1,0 +1,57 @@
+"""Partition-layout invariance: the engine's determinism claims say results
+are value-identical regardless of parallelism — fixed-point sums, md5
+ranking, explicit fold orders exist precisely so cluster layout cannot
+change answers. Prove it: run value-sensitive queries under two different
+shuffle-partition settings and compare full canonicalized row sets.
+
+Picks one query per determinism device: float aggregation order (q1's
+decimal sums), fixed-point centroids (kmeans), windowed float folds
+(EWMA), integer weight sums (classifier), md5-ranked slicing (stratified
+split), fixed-point ADC (PQ search), and the iterative CC labels."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from py_datalake_move_files_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+QUERIES_UNDER_TEST = [
+    "q1_pricing_summary",
+    "kmeans_cluster_profile",
+    "ewma_user_values",
+    "quality_classifier_scores",
+    "stratified_split_counts",
+    "ann_pq_topk",
+    "dedup_cluster_assignment",
+    "scd2_order_history",
+]
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else format(v, ".17g")
+    return str(v)
+
+
+def _rows(spark, name):
+    df = QUERIES[name](spark, SF)
+    cols = sorted(df.columns)
+    return sorted(tuple(_canon(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_result_invariant_to_shuffle_partitioning(spark, name):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        a = _rows(spark, name)
+        spark.conf.set(key, "13")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set(key, prev)
+    assert a == b, f"{name}: results depend on shuffle partition count"

@@ -10,6 +10,7 @@ Implementation lives in ``py_datalake_move_files_spark.queries``.
 
 from __future__ import annotations
 
+import json
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -20,133 +21,99 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-4 rotation:
-#: rounds 1-3 accumulated driver-green rows for 64 distinct queries; this
-#: window keeps 8 anchors (one per major §2 family, all green in r3) and
-#: fills the other 42 slots with queries that had NEVER received a
-#: driver-side CORRECTNESS row when the rotation was set (TPC-H tail
-#: q2/q6-q20/q22, the profiling/analytics tier, the four r3 scale queries,
-#: heavy hitters, tfidf, funnel/cohort, audio multimodal, map funcs).
-#: After this round the cumulative driver coverage is 64 + 42 = 106 of the
-#: 148 now registered; the 42 names past the window (31 operators added
-#: during round 4 after the rotation was fixed — including the late-r4 PQ
-#: / IVF+PQ / quality-classifier / SemDeDup / unigram-LM / URL-dedup /
-#: CDC-merge / chunking / hard-negative tier — plus 11 redundant
-#: scalar-suite variants of driver-green queries) rotate into the window
-#: in round 5, enumerated in ``NEVER_DRIVER_CHECKED_AFTER_R4`` below. All
-#: 42 are covered by the local DuckDB parity mirror, which runs EVERY
-#: registered query at BOTH sf0.001 and sf0.01 (tests/test_oracle_parity
-#: two-scale matrix) pending their driver rows.
+#: The driver hash-checks the FIRST 50 registered queries. Round-5 rotation
+#: completes the evidence burn-down: rounds 1-4 accumulated driver-green
+#: rows for 105 distinct queries (the ledger CORRECTNESS_CUMULATIVE.json,
+#: regenerated from the per-round artifacts by tools/make_cumulative.py, is
+#: the source of truth — no more hand-kept counts after r4's off-by-one).
+#: This window keeps 7 anchors (one per major §2 family, all green in r4)
+#: and fills the other 43 slots with EVERY query that has never received a
+#: driver-side CORRECTNESS row: the r4 post-rotation tier (PQ / IVF+PQ /
+#: SemDeDup / quality-classifier / corpus curation / CDC), the redundant
+#: scalar-suite variants, and multimodal_frame_sample (orphaned from the r4
+#: list by the off-by-one; restored here). After this round every query
+#: registered through r4 owns a cumulative driver row. Queries ADDED in
+#: round 5 land after the window in NEVER_DRIVER_CHECKED_AFTER_R5 and
+#: rotate in next round; until then they are covered by the local DuckDB
+#: parity mirror (tests/test_oracle_parity.py runs EVERY registered query
+#: at BOTH sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts
+#: the three lists exactly tile the registry, so a query can never again
+#: silently drop out of the accounting.
 CURATED_FIRST = [
-    # anchors — re-verify one representative per §2 family (all r3-green)
+    # anchors — re-verify one representative per §2 family (all r4-green)
     "manifest_archive_plan",
     "q1_pricing_summary",
-    "q5_region_revenue",
     "sessionize_events",
     "asof_purchase_prior_view",
     "dedup_minhash_lsh",
     "ann_ivf_topk",
     "corpus_curation_pipeline",
-    # TPC-H tail — never driver-checked before this round
-    "q2_min_price_supplier",
-    "q6_revenue_filter",
-    "q7_bilateral_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_latency_priority_counts",
-    "q13_order_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_big_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q22_idle_rich_customers",
-    # r3 scale tier — never driver-checked
-    "event_dedup_tumbling",
-    "fuzzy_customer_pairs",
-    "skew_salted_event_join",
-    "pagerank_nation_flow",
-    # profiling / analytics tier — never driver-checked
-    "funnel_conversion",
-    "cohort_retention",
-    "tfidf_top_terms",
-    "value_histogram",
-    "table_profile_orders",
-    "winsorized_value_stats",
-    "regr_trend_by_nation",
-    "incremental_agg_merge",
-    "snapshot_diff_counts",
-    "zorder_locality",
-    "date_gap_fill",
-    # subquery / window variants — never driver-checked
-    "lateral_topk_orders",
-    "recursive_cte_tree_depth",
-    # r4's new hot-key salted as-of join (benched this round)
-    "asof_salted_hot_keys",
-    # corpus / text / multimodal tier — never driver-checked
-    "heavy_hitter_tokens",
-    "corpus_gate_counts",
-    "source_mixture_counts",
-    "sequence_packing_stats",
-    "ivf_list_sizes",
-    "multimodal_audio_features",
-    "map_funcs_suite",
-]
-
-#: Still without a driver-side CORRECTNESS row after round 4: the first 31
-#: are NEW r4 operators (registered after the 50-slot window was fixed for
-#: the round — novel capabilities, not variants); the last 11 are redundant
-#: variants of driver-green queries. All 42 stay covered by the local DuckDB
-#: parity mirror in tests/test_oracle_parity.py. Rotate ALL of these into
-#: the window in round 5, prioritizing the 31 new operators.
-NEVER_DRIVER_CHECKED_AFTER_R4 = [
-    "ann_recall_ivf",  # new in r4 (post-rotation); local parity both SFs
-    "key_skew_profile",  # new in r4 (post-rotation); local parity both SFs
-    "scd2_order_history",  # new in r4 (post-rotation); local parity both SFs
-    "decontamination_overlap",  # new in r4 (post-rotation); local parity both SFs
-    "vocab_oov_rate",  # new in r4 (post-rotation); local parity both SFs
-    "kmeans_cluster_profile",  # new in r4 (post-rotation); local parity both SFs
-    "data_quality_audit",  # new in r4 (post-rotation); local parity both SFs
-    "lang_temperature_resample",  # new in r4 (post-rotation); local parity both SFs
-    "incremental_dedup_batch",  # new in r4 (post-rotation); local parity both SFs
-    "ewma_user_values",  # new in r4 (post-rotation); local parity both SFs
-    "cluster_canonical_docs",  # new in r4 (post-rotation); local parity both SFs
-    "embedding_quantization",  # new in r4 (post-rotation); local parity both SFs
-    "ann_recall_ivf_refined",  # new in r4 (post-rotation); local parity both SFs
-    "lsh_quality_eval",  # new in r4 (post-rotation); local parity both SFs
-    "boilerplate_char_windows",  # new in r4 (post-rotation); local parity both SFs
-    "split_leakage_audit",  # new in r4 (post-rotation); local parity both SFs
-    "pq_code_histogram",  # new in r4 (post-rotation); local parity both SFs
-    "ann_pq_topk",  # new in r4 (post-rotation); local parity both SFs
-    "ann_recall_pq",  # new in r4 (post-rotation); local parity both SFs
-    "ann_ivfpq_topk",  # new in r4 (post-rotation); local parity both SFs
-    "ann_recall_ivfpq",  # new in r4 (post-rotation); local parity both SFs
-    "quality_classifier_scores",  # new in r4 (post-rotation); local parity both SFs
-    "semantic_dedup_summary",  # new in r4 (post-rotation); local parity both SFs
-    "unigram_logfreq_scores",  # new in r4 (post-rotation); local parity both SFs
-    "url_canonical_dedup",  # new in r4 (post-rotation); local parity both SFs
-    "cdc_upsert_apply",  # new in r4 (post-rotation); local parity both SFs
-    "web_corpus_pipeline",  # new in r4 (post-rotation); local parity both SFs
-    "document_chunks",  # new in r4 (post-rotation); local parity both SFs
-    "hard_negative_mining",  # new in r4 (post-rotation); local parity both SFs
-    "stratified_split_counts",  # new in r4 (post-rotation); local parity both SFs
-    "length_bucket_padding",  # new in r4 (post-rotation); local parity both SFs
-    "sliding_window_counts",
+    # multimodal frame sampling — orphaned by the r4 bookkeeping slip; its
+    # only driver contact ever was r1's `err: no_oracle` (it has had an
+    # oracle since and passes local parity at both SFs)
+    "multimodal_frame_sample",
+    # window / scalar-suite variants — never driver-checked
     "window_lead_gap",
+    "window_rank_suite",
+    "sliding_window_counts",
     "array_funcs_suite",
     "null_handling_suite",
     "stats_corr_quantity_price",
     "approx_percentile_prices",
+    # text / corpus tier — never driver-checked
     "text_normalize",
-    "dataset_split_counts",
-    "deterministic_group_sample",
     "char_entropy_stats",
-    "window_rank_suite",
+    "boilerplate_char_windows",
+    "quality_classifier_scores",
+    "unigram_logfreq_scores",
+    "vocab_oov_rate",
+    "url_canonical_dedup",
+    "web_corpus_pipeline",
+    "document_chunks",
+    "length_bucket_padding",
+    "lang_temperature_resample",
+    "dataset_split_counts",
+    "stratified_split_counts",
+    "deterministic_group_sample",
+    "split_leakage_audit",
+    "data_quality_audit",
+    "key_skew_profile",
+    # dedup tier — never driver-checked
+    "incremental_dedup_batch",
+    "cluster_canonical_docs",
+    "decontamination_overlap",
+    "lsh_quality_eval",
+    "semantic_dedup_summary",
+    # ANN / embedding tier — never driver-checked (the whole PQ family)
+    "ann_recall_ivf",
+    "ann_recall_ivf_refined",
+    "kmeans_cluster_profile",
+    "embedding_quantization",
+    "pq_code_histogram",
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "ann_ivfpq_topk",
+    "ann_recall_ivfpq",
+    "hard_negative_mining",
+    # delta / temporal tier — never driver-checked
+    "scd2_order_history",
+    "cdc_upsert_apply",
+    "ewma_user_values",
 ]
+
+#: Queries registered DURING round 5 (after this window was fixed). They
+#: are covered by the local two-scale DuckDB parity mirror now and rotate
+#: into the round-6 window. tests/test_rotation_accounting.py enforces
+#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
+#: the registry.
+NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = []
+
+
+def _cumulative_green() -> set[str]:
+    """Names with a driver-green row in any prior round, per the committed
+    ledger (tools/make_cumulative.py regenerates it from CORRECTNESS_r*)."""
+    p = Path(__file__).resolve().parent / "CORRECTNESS_CUMULATIVE.json"
+    return set(json.loads(p.read_text())) if p.exists() else set()
 
 
 def _ordered(src: dict) -> dict:

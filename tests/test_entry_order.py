@@ -30,23 +30,18 @@ def test_curated_window():
     assert [n for n in e.CURATED_FIRST if n not in o] == []
 
 
-def test_round4_rotation_targets_never_checked_queries():
-    """The 42 non-anchor slots must all be queries with no driver-side
-    CORRECTNESS row from rounds 1-3; the deferred list plus the window
-    plus the previously-checked set must cover the whole registry."""
+def test_round5_rotation_targets_never_checked_queries():
+    """The 43 non-anchor slots must all be queries with no cumulative
+    driver-green row through round 4 (per the committed ledger); the
+    anchors re-verify known-green families. The full registry-tiling
+    invariant lives in tests/test_rotation_accounting.py."""
     import json
 
     e = _load_entry()
     root = Path(__file__).resolve().parents[1]
-    checked = set()
-    for name in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        p = root / name
-        if p.exists():
-            checked |= set(json.loads(p.read_text()))
-    anchors = set(e.CURATED_FIRST[:8])
-    rotation = set(e.CURATED_FIRST[8:])
-    assert anchors <= checked  # anchors re-verify known-green families
-    assert not (rotation & checked)  # every rotated slot is new evidence
-    deferred = set(e.NEVER_DRIVER_CHECKED_AFTER_R4)
-    assert not (deferred & set(e.CURATED_FIRST))
-    assert checked | rotation | deferred == set(e.QUERIES)
+    green = set(json.loads((root / "CORRECTNESS_CUMULATIVE.json").read_text()))
+    anchors = set(e.CURATED_FIRST[:7])
+    rotation = set(e.CURATED_FIRST[7:])
+    assert anchors <= green  # anchors re-verify known-green families
+    assert not (rotation & green)  # every rotated slot is new evidence
+    assert len(rotation) == 43

@@ -1,0 +1,54 @@
+"""Regenerate CORRECTNESS_CUMULATIVE.json from the per-round driver artifacts.
+
+Scans CORRECTNESS_r*.json in the repo root and records, for every query that
+ever earned a fully-green driver row (rows_match + schema_match + hash_match,
+no err), the FIRST round it went green. The output is the single source of
+truth for rotation accounting: __spark_entry__.py's window comments and the
+tests/test_rotation_accounting.py guard both read it instead of hand-kept
+counts (VERDICT r4 "Next round" #8 — the r4 off-by-one this replaces).
+
+Run from the repo root:  python tools/make_cumulative.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def build() -> dict[str, int]:
+    first_green: dict[str, int] = {}
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, row in json.loads(p.read_text()).items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            )
+            if green and (name not in first_green or rnd < first_green[name]):
+                first_green[name] = rnd
+    return dict(sorted(first_green.items()))
+
+
+def main() -> None:
+    ledger = build()
+    out = ROOT / "CORRECTNESS_CUMULATIVE.json"
+    out.write_text(json.dumps(ledger, indent=2) + "\n")
+    by_round: dict[int, int] = {}
+    for rnd in ledger.values():
+        by_round[rnd] = by_round.get(rnd, 0) + 1
+    print(f"{len(ledger)} queries cumulatively driver-green -> {out.name}")
+    for rnd in sorted(by_round):
+        print(f"  first green in r{rnd}: {by_round[rnd]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -326,9 +326,13 @@ def ivf_centroids(
     deployment; the sample IS the standard k-means init). Returned sorted by
     centroid id so downstream argmin tie-breaks are well-defined.
 
-    Driver-side collect is ``n_lists`` rows (k·dim floats — KBs even at
-    k=65536), the one legitimately tiny piece of IVF state; it is then
-    embedded into closed-form column expressions, i.e. broadcast by value."""
+    Driver-side collect is ``n_lists`` rows (k·dim floats — small relative
+    to any corpus, though MBs once k reaches the tens of thousands). How
+    the collected centroids re-enter the plan depends on k — see
+    :func:`ivf_assign`: closed-form column literals below
+    ``max_literal_k`` (fastest, zero shuffles), a broadcast centroid table
+    above it (constant-size plan; the literal/when-chain plan would blow
+    up codegen long before data volume matters)."""
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.md5(F.col("cid").cast("string")).asc())
@@ -360,24 +364,103 @@ def _centroid_sims(vec_col: str, centroids: list[tuple[int, list[float]]]) -> li
     return out
 
 
+#: Above this k, ivf_assign switches from centroid LITERALS (one cosine
+#: expression + one when-branch per centroid — fastest at small k, but the
+#: expression tree and generated code grow O(k·dim) and collapse codegen
+#: long before 100 TB of data matters) to a broadcast centroid TABLE whose
+#: plan size is constant in k.
+IVF_LITERAL_MAX_K = 64
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     *,
     vec_col: str = "embedding",
     out: str = "list_id",
+    id_col: str = "vec_id",
+    max_literal_k: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max rounded cosine, ties
-    to the lowest centroid id). Pure column expressions over centroid
-    literals: ZERO shuffles — at 100 TB assignment is an embarrassingly
-    parallel map stage, the core property that makes IVF the scale path
-    (each query then scans n_probe/n_lists of the corpus instead of all)."""
-    sims = _centroid_sims(vec_col, centroids)
-    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
-    assign = None
-    for cid, s in sims:  # ascending cid ⇒ lowest id wins ties
-        assign = F.when(s == best, F.lit(cid)) if assign is None else assign.when(s == best, F.lit(cid))
-    return corpus.withColumn(out, assign)
+    to the lowest centroid id). Two physically different plans, identical
+    results (same IEEE fold order, same rounding, same tie-break):
+
+    - ``k <= max_literal_k``: pure column expressions over centroid
+      literals — ZERO shuffles, an embarrassingly parallel map stage, the
+      core property that makes IVF the scale path (each query then scans
+      n_probe/n_lists of the corpus instead of all). Fastest while the
+      k-branch expression tree stays codegen-friendly.
+    - ``k > max_literal_k``: the centroids become a k-row broadcast
+      DataFrame; scoring is a broadcast nested-loop join + one array dot
+      per (row, centroid), argmin is a map-side-combined ``max_by`` on
+      ``(sim, -cid)`` structs grouped by ``id_col``, joined back to the
+      corpus. Plan size is CONSTANT in k — the regime a real large-k IVF
+      deployment (k ~ sqrt(N), thousands+) needs. Costs two shuffles
+      (n-row argmin + n-row join-back); ``id_col`` must be unique.
+    """
+    if max_literal_k is None:
+        max_literal_k = IVF_LITERAL_MAX_K  # module constant, tunable at runtime
+    if len(centroids) <= max_literal_k:
+        sims = _centroid_sims(vec_col, centroids)
+        best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
+        assign = None
+        for cid, s in sims:  # ascending cid ⇒ lowest id wins ties
+            assign = F.when(s == best, F.lit(cid)) if assign is None else assign.when(s == best, F.lit(cid))
+        return corpus.withColumn(out, assign)
+    return _ivf_assign_broadcast(
+        corpus, centroids, vec_col=vec_col, out=out, id_col=id_col
+    )
+
+
+def _ivf_assign_broadcast(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str,
+    out: str,
+    id_col: str,
+) -> DataFrame:
+    """Large-k assignment via a broadcast centroid table (see ivf_assign).
+
+    Centroid norms are precomputed in Python with the identical
+    left-associative chain _centroid_sims uses, and ``dot`` emits the same
+    sequential zip_with/aggregate fold — the rounded cosines are
+    bit-identical to the literal path's, so the argmin (and therefore the
+    assignment) agrees exactly between the two plans."""
+    import math
+
+    rows = []
+    for cid, cv in sorted(centroids):
+        acc = 0.0
+        for v in cv:
+            acc = acc + v * v
+        rows.append((int(cid), [float(v) for v in cv], math.sqrt(acc)))
+    cdf = corpus.sparkSession.createDataFrame(
+        rows, "___cid bigint, ___cv array<double>, ___cn double"
+    )
+    sim = F.round(dot(vec_col, "___cv") / (norm(vec_col) * F.col("___cn")), 6)
+    best = (
+        corpus.select(F.col(id_col).alias("___id"), F.col(vec_col))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "___id",
+            F.col("___cid"),
+            sim.alias("___s"),
+        )
+        # max of (sim, -cid) struct == highest sim, ties to LOWEST cid —
+        # the literal path's exact tie-break; partial max_by combines
+        # map-side so the shuffle carries one row per corpus row
+        .groupBy("___id")
+        .agg(
+            F.max_by(
+                F.col("___cid"),
+                F.struct(F.col("___s"), (-F.col("___cid")).alias("___n")),
+            ).alias(out)
+        )
+    )
+    return corpus.join(
+        best.withColumnRenamed("___id", id_col), id_col
+    )
 
 
 def kmeans_refine(
@@ -386,6 +469,7 @@ def kmeans_refine(
     *,
     iters: int = 2,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     scale: int = 1_000_000,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means refinement of an IVF init — the aggregate-then-iterate
@@ -410,7 +494,9 @@ def kmeans_refine(
     dim = len(centroids[0][1])
     cents = sorted(centroids)
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, vec_col=vec_col, out="__c")
+        assigned = ivf_assign(
+            corpus, cents, vec_col=vec_col, out="__c", id_col=id_col
+        )
         aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
             F.sum(
                 F.round(
@@ -514,6 +600,7 @@ def ivf_topk(
         ),
         cents,
         vec_col="c_vec",
+        id_col="neighbor_id",
     ).withColumn("c_nrm", norm("c_vec"))
     # per-query probe lists: sort (−sim, cid) structs, take first n_probe
     q = queries.select(

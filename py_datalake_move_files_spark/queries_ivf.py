@@ -395,6 +395,13 @@ def q_ann_recall_ivf_refined(spark, sf_dir):
 # --- SemDeDup-style semantic dedup over the k-means clusters --------------
 
 _SEMDEDUP_T = 0.30
+#: Hard bound on the quadratic within-cluster pairing: clusters larger than
+#: this are excluded from the pairwise stage on BOTH engines (conservatively
+#: kept whole — dedup never over-drops), so per-cluster candidates are
+#: <= cap², never O(N²), no matter how skewed the assignment gets at scale.
+#: Chosen well above every tested scale's max cluster size (70 at sf0.01,
+#: 264 at sf0.1) so outputs are unchanged until the guard actually matters.
+_SEMDEDUP_CAP = 1024
 
 
 def _semantic_dedup_oracle() -> str:
@@ -408,9 +415,14 @@ asgS AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
     FROM scS) WHERE rn = 1
 ),
+capS AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, count(*) OVER (PARTITION BY cid) AS bn FROM asgS
+  ) WHERE bn <= {_SEMDEDUP_CAP}
+),
 p AS (
   SELECT a.cid, b.vec_id AS ib
-  FROM asgS a JOIN asgS b
+  FROM capS a JOIN capS b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
   WHERE {dd_cosine('a.embedding', 'b.embedding')} >= {_SEMDEDUP_T}
 ),
@@ -422,6 +434,41 @@ SELECT CAST(sz.cid AS BIGINT) AS cluster_id,
   CAST(sz.n_vectors - coalesce(rem.n_removed, 0) AS BIGINT) AS n_kept
 FROM sz LEFT JOIN rem ON sz.cid = rem.cid"""
     return "WITH " + ",\n".join(parts) + ",\n" + tail
+
+
+def _semdedup_pairs(asg, *, cap: int | None):
+    """Within-cluster near-dup candidate pairs above the cosine threshold,
+    with the quadratic stage hard-bounded: clusters larger than ``cap``
+    are excluded from pairing by similarity._cap_bucket_size (the window
+    count is co-partitioned with the join's cluster_id shuffle — no extra
+    exchange pattern), so candidates per cluster never exceed cap·(cap-1)/2
+    no matter how skewed the assignment. Norms are computed ONCE per row
+    (not per pair): the pair expression is a single dot product — 3x fewer
+    HOF flops on the quadratic stage, bit-identical result (same IEEE ops:
+    dot/(na*nb) with norms computed by the same sequential fold)."""
+    capped = SIM._cap_bucket_size(
+        asg.withColumn("nrm", SIM.norm("embedding")), ["cluster_id"], cap
+    )
+    a = capped.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = capped.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(SIM.dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            >= _SEMDEDUP_T
+        )
+    )
 
 
 @register("semantic_dedup_summary", _semantic_dedup_oracle())
@@ -436,40 +483,19 @@ def q_semantic_dedup_summary(spark, sf_dir):
     100 TB shape: assignment is the zero-shuffle map stage over refined
     centroid literals (operators/similarity.ivf_assign on kmeans_refine
     output); the pairwise stage joins ONLY within a cluster — candidates
-    are bounded by Σ cluster_size², never all-pairs (the reason SemDeDup
-    clusters first). Oversized clusters would be sub-bucketed with the LSH
-    cap device (similarity._cap_bucket_size) before pairing; at this
-    corpus's k the per-cluster sizes are already bounded. Exactly
-    oracle-checked end-to-end (fixed-point centroids + rounded cosine)."""
+    are bounded by Σ min(cluster_size, _SEMDEDUP_CAP)², never all-pairs
+    (the reason SemDeDup clusters first). The cap device
+    (similarity._cap_bucket_size on the cluster key) IS wired in: clusters
+    beyond _SEMDEDUP_CAP skip pairing entirely and are conservatively kept
+    whole — the oracle applies the identical cap, so parity holds at every
+    scale, including when the guard binds. (The production alternative is
+    raising k so clusters shrink; the cap is the semantic backstop for
+    skewed assignments.) Exactly oracle-checked end-to-end (fixed-point
+    centroids + rounded cosine)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _kmeans_centroids(spark, sf_dir)
-    # precompute each vector's norm ONCE per row (not per pair): the pair
-    # expression is then a single dot product — 3x fewer HOF flops on the
-    # quadratic-in-cluster-size stage, bit-identical result (same IEEE
-    # ops: dot/(na*nb) with norms computed by the same sequential fold)
-    asg = SIM.ivf_assign(emb, cents, out="cluster_id").withColumn(
-        "nrm", SIM.norm("embedding")
-    )
-    a = asg.select(
-        "cluster_id",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = asg.select(
-        "cluster_id",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(SIM.dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
-            >= _SEMDEDUP_T
-        )
-    )
+    asg = SIM.ivf_assign(emb, cents, out="cluster_id")
+    pairs = _semdedup_pairs(asg, cap=_SEMDEDUP_CAP)
     rem = pairs.groupBy("cluster_id").agg(
         F.count_distinct(F.col("id_b")).alias("n_removed")
     )

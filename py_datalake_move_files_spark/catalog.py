@@ -52,6 +52,21 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def table_snapshot(sf_dir: str, name: str) -> tuple:
+    """Cache-key fingerprint of a table: (path, mtime_ns, size) for a local
+    parquet file, path-only when the stat isn't available (remote storage,
+    missing file). Process-lifetime caches of anything DERIVED from a table
+    (IVF centroids, PQ codebooks) must key on this instead of the bare
+    sf_dir, so rewriting data under the same path invalidates them
+    (ADVICE r4: a bare-path key silently served stale trained state)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path,)
+
+
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Cast any TIMESTAMP_NTZ column to TimestampType.
 

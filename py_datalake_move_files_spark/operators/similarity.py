@@ -77,6 +77,10 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_extra: dict[str, Column | str] | None = None,
+    query_extra: dict[str, Column | str] | None = None,
+    pair_predicate: Column | None = None,
+    extra_out: list[str] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -88,25 +92,49 @@ def brute_force_topk(
     pair): the pair expression is a single dot product — 3x fewer HOF
     flops on the quadratic stage, bit-identical values (same sequential
     folds, same ``dot/(nq*nc)`` IEEE order the oracle uses).
-    """
+
+    Filtered-pair variants (hard-negative mining and friends) reuse THIS
+    pipeline instead of re-implementing it (ADVICE r4 — one place for
+    tie-break/rounding changes): ``corpus_extra`` / ``query_extra`` carry
+    additional aliased columns through the join ({out_alias: source column
+    name or Column}), ``pair_predicate`` filters candidate pairs BEFORE
+    the top-k window (so ranks are over surviving pairs only), and
+    ``extra_out`` names which carried aliases appear in the output, after
+    ``neighbor_id``."""
+    def _cols(extra: dict[str, Column | str] | None) -> list[Column]:
+        if not extra:
+            return []
+        return [
+            (F.col(src) if isinstance(src, str) else src).alias(name)
+            for name, src in extra.items()
+        ]
+
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            *_cols(query_extra),
         ).withColumn("q_nrm", norm("q_vec"))
     )
-    scored = (
+    pairs = (
         ensure_parallelism(corpus)
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            *_cols(corpus_extra),
+        )
         .withColumn("c_nrm", norm("c_vec"))
         .crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
-            ).alias("cosine_sim"),
-        )
+    )
+    if pair_predicate is not None:
+        pairs = pairs.where(pair_predicate)
+    out_cols = ["query_id", "neighbor_id", *(extra_out or [])]
+    scored = pairs.select(
+        *out_cols,
+        F.round(
+            dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -114,7 +142,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+        .select(*out_cols, "cosine_sim", "rnk")
     )
 
 

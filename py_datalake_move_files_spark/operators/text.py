@@ -602,15 +602,24 @@ def unigram_logfreq_scores(
 def canonical_url(url) -> Column:
     """Canonicalize a URL for dedup keying, the CommonCrawl-pipeline way:
     strip the fragment, lowercase the host and drop a leading ``www.``,
-    drop the port (canonical scheme is https), strip trailing slashes
-    (empty path -> ``/``), remove ``utm_*`` tracking parameters, and SORT
-    the surviving query parameters so param order never splits a dup
-    group. Pure regex/array expressions — map-only, exactly mirrored by
+    strip DEFAULT ports only (``:80``/``:443`` — an explicit ``:8080``
+    names a genuinely distinct origin and stays in the key, ADVICE r4),
+    strip trailing slashes (empty path -> ``/``), remove ``utm_*``
+    tracking parameters, and SORT the surviving query parameters so param
+    order never splits a dup group. Deliberate scope limit: the scheme
+    folds to ``https`` (http://h/x and https://h/x share a key) — the
+    standard crawl-dedup assumption that a host serves one corpus across
+    schemes; callers needing scheme-distinct keys should prepend the raw
+    scheme. Pure regex/array expressions — map-only, exactly mirrored by
     the DuckDB oracle (Java-regex/RE2-common subset, like the PII tier)."""
     u = F.regexp_replace(url, "#.*$", "")
     host = F.regexp_replace(
         F.lower(F.regexp_extract(u, "^[a-zA-Z]+://([^/:?#]+)", 1)), "^www\\.", ""
     )
+    port = F.regexp_extract(u, "^[a-zA-Z]+://[^/:?#]+:([0-9]+)", 1)
+    port_part = F.when(
+        port.isin("", "80", "443"), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(
         F.regexp_extract(u, "^[a-zA-Z]+://[^/?#]+(/[^?#]*)?", 1), "/+$", ""
     )
@@ -627,6 +636,7 @@ def canonical_url(url) -> Column:
     return F.concat(
         F.lit("https://"),
         host,
+        port_part,
         path,
         F.when(qsorted == "", F.lit("")).otherwise(F.concat(F.lit("?"), qsorted)),
     )

@@ -914,9 +914,19 @@ CASE WHEN doc_id % 8 = 0 THEN '#section-2' ELSE '' END
 _QSS_DD = "array_to_string(list_sort(list_filter(string_split(qs, '&'), uq -> uq != '')), '&')"
 _PATH_DD = "regexp_replace(regexp_extract(u, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1), '/+$', '')"
 
+#: non-default port survives in the canonical key (ADVICE r4): '' when the
+#: URL has no explicit port or a default one, ':NNNN' otherwise — the same
+#: rule operators/text.canonical_url applies
+_PORT_DD = (
+    "CASE WHEN regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1)"
+    " IN ('', '80', '443') THEN ''"
+    " ELSE ':' || regexp_extract(u, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) END"
+)
+
 _URL_CANON_DD = f"""
 'https://' ||
 regexp_replace(lower(regexp_extract(u, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') ||
+{_PORT_DD} ||
 CASE WHEN {_PATH_DD} = ''
      THEN '/'
      ELSE {_PATH_DD} END ||

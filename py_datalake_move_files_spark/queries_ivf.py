@@ -23,19 +23,25 @@ from py_datalake_move_files_spark.oracle_ivf import (  # noqa: F401
 from py_datalake_move_files_spark.oracle_frags import dd_recall_tail
 from py_datalake_move_files_spark.queries import dd_cosine, register, _t  # noqa: F401
 
-#: centroid cache per (sf_dir) — centroid selection is deterministic
+#: centroid cache keyed on the table SNAPSHOT (path+mtime+size, see
+#: catalog.table_snapshot) — centroid selection is deterministic
 #: (md5-ordered sample), so re-collecting it on every query invocation
 #: would just repeat an identical Spark job; an IVF deployment trains
-#: once and reuses the index across queries, mirrored here.
-_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
+#: once and reuses the index across queries, mirrored here. The snapshot
+#: key means rewriting data under the same path retrains instead of
+#: serving a stale index (ADVICE r4).
+_CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
 def _centroids(spark, sf_dir: str):
-    if sf_dir not in _CENTROIDS:
-        _CENTROIDS[sf_dir] = SIM.ivf_centroids(
+    from py_datalake_move_files_spark.catalog import table_snapshot
+
+    key = table_snapshot(sf_dir, "embeddings")
+    if key not in _CENTROIDS:
+        _CENTROIDS[key] = SIM.ivf_centroids(
             _t(spark, sf_dir, "embeddings"), n_lists=N_LISTS
         )
-    return _CENTROIDS[sf_dir]
+    return _CENTROIDS[key]
 
 
 
@@ -161,18 +167,22 @@ def q_ann_recall_ivf(spark, sf_dir):
 _KMEANS_ITERS = 2
 _KM_SCALE = 1_000_000
 
-#: refined-centroid cache per sf_dir — like _CENTROIDS: training runs once
-#: per corpus (iters small jobs), queries reuse the refined index
-_KM_CENTROIDS: dict[str, list[tuple[int, list[float]]]] = {}
+#: refined-centroid cache, snapshot-keyed like _CENTROIDS: training runs
+#: once per corpus snapshot (iters small jobs), queries reuse the refined
+#: index; a rewrite under the same path retrains
+_KM_CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
 def _kmeans_centroids(spark, sf_dir: str):
-    if sf_dir not in _KM_CENTROIDS:
+    from py_datalake_move_files_spark.catalog import table_snapshot
+
+    key = table_snapshot(sf_dir, "embeddings")
+    if key not in _KM_CENTROIDS:
         emb = _t(spark, sf_dir, "embeddings")
-        _KM_CENTROIDS[sf_dir] = SIM.kmeans_refine(
+        _KM_CENTROIDS[key] = SIM.kmeans_refine(
             emb, _centroids(spark, sf_dir), iters=_KMEANS_ITERS, scale=_KM_SCALE
         )
-    return _KM_CENTROIDS[sf_dir]
+    return _KM_CENTROIDS[key]
 
 
 def _kmeans_ctes() -> list[str]:

@@ -26,18 +26,23 @@ K_CODES = 16
 M_SUB = 8
 SUBDIM = EMB_DIM // M_SUB
 
-#: codebook cache per sf_dir — training is deterministic (md5-ordered
-#: sample), so re-collecting per query invocation would repeat an identical
-#: Spark job; a PQ deployment trains once and reuses the codebook.
-_CODEBOOK: dict[str, list[list[float]]] = {}
+#: codebook cache keyed on the table snapshot (catalog.table_snapshot) —
+#: training is deterministic (md5-ordered sample), so re-collecting per
+#: query invocation would repeat an identical Spark job; a PQ deployment
+#: trains once and reuses the codebook. The snapshot key retrains when
+#: data under the same path is rewritten (ADVICE r4).
+_CODEBOOK: dict[tuple, list[list[float]]] = {}
 
 
 def _codebook(spark, sf_dir: str) -> list[list[float]]:
-    if sf_dir not in _CODEBOOK:
-        _CODEBOOK[sf_dir] = SIM.pq_codebook(
+    from py_datalake_move_files_spark.catalog import table_snapshot
+
+    key = table_snapshot(sf_dir, "embeddings")
+    if key not in _CODEBOOK:
+        _CODEBOOK[key] = SIM.pq_codebook(
             _t(spark, sf_dir, "embeddings"), k=K_CODES
         )
-    return _CODEBOOK[sf_dir]
+    return _CODEBOOK[key]
 
 
 def _dd_subdist(a: str, b: str, j: int) -> str:
@@ -348,52 +353,25 @@ def q_hard_negative_mining(spark, sf_dir):
     """Hard-negative mining for contrastive training: for each anchor, the
     top-10 most-similar vectors with a DIFFERENT label — the negatives
     that actually move an embedding model (random negatives are too easy).
-    Same broadcast-anchors corpus-scan shape as ann_brute_force with the
-    label-disagreement filter applied BEFORE the top-k (so the window
-    ranks only true negatives); per-row norms precomputed once. At 100 TB
+    The whole pipeline DELEGATES to brute_force_topk (ADVICE r4): the
+    label-disagreement test rides the operator's pair_predicate hook so it
+    applies BEFORE the top-k window (ranks are over true negatives only),
+    and the negative's label is carried via corpus_extra — tie-break or
+    rounding changes can never desynchronize mining from search. At 100 TB
     the mining scan swaps in the IVF/PQ index exactly like the search
     path — the filter composes with any of the four ANN strategies."""
-    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
-
     emb = _t(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        emb.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_vec"),
-            F.col("label").alias("q_label"),
-        ).withColumn("q_nrm", SIM.norm("q_vec"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
     )
-    from pyspark.sql import Window
-
-    scored = (
-        ensure_parallelism(emb)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_vec"),
-            F.col("label").alias("neg_label"),
-        )
-        .withColumn("c_nrm", SIM.norm("c_vec"))
-        .crossJoin(q)
-        .where(
-            (F.col("neighbor_id") != F.col("query_id"))
-            & (F.col("neg_label") != F.col("q_label"))
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("neg_label").cast("int"),
-            F.round(
-                SIM.dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
-        .select("query_id", "neighbor_id", "neg_label", "cosine_sim", "rnk")
+    return SIM.brute_force_topk(
+        emb,
+        queries,
+        k=10,
+        corpus_extra={"neg_label": F.col("label").cast("int")},
+        query_extra={"q_label": "label"},
+        pair_predicate=F.col("neg_label") != F.col("q_label"),
+        extra_out=["neg_label"],
     )
 
 

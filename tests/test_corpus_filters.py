@@ -234,8 +234,12 @@ def test_canonical_url_normalizations(spark):
     from py_datalake_move_files_spark.operators.text import canonical_url
 
     cases = [
-        # case + www + port + fragment
+        # case + www + default port + fragment
         ("HTTPS://WWW.Ex.COM:443/a#frag", "https://ex.com/a"),
+        # default ports stripped, NON-default ports kept (distinct origin)
+        ("http://ex.com:80/a", "https://ex.com/a"),
+        ("http://ex.com:8080/a", "https://ex.com:8080/a"),
+        ("https://ex.com:8443/a?b=2&a=1", "https://ex.com:8443/a?a=1&b=2"),
         # trailing slashes collapse; empty path becomes /
         ("https://ex.com/a///", "https://ex.com/a"),
         ("https://ex.com", "https://ex.com/"),

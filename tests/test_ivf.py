@@ -199,6 +199,39 @@ def test_kmeans_refine_agrees_across_assignment_paths(emb):
     assert a == b
 
 
+def test_trained_state_caches_invalidate_on_rewrite(spark, tmp_path):
+    """ADVICE r4: centroid/codebook caches were keyed on the bare sf_dir —
+    rewriting data under the same path silently served stale trained
+    state. Snapshot keys (path+mtime+size) must retrain instead."""
+    import os
+    import time
+
+    from py_datalake_move_files_spark.queries_ivf import _centroids
+    from py_datalake_move_files_spark.queries_pq import _codebook
+
+    sf = str(tmp_path)
+
+    def write(seed):
+        rows = [
+            (i, [float((i * 7 + j + seed) % 13) + 0.5 for j in range(64)], 0)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+
+    write(seed=0)
+    c1 = _centroids(spark, sf)
+    cb1 = _codebook(spark, sf)
+    time.sleep(0.01)  # ensure mtime_ns advances even on coarse filesystems
+    write(seed=1)
+    c2 = _centroids(spark, sf)
+    cb2 = _codebook(spark, sf)
+    assert c1 != c2, "stale centroid cache served after data rewrite"
+    assert cb1 != cb2, "stale codebook cache served after data rewrite"
+
+
 def test_semantic_dedup_cluster_cap_bounds_candidates(spark):
     """The SemDeDup degenerate-corpus guard: a corpus collapsing into one
     cluster must be boundable with the LSH cap device applied to the

@@ -106,7 +106,12 @@ CURATED_FIRST = [
 #: into the round-6 window. tests/test_rotation_accounting.py enforces
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry.
-NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = []
+NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
+    "bm25_doc_retrieval",  # new in r5 (post-rotation); local parity both SFs
+    "containment_dup_pairs",  # new in r5 (post-rotation); local parity both SFs
+    "repeated_ngram_spans",  # new in r5 (post-rotation); local parity both SFs
+    "cluster_safe_split",  # new in r5 (post-rotation); local parity both SFs
+]
 
 
 def _cumulative_green() -> set[str]:

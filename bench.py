@@ -95,6 +95,11 @@ HEADLINE = [
     "length_bucket_padding",
     # r5: the last never-benched mapInPandas operator (VERDICT r4 #4)
     "multimodal_frame_sample",
+    # r5: retrieval + containment tier
+    "bm25_doc_retrieval",
+    "containment_dup_pairs",
+    "repeated_ngram_spans",
+    "cluster_safe_split",
 ]
 
 

@@ -457,6 +457,87 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle containment
+    ``C = |A ∩ B| / min(|A|, |B|)`` ≥ threshold — the smaller document is
+    (mostly) inside the larger one. This is the case symmetric Jaccard
+    structurally MISSES: a 20-token quote fully embedded in a 2000-token
+    page has J ≈ 0.01 but C = 1.0, and boilerplate/quotation dedup in a
+    crawl pipeline keys on exactly this (the reason MinHash variants like
+    Broder's containment sketch exist). Jaccard is emitted alongside so
+    downstream policy can separate "same doc" (high J) from "contains"
+    (high C, low J).
+
+    Physical shape = jaccard_pairs' inverted strategy: distinct-shingle
+    postings, singleton shingles pruned BEFORE the self-join by a window
+    count over the SAME key the join shuffles on (co-partitioned, no extra
+    exchange), pair intersections from one groupBy, sizes broadcast. Cost
+    is Σ df² over shingles — bounded on high-entropy shingle spaces; on
+    natural corpora with unbounded-df shingles use the AllPairs prefix
+    route (jaccard_pairs strategy='prefix') to generate candidates first.
+    """
+    from pyspark.sql import Window
+
+    sh = with_shingles(ensure_parallelism(df), text_col, k).select(
+        F.col(id_col).alias("doc"), F.col("shingle_set")
+    )
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.select("doc", F.size("shingle_set").alias("n_sh"))
+    inv = sh.select("doc", F.explode("shingle_set").alias("shingle"))
+    ws = Window.partitionBy("shingle")
+    inv = (
+        inv.withColumn("__df", F.count(F.lit(1)).over(ws))
+        .where(F.col("__df") > 1)
+        .drop("__df")
+    )
+    pair_inter = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pair_inter.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def hex_value_sql(col_sql: str, nibbles: int) -> str:
     """SQL (valid in BOTH Spark SQL and DuckDB) for the integer value of the
     first ``nibbles`` hex chars of ``col_sql`` — substr + instr arithmetic

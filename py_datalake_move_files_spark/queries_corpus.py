@@ -821,6 +821,63 @@ def q_split_leakage_audit(spark, sf_dir):
     )
 
 
+# --- cluster-safe split: the FIX split_leakage_audit calls for ------------
+
+
+def _cluster_safe_split_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from py_datalake_move_files_spark.queries import ORACLE
+
+    hv = hex_value_sql("md5(CAST(group_id AS VARCHAR))", 2)
+    return f"""
+WITH assignCS AS ({ORACLE['dedup_cluster_assignment']}),
+g AS (
+  SELECT d.doc_id, coalesce(a.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN assignCS a ON d.doc_id = a.doc_id
+),
+s AS (
+  SELECT doc_id, group_id,
+    CASE WHEN ({hv}) < 230 THEN 'train'
+         WHEN ({hv}) < 243 THEN 'val'
+         ELSE 'test' END AS split
+  FROM g
+)
+SELECT split,
+  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY split
+"""
+
+
+@register("cluster_safe_split", _cluster_safe_split_oracle())
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-proof dataset split — the fix split_leakage_audit diagnoses
+    the need for: hash the near-dup CLUSTER id (connected components over
+    the verified LSH pairs; singletons group as themselves), not the doc
+    id, so every near-dup group lands wholly inside one split and
+    cross-split leakage is structurally zero (split is a function of
+    group_id — pinned by test_corpus_filters). Same md5/230/243 bucket
+    rule as dataset_split, so the two splits are directly comparable.
+
+    100 TB shape: the cluster stage is the already-audited LSH + bounded
+    CC iteration; group attachment is ONE left join of docs to the (small
+    — only docs with a near-dup) assignment table; the split decision is
+    then a map-only hash. Oracle nests the recursive-CTE closure verbatim."""
+    from py_datalake_move_files_spark.operators.text import dataset_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assign = QUERIES_REF["dedup_cluster_assignment"](spark, sf_dir)
+    g = docs.join(assign, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    s = dataset_split(g, "group_id")
+    return s.groupBy("split").agg(
+        F.count_distinct("group_id").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
 # --- hashing-trick linear quality classifier ------------------------------
 
 _QC_BUCKET_DD = "('0x' || substr(md5(qt), 1, 5))::BIGINT % 1024"

@@ -1,0 +1,264 @@
+"""Retrieval + containment-dedup tier (round 5).
+
+Three LLM-pipeline capabilities the corpus tier did not yet cover:
+
+- ``bm25_doc_retrieval`` — lexical BM25 top-k retrieval, the classic RAG /
+  data-curation ranking primitive (Robertson-Spärck Jones; the formula is
+  public knowledge from the TREC literature). Corpus statistics (N, avgdl,
+  per-term df) are ONE tiny aggregate broadcast to the scoring scan, so
+  the plan is scan → map-side score → TakeOrderedAndProject: no shuffle
+  touches the corpus at 100 TB.
+- ``containment_dup_pairs`` — asymmetric shingle containment
+  (|A∩B|/min(|A|,|B|)): catches a small doc embedded in a big one, which
+  symmetric Jaccard misses (J≈|A|/|B|→0). operators/dedup.containment_pairs.
+- ``repeated_ngram_spans`` — cross-document repeated token windows, the
+  signal behind exact-substring training-data dedup (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"): hash every
+  W-token window (stride S), group by digest, report spans seen in ≥2
+  docs. The shuffle carries 16-byte digests, never text.
+
+All three have exact DuckDB oracles (integer counts, or double chains
+mirrored op-for-op with terminal 6-dp rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+from py_datalake_move_files_spark.operators import dedup as DD
+from py_datalake_move_files_spark.queries import dd_shingles, register, _t
+
+# --- BM25 ------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed query — terms chosen from the harness corpus vocabulary; scoring
+#: sums per-term contributions in THIS list order (left-associative), and
+#: the oracle mirrors the same chain, so the double arithmetic is
+#: bit-identical across engines
+BM25_TERMS = ("spark", "merge", "vector")
+BM25_TOPK = 10
+
+
+def _bm25_term_sql(term: str, tf: str, df: str) -> str:
+    """One term's BM25 contribution — IDENTICAL text runs on Spark SQL and
+    DuckDB (ln/round/casts shared): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    ``dl``/``avgdl``/``n_docs`` are column references in scope."""
+    idf = f"ln((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+    return (
+        f"({idf}) * (CAST({tf} AS DOUBLE) * {BM25_K1 + 1.0}) / "
+        f"(CAST({tf} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * "
+        f"(CAST(dl AS DOUBLE) / avgdl)))"
+    )
+
+
+def _bm25_score_sql() -> str:
+    """Σ over the fixed term list, left-associative in list order."""
+    chain = None
+    for i, t in enumerate(BM25_TERMS):
+        piece = _bm25_term_sql(t, f"tf{i}", f"df{i}")
+        chain = piece if chain is None else f"({chain}) + ({piece})"
+    return f"round({chain}, 6)"
+
+
+_BM25_STATS_DD = ", ".join(
+    f"CAST(sum(CASE WHEN list_contains(string_split(text, ' '), '{t}') "
+    f"THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+
+_BM25_TF_DD = ", ".join(
+    f"CAST(len(list_filter(string_split(text, ' '), bmt{i} -> bmt{i} = '{t}')) "
+    f"AS BIGINT) AS tf{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+
+_BM25_ORACLE = f"""
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avgdl,
+         {_BM25_STATS_DD}
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {_BM25_TF_DD}
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, {_bm25_score_sql()} AS score
+  FROM perdoc d CROSS JOIN stats
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= {BM25_TOPK}
+"""
+
+
+@register("bm25_doc_retrieval", _BM25_ORACLE)
+def q_bm25_doc_retrieval(spark, sf_dir):
+    """BM25 top-k lexical retrieval for a fixed query over `documents` —
+    the ranking primitive a RAG pipeline or a quality-curation
+    "relevance to seed corpus" filter runs at scale.
+
+    100 TB shape: corpus statistics (N, avgdl, one df per query term) are
+    ONE map-side-combined aggregate producing a single row, broadcast back
+    onto the scoring scan (BroadcastNestedLoopJoin of 1 row — free); the
+    score itself is pure per-row column arithmetic inside codegen, and the
+    global top-k plans as TakeOrderedAndProject (k rows per partition
+    shuffle, never a full sort). Scores are double chains mirrored
+    op-for-op in the oracle (same ln/division order), rounded to 6 dp
+    BEFORE ranking so the cross-engine rank can never flip on a boundary.
+    """
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = docs.withColumn("__toks", F.expr("split(text, ' ')"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size("__toks").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("__toks", t), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    perdoc = toks.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        *[
+            F.expr(
+                f"CAST(size(filter(__toks, bmt{i} -> bmt{i} = '{t}')) AS BIGINT)"
+            ).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.expr(_bm25_score_sql()).alias("score")
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOPK
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("doc_id").cast("long"), "score", F.col("rnk").cast("int")
+    )
+
+
+# --- shingle containment ---------------------------------------------------
+
+_CONTAIN_T = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH s AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
+sz AS (SELECT doc_id, len(ss) AS n FROM s),
+inv AS (SELECT doc_id, unnest(ss) AS sh FROM s),
+pi AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sc AS (
+  SELECT id_a, id_b,
+    round(CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE), 6)
+      AS containment,
+    round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
+      AS jaccard
+  FROM pi
+  JOIN sz na ON na.doc_id = pi.id_a
+  JOIN sz nb ON nb.doc_id = pi.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       containment, jaccard
+FROM sc WHERE containment >= {_CONTAIN_T}
+"""
+
+
+@register("containment_dup_pairs", _CONTAIN_ORACLE)
+def q_containment_dup_pairs(spark, sf_dir):
+    """Asymmetric containment dedup over `documents`: pairs where the
+    smaller doc's shingles are ≥80% inside the larger's — quotation /
+    boilerplate / superset-page duplication that symmetric Jaccard
+    structurally under-scores (operators/dedup.containment_pairs has the
+    plan story; Jaccard rides along for the policy split)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.containment_pairs(docs, "doc_id", "text", threshold=_CONTAIN_T)
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "containment",
+        "jaccard",
+    )
+
+
+# --- repeated cross-document token windows ---------------------------------
+
+SPAN_W = 8
+SPAN_STRIDE = 4
+
+_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < {SPAN_W} THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(
+           range(0, len(toks) - {SPAN_W} + 1, {SPAN_STRIDE}),
+           spi -> md5(array_to_string(toks[spi + 1 : spi + {SPAN_W}], ' ')))
+    END) AS span_hash
+  FROM t
+)
+SELECT span_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM s GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@register("repeated_ngram_spans", _SPAN_ORACLE)
+def q_repeated_ngram_spans(spark, sf_dir):
+    """Cross-document repeated token windows — the candidate generator for
+    exact-substring dedup (Lee et al. 2022): any {SPAN_W}-token window
+    (stride {SPAN_STRIDE}) occurring in ≥2 documents is memorization /
+    boilerplate risk a pretraining pipeline cuts or down-weights.
+
+    100 TB shape: windowing is a zero-shuffle map stage (tokens
+    materialized ONCE as a column, windows hashed per row); both
+    exchanges (the count-distinct pre-aggregate and the final group) key
+    on 16-byte md5 digests — document text never shuffles.
+    Stride trades recall for a ~W/stride reduction in exploded rows; a
+    suffix-array pass over flagged docs is the exact-offsets follow-up a
+    dedicated job would run."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = docs.withColumn("__toks", F.expr("split(text, ' ')"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, size(__toks) - {SPAN_W}, {SPAN_STRIDE}), "
+                f"spi -> md5(array_join(slice(__toks, spi + 1, {SPAN_W}), ' '))) END"
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -381,3 +381,37 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    """The fix's defining invariant: under cluster-keyed splitting, NO
+    verified near-dup pair straddles a split boundary (split is a function
+    of the cluster id), while the doc-keyed split demonstrably leaks on
+    the same corpus (split_leakage_audit's n_leaking > 0)."""
+    from pyspark.sql import functions as F
+
+    from py_datalake_move_files_spark.operators.text import dataset_split
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf).select("id_a", "id_b")
+    from py_datalake_move_files_spark.catalog import load_table
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    assign = QUERIES["dedup_cluster_assignment"](spark, sf)
+    g = docs.join(assign, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    sp = dataset_split(g, "group_id")
+    marked = pairs.join(
+        sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+        "id_a",
+    ).join(
+        sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+        "id_b",
+    )
+    assert marked.where(F.col("split_a") != F.col("split_b")).count() == 0
+    # control: the naive doc-keyed split leaks on this corpus
+    leak = QUERIES["split_leakage_audit"](spark, sf).first()
+    assert leak["n_leaking"] > 0

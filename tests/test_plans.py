@@ -236,3 +236,33 @@ def test_web_pipeline_scans_corpus_once(spark):
     plan = _plan(spark, "web_corpus_pipeline")
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_scoring_scan_never_shuffles(spark):
+    # corpus stats are ONE single-partition row broadcast back onto the
+    # scan (BNLJ of 1 row); scoring is codegen arithmetic; the global
+    # top-k is TakeOrderedAndProject — zero hash exchanges anywhere
+    plan = _plan(spark, "bm25_doc_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") == 1  # the 1-row stats agg
+
+
+def test_repeated_spans_shuffle_digests_only(spark):
+    # window hashing is map-only; the two exchanges (count-distinct
+    # pre-agg + final group) key on the md5 digest column, never text
+    plan = _plan(spark, "repeated_ngram_spans")
+    assert plan.count("Exchange hashpartitioning") == 2
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "span_hash" in m.group(1), m.group(1)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_containment_broadcasts_sizes(spark):
+    # posting self-join + pair group shuffle on shingle/pair keys; the two
+    # doc-size lookups broadcast (tiny), never SMJ; no all-pairs anywhere
+    plan = _plan(spark, "containment_dup_pairs")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -111,6 +111,8 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "containment_dup_pairs",  # new in r5 (post-rotation); local parity both SFs
     "repeated_ngram_spans",  # new in r5 (post-rotation); local parity both SFs
     "cluster_safe_split",  # new in r5 (post-rotation); local parity both SFs
+    "bigram_lm_scores",  # new in r5 (post-rotation); local parity both SFs
+    "ivf_assignment_drift",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -100,6 +100,8 @@ HEADLINE = [
     "containment_dup_pairs",
     "repeated_ngram_spans",
     "cluster_safe_split",
+    "bigram_lm_scores",
+    "ivf_assignment_drift",
 ]
 
 

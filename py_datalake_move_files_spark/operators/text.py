@@ -599,6 +599,79 @@ def unigram_logfreq_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring against a HELD-OUT reference corpus —
+    the context-aware upgrade of :func:`unigram_logfreq_scores` and the
+    closest integer-exact surrogate for CCNet's KenLM perplexity filter:
+    score each incoming document by the mean log2-bucketed frequency of
+    its bigrams under a model built from ``ref``, plus the fraction of
+    bigrams the reference never saw (OOV — the strongest single noise
+    signal a frequency filter has; unigram scoring can't produce OOV when
+    the model is built from the same corpus).
+
+    Plan shape — deliberately DIFFERENT from the unigram operator's: a
+    bigram vocabulary grows ~quadratically in token vocabulary, far past
+    broadcast size at corpus scale, so the model stays a TABLE with NO
+    broadcast hint — Catalyst broadcasts only while the model's stats fit
+    the threshold (true at test scale) and degrades gracefully to a
+    bigram-key-partitioned join once it doesn't, co-partitioned with the
+    model build's own exchange. Documents shorter than 2 tokens emit no
+    bigrams and drop from the output, identically on both engines."""
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        t = ensure_parallelism(frame).withColumn(
+            "__bgt", F.expr(f"split({text_col}, ' ')")
+        )
+        return t.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__bgt) < 2 THEN array() "
+                    "ELSE transform(sequence(0, size(__bgt) - 2), "
+                    "bgi -> concat(element_at(__bgt, bgi + 1), ' ', "
+                    "element_at(__bgt, bgi + 2))) END"
+                )
+            ).alias("__bg"),
+        )
+
+    model = bigrams(ref).groupBy("__bg").agg(F.count(F.lit(1)).alias("__c"))
+    joined = bigrams(df).join(model, "__bg", "left")
+    bucket = F.when(
+        F.col("__c").isNull(), F.lit(0).cast("long")
+    ).otherwise((F.length(F.bin(F.col("__c"))) - 1).cast("long"))
+    scored = joined.select(
+        F.col(id_col),
+        bucket.alias("__f"),
+        F.when(F.col("__c").isNull(), 1).otherwise(0).alias("__o"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("__f").alias("__fs"),
+            F.sum("__o").alias("__os"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("__fs").cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("mean_log2_bgfreq"),
+            F.round(
+                F.col("__os").cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("oov_frac"),
+        )
+    )
+
+
 def canonical_url(url) -> Column:
     """Canonicalize a URL for dedup keying, the CommonCrawl-pipeline way:
     strip the fragment, lowercase the host and drop a leading ``www.``,

@@ -943,6 +943,57 @@ def q_unigram_logfreq_scores(spark, sf_dir):
     return TXT.unigram_logfreq_scores(docs)
 
 
+# --- bigram LM scoring vs a held-out reference model ----------------------
+
+_BG_LIST = (
+    "CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(t)), bgi -> t[bgi] || ' ' || t[bgi + 1]) END"
+)
+
+_BIGRAM_ORACLE = f"""
+WITH sc AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 1
+),
+rf AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0
+),
+rb AS (SELECT unnest({_BG_LIST}) AS bg FROM rf),
+mdl AS (SELECT bg, count(*) AS c FROM rb GROUP BY bg),
+sb AS (SELECT doc_id, unnest({_BG_LIST}) AS bg FROM sc),
+j AS (
+  SELECT s.doc_id,
+    CASE WHEN m.c IS NULL THEN 0 ELSE length(bin(m.c)) - 1 END AS f,
+    CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS o
+  FROM sb s LEFT JOIN mdl m USING (bg)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(f) AS fs, sum(o) AS os
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_bigrams,
+  round(CAST(fs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_log2_bgfreq,
+  round(CAST(os AS DOUBLE) / CAST(n AS DOUBLE), 6) AS oov_frac
+FROM agg
+"""
+
+
+@register("bigram_lm_scores", _BIGRAM_ORACLE)
+def q_bigram_lm_scores(spark, sf_dir):
+    """Bigram LM scoring of the odd-id half of the corpus against a model
+    built from the even-id half — the held-out-reference shape CCNet's
+    perplexity filter actually runs (score INCOMING data under a TRUSTED
+    model), which the same-corpus unigram query cannot express (no OOV is
+    possible when every token is in its own model). The model is a TABLE
+    with no broadcast hint: Catalyst broadcasts while it fits and falls
+    back to a bigram-key join once the quadratic-ish bigram vocabulary
+    outgrows the threshold (operators/text.bigram_lm_scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.bigram_lm_scores(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+
+
 # --- URL canonicalization dedup (CommonCrawl-style keying) ----------------
 
 #: messy synthetic URLs derived deterministically from (doc_id, source) —

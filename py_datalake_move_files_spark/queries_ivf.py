@@ -350,6 +350,64 @@ def q_embedding_quantization(spark, sf_dir):
     )
 
 
+# --- incremental-ingest drift: new vectors into an EXISTING index ---------
+
+_DRIFT_ORACLE = f"""
+WITH cD AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 2 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_LISTS}
+),
+scD AS (
+  SELECT e.vec_id, c.cid, {dd_cosine('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN cD c
+),
+asgD AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scD
+  ) WHERE rn = 1
+)
+SELECT CAST(list_id AS BIGINT) AS list_id,
+  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  round(CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS new_share
+FROM asgD GROUP BY list_id
+"""
+
+
+@register("ivf_assignment_drift", _DRIFT_ORACLE)
+def q_ivf_assignment_drift(spark, sf_dir):
+    """Incremental-ingest index maintenance: centroids trained on the OLD
+    (even-id) half of the corpus, then BOTH halves assigned — per list,
+    old/new member counts and the new-data share. A drifting new_share
+    (lists absorbing disproportionate new mass) is THE operational signal
+    to retrain/split lists; until it fires, new vectors append into the
+    existing cells with the same zero-shuffle map-stage assignment as a
+    full build — no index rebuild, the property that makes IVF workable
+    under continuous ingest at 100 TB. (Batch twin of the streaming
+    foreach-batch ingest pattern; centroids deliberately NOT cached —
+    they key to the old half, not the whole-table snapshot.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(
+        emb.where(F.col("vec_id") % 2 == 0), n_lists=N_LISTS
+    )
+    asg = SIM.ivf_assign(emb, cents, out="list_id")
+    is_new = F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)
+    return (
+        asg.groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(
+            F.sum(1 - is_new).cast("long").alias("n_old"),
+            F.sum(is_new).cast("long").alias("n_new"),
+            F.round(
+                F.sum(is_new).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+    )
+
+
 # --- recall of the k-means-refined IVF index ------------------------------
 
 

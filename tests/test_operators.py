@@ -167,3 +167,68 @@ def test_incremental_dedup_statuses_and_keeper(spark):
         14: "dup_in_batch",
         13: "unique",
     }
+
+
+def test_containment_pairs_finds_embedded_doc(spark):
+    """A doc fully embedded in a longer one: containment 1.0 while Jaccard
+    stays low — the asymmetric case the operator exists for. Hand-computed
+    on 3-shingle sets."""
+    from py_datalake_move_files_spark.operators.dedup import containment_pairs
+
+    small = "a b c d e"                       # shingles: abc bcd cde (3)
+    big = small + " f g h i j k l m n"        # 12 shingles, contains all 3
+    other = "zz yy xx ww vv"                  # disjoint
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            containment_pairs(df, "doc_id", threshold=0.8).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["jaccard"] == 0.25  # 3 / (3 + 12 - 3)
+
+
+def test_containment_pairs_threshold_excludes_partial(spark):
+    from py_datalake_move_files_spark.operators.dedup import containment_pairs
+
+    # doc1 shingles {abc, bcd}; doc2 {bcd, cde, def}: intersection {bcd}
+    # -> containment 1/min(2,3) = 0.5 < 0.8
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    assert containment_pairs(df, "doc_id", threshold=0.8).count() == 0
+    out = containment_pairs(df, "doc_id", threshold=0.4).collect()
+    assert len(out) == 1 and out[0]["containment"] == 0.5
+    assert out[0]["jaccard"] == 0.25  # 1 / (2 + 3 - 1)
+
+
+def test_bigram_lm_scores_oov_and_buckets(spark):
+    """Hand-computed: model 'a b b c' has bigrams {a b:1, b b:1, b c:1};
+    scoring doc 'a b x y' has bigrams [a b, b x, x y] -> one seen (count 1,
+    log2 bucket 0), two OOV."""
+    from py_datalake_move_files_spark.operators.text import bigram_lm_scores
+
+    ref = spark.createDataFrame([(0, "a b b c")], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(1, "a b x y"), (2, "z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(inc, ref).collect()}
+    assert set(rows) == {1}  # the 1-token doc emits no bigrams
+    r = rows[1]
+    assert r["n_bigrams"] == 3
+    assert r["oov_frac"] == round(2 / 3, 6)
+    assert r["mean_log2_bgfreq"] == 0.0  # seen bigram count=1 -> bucket 0
+
+
+def test_bigram_lm_scores_bucket_growth(spark):
+    """A bigram seen 4 times lands in log2 bucket 2 (length(bin(4))-1)."""
+    from py_datalake_move_files_spark.operators.text import bigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(i, "a b") for i in range(4)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    r = bigram_lm_scores(inc, ref).first()
+    assert r["n_bigrams"] == 1 and r["oov_frac"] == 0.0
+    assert r["mean_log2_bgfreq"] == 2.0

@@ -79,11 +79,14 @@ def test_broadcast_hint_survives_in_star_join(spark):
 
 
 def test_no_cartesian_product_in_any_query(spark):
-    """Global invariant: no registered query may plan a CartesianProduct —
-    cross-join shapes must come from broadcast nested loops (tiny side)."""
+    """Global invariants, one sweep: no registered query may plan a
+    CartesianProduct (cross-join shapes must come from broadcast nested
+    loops with a tiny side) and none may plan BatchEvalPython (any Python
+    in a hot path must be Arrow-batched: ArrowEvalPython / mapInPandas)."""
     for name in sorted(QUERIES):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_q4_exists_decorrelates_to_semi_join(spark):

@@ -196,3 +196,47 @@ def foreach_batch_incremental_dedup(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_ivf_ingest(
+    vec_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    centroids: list[tuple[int, list[float]]],
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous-ingest ANN indexing: each arriving micro-batch of vectors
+    is assigned to the FROZEN centroid set (operators/similarity.ivf_assign
+    — the same zero-shuffle map stage as a full build; large k takes the
+    broadcast path automatically) and appended, batch-stamped, to the
+    assignment table at ``out_path``. The streaming composition of the
+    batch ``ivf_assignment_drift`` query: a monitoring job aggregates
+    ``out_path`` per list to watch new_share drift and decide retraining;
+    until it fires, ingest never rebuilds the index.
+
+    Centroids are deliberately a frozen argument, not re-trained per batch:
+    an IVF deployment retrains OFFLINE and swaps centroid sets; assignment
+    must stay deterministic within an index epoch or the index becomes
+    inconsistent with itself. Replays (foreachBatch at-least-once) carry
+    ``batch_id`` so consumers can dedupe."""
+    from py_datalake_move_files_spark.operators.similarity import ivf_assign
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assign(
+            batch_df.select(id_col, vec_col),
+            centroids,
+            vec_col=vec_col,
+            id_col=id_col,
+            out="list_id",
+        )
+        assigned.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

@@ -232,3 +232,74 @@ def test_bigram_lm_scores_bucket_growth(spark):
     r = bigram_lm_scores(inc, ref).first()
     assert r["n_bigrams"] == 1 and r["oov_frac"] == 0.0
     assert r["mean_log2_bgfreq"] == 2.0
+
+
+def test_bm25_matches_python_recomputation(spark):
+    """The BM25 double chain recomputed in plain Python with the same
+    associativity — guards the formula mirror (idf/tf/len normalization)
+    the oracle relies on, on a corpus small enough to verify by hand."""
+    import math
+
+    from py_datalake_move_files_spark.queries_retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        _bm25_score_sql,
+    )
+    from pyspark.sql import functions as F
+
+    texts = {
+        1: "spark merge vector spark",
+        2: "merge merge merge other words here",
+        3: "nothing relevant at all",
+        4: "vector",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    toks = df.withColumn("__toks", F.expr("split(text, ' ')"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size("__toks").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.array_contains("__toks", t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    perdoc = toks.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        *[
+            F.expr(
+                f"CAST(size(filter(__toks, bmx{i} -> bmx{i} = '{t}')) AS BIGINT)"
+            ).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in perdoc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_bm25_score_sql()).alias("score"))
+        .collect()
+    }
+
+    docs_toks = {i: t.split(" ") for i, t in texts.items()}
+    n_docs = len(docs_toks)
+    avgdl = sum(len(t) for t in docs_toks.values()) / float(n_docs)
+    dfs = [sum(1 for t in docs_toks.values() if term in t) for term in BM25_TERMS]
+    for i, tks in docs_toks.items():
+        dl = len(tks)
+        score = None
+        for j, term in enumerate(BM25_TERMS):
+            tf = tks.count(term)
+            idf = math.log((float(n_docs) - dfs[j] + 0.5) / (dfs[j] + 0.5) + 1.0)
+            piece = (idf) * (float(tf) * (BM25_K1 + 1.0)) / (
+                float(tf) + BM25_K1 * (1.0 - BM25_B + BM25_B * (float(dl) / avgdl))
+            )
+            score = piece if score is None else score + piece
+        assert got[i] == round(score, 6), (i, got[i], score)

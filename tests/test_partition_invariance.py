@@ -7,7 +7,13 @@ shuffle-partition settings and compare full canonicalized row sets.
 Picks one query per determinism device: float aggregation order (q1's
 decimal sums), fixed-point centroids (kmeans), windowed float folds
 (EWMA), integer weight sums (classifier), md5-ranked slicing (stratified
-split), fixed-point ADC (PQ search), and the iterative CC labels."""
+split), fixed-point ADC (PQ search), and the iterative CC labels.
+
+r5 additions: BM25 (exact integer df/tf/len sums feeding a fixed-order
+double chain, rounded before ranking), containment/jaccard (pure integer
+intersection counts), repeated spans (digest group counts), cluster-safe
+split (md5 of CC labels), bigram LM (integer log2-bucket sums), and IVF
+drift (integer per-list tallies over centroid argmax)."""
 
 from __future__ import annotations
 
@@ -28,6 +34,13 @@ QUERIES_UNDER_TEST = [
     "ann_pq_topk",
     "dedup_cluster_assignment",
     "scd2_order_history",
+    # r5 tier
+    "bm25_doc_retrieval",
+    "containment_dup_pairs",
+    "repeated_ngram_spans",
+    "cluster_safe_split",
+    "bigram_lm_scores",
+    "ivf_assignment_drift",
 ]
 
 

@@ -147,3 +147,51 @@ def test_streaming_incremental_dedup_builds_durable_index(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "index")).collect()
     )
     assert index_keys == ["A", "B", "C"]
+
+
+def test_streaming_ivf_ingest_matches_batch_assignment(spark, tmp_path):
+    """Continuous ANN ingest: vectors arriving over two micro-batches must
+    land in exactly the lists a one-shot batch ivf_assign over the union
+    produces (assignment is deterministic within an index epoch), with
+    batch ids stamped for replay dedupe."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from py_datalake_move_files_spark.streaming.filestream import (
+        foreach_batch_ivf_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids(emb.where(F.col("vec_id") < 100), n_lists=4)
+
+    src = tmp_path / "vin"
+    first = emb.where("vec_id >= 100 AND vec_id < 130").select("vec_id", "embedding")
+    second = emb.where("vec_id >= 130 AND vec_id < 160").select("vec_id", "embedding")
+    first.coalesce(1).write.parquet(str(src / "p0"))
+    second.coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", "vec_id long, embedding array<double>",
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_ivf_ingest(
+        stream,
+        str(tmp_path / "vckpt"),
+        centroids=cents,
+        out_path=str(tmp_path / "vout"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "vout"))
+    stream_assign = {r["vec_id"]: r["list_id"] for r in got.collect()}
+    batch_assign = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(
+            emb.where("vec_id >= 100 AND vec_id < 160").select("vec_id", "embedding"),
+            cents,
+        ).collect()
+    }
+    assert stream_assign == batch_assign
+    assert got.select("batch_id").distinct().count() == 2

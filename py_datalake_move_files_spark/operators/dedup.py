@@ -464,6 +464,7 @@ def containment_pairs(
     *,
     k: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: shingle containment
     ``C = |A ∩ B| / min(|A|, |B|)`` ≥ threshold — the smaller document is
@@ -480,8 +481,15 @@ def containment_pairs(
     count over the SAME key the join shuffles on (co-partitioned, no extra
     exchange), pair intersections from one groupBy, sizes broadcast. Cost
     is Σ df² over shingles — bounded on high-entropy shingle spaces; on
-    natural corpora with unbounded-df shingles use the AllPairs prefix
-    route (jaccard_pairs strategy='prefix') to generate candidates first.
+    natural corpora with unbounded-df shingles pass ``candidates``
+    (id_a, id_b) from a sketch (LSH banding, AllPairs prefix) and only
+    those pairs are scored via ``array_intersect`` — O(candidates), the
+    100 TB path, same as jaccard_pairs' candidates branch. NOTE a
+    containment-recall caveat the symmetric case doesn't have: MinHash
+    banding targets JACCARD, so a tiny-doc-in-huge-doc pair (high C, low
+    J) can miss the candidate set; at scale, containment candidates
+    should come from the SMALL side's shingles (prefix route on min-size)
+    rather than symmetric banding.
     """
     from pyspark.sql import Window
 
@@ -489,6 +497,37 @@ def containment_pairs(
         F.col(id_col).alias("doc"), F.col("shingle_set")
     )
     sh = sh.localCheckpoint(eager=True)
+
+    if candidates is not None:
+        a = sh.select(
+            F.col("doc").alias("id_a"), F.col("shingle_set").alias("set_a")
+        )
+        b = sh.select(
+            F.col("doc").alias("id_b"), F.col("shingle_set").alias("set_b")
+        )
+        inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "containment",
+                F.round(
+                    inter.cast("double")
+                    / F.least(F.size("set_a"), F.size("set_b")).cast("double"),
+                    6,
+                ),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    inter.cast("double")
+                    / (F.size("set_a") + F.size("set_b") - inter).cast("double"),
+                    6,
+                ),
+            )
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment", "jaccard")
+        )
     sizes = sh.select("doc", F.size("shingle_set").alias("n_sh"))
     inv = sh.select("doc", F.explode("shingle_set").alias("shingle"))
     ws = Window.partitionBy("shingle")

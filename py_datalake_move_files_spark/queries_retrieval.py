@@ -31,35 +31,18 @@ from py_datalake_move_files_spark.queries import dd_shingles, register, _t
 
 # --- BM25 ------------------------------------------------------------------
 
-BM25_K1 = 1.2
-BM25_B = 0.75
+from py_datalake_move_files_spark.operators.retrieval import (  # noqa: E402
+    bm25_score_sql,
+    bm25_topk,
+)
+
 #: fixed query — terms chosen from the harness corpus vocabulary; scoring
 #: sums per-term contributions in THIS list order (left-associative), and
-#: the oracle mirrors the same chain, so the double arithmetic is
-#: bit-identical across engines
+#: the oracle mirrors the same chain (operators/retrieval.bm25_score_sql
+#: is shared between the Spark plan and the DuckDB SQL), so the double
+#: arithmetic is bit-identical across engines
 BM25_TERMS = ("spark", "merge", "vector")
 BM25_TOPK = 10
-
-
-def _bm25_term_sql(term: str, tf: str, df: str) -> str:
-    """One term's BM25 contribution — IDENTICAL text runs on Spark SQL and
-    DuckDB (ln/round/casts shared): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
-    ``dl``/``avgdl``/``n_docs`` are column references in scope."""
-    idf = f"ln((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5) + 1.0)"
-    return (
-        f"({idf}) * (CAST({tf} AS DOUBLE) * {BM25_K1 + 1.0}) / "
-        f"(CAST({tf} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * "
-        f"(CAST(dl AS DOUBLE) / avgdl)))"
-    )
-
-
-def _bm25_score_sql() -> str:
-    """Σ over the fixed term list, left-associative in list order."""
-    chain = None
-    for i, t in enumerate(BM25_TERMS):
-        piece = _bm25_term_sql(t, f"tf{i}", f"df{i}")
-        chain = piece if chain is None else f"({chain}) + ({piece})"
-    return f"round({chain}, 6)"
 
 
 _BM25_STATS_DD = ", ".join(
@@ -88,7 +71,7 @@ perdoc AS (
   FROM documents
 ),
 scored AS (
-  SELECT d.doc_id, {_bm25_score_sql()} AS score
+  SELECT d.doc_id, {bm25_score_sql(len(BM25_TERMS))} AS score
   FROM perdoc d CROSS JOIN stats
 ),
 r AS (
@@ -115,46 +98,10 @@ def q_bm25_doc_retrieval(spark, sf_dir):
     shuffle, never a full sort). Scores are double chains mirrored
     op-for-op in the oracle (same ln/division order), rounded to 6 dp
     BEFORE ranking so the cross-engine rank can never flip on a boundary.
+    Delegates to operators/retrieval.bm25_topk — the library surface a
+    consumer calls directly.
     """
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    toks = docs.withColumn("__toks", F.expr("split(text, ' ')"))
-    stats = toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
-            F.sum(F.size("__toks").cast("long")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
-        *[
-            F.sum(
-                F.when(F.array_contains("__toks", t), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"df{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ],
-    )
-    perdoc = toks.select(
-        "doc_id",
-        F.size("__toks").cast("long").alias("dl"),
-        *[
-            F.expr(
-                f"CAST(size(filter(__toks, bmt{i} -> bmt{i} = '{t}')) AS BIGINT)"
-            ).alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ],
-    )
-    scored = perdoc.crossJoin(F.broadcast(stats)).select(
-        "doc_id", F.expr(_bm25_score_sql()).alias("score")
-    )
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
-        BM25_TOPK
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return top.withColumn("rnk", F.row_number().over(w)).select(
-        F.col("doc_id").cast("long"), "score", F.col("rnk").cast("int")
-    )
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_TOPK)
 
 
 # --- shingle containment ---------------------------------------------------

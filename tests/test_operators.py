@@ -240,12 +240,12 @@ def test_bm25_matches_python_recomputation(spark):
     the oracle relies on, on a corpus small enough to verify by hand."""
     import math
 
-    from py_datalake_move_files_spark.queries_retrieval import (
+    from py_datalake_move_files_spark.operators.retrieval import (
         BM25_B,
         BM25_K1,
-        BM25_TERMS,
-        _bm25_score_sql,
+        bm25_score_sql,
     )
+    from py_datalake_move_files_spark.queries_retrieval import BM25_TERMS
     from pyspark.sql import functions as F
 
     texts = {
@@ -284,7 +284,7 @@ def test_bm25_matches_python_recomputation(spark):
     got = {
         r["doc_id"]: r["score"]
         for r in perdoc.crossJoin(F.broadcast(stats))
-        .select("doc_id", F.expr(_bm25_score_sql()).alias("score"))
+        .select("doc_id", F.expr(bm25_score_sql(len(BM25_TERMS))).alias("score"))
         .collect()
     }
 
@@ -303,3 +303,24 @@ def test_bm25_matches_python_recomputation(spark):
             )
             score = piece if score is None else score + piece
         assert got[i] == round(score, 6), (i, got[i], score)
+
+
+def test_containment_pairs_candidates_branch_matches_inverted(spark):
+    """The O(candidates) sketch-pruned branch must score identically to the
+    inverted-index branch on the pairs it is given (same rounding, same
+    min-size denominator)."""
+    from py_datalake_move_files_spark.operators.dedup import containment_pairs
+
+    small = "a b c d e"
+    big = small + " f g h i j k l m n"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "zz yy xx ww vv")], "doc_id long, text string"
+    )
+    full = {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+            for r in containment_pairs(df, "doc_id", threshold=0.5).collect()}
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    pruned = {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+              for r in containment_pairs(
+                  df, "doc_id", threshold=0.5, candidates=cands
+              ).collect()}
+    assert pruned == full == {(1, 2): (1.0, 0.25)}

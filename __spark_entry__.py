@@ -113,6 +113,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "cluster_safe_split",  # new in r5 (post-rotation); local parity both SFs
     "bigram_lm_scores",  # new in r5 (post-rotation); local parity both SFs
     "ivf_assignment_drift",  # new in r5 (post-rotation); local parity both SFs
+    "ann_lsh_multiprobe",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

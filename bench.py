@@ -102,6 +102,7 @@ HEADLINE = [
     "cluster_safe_split",
     "bigram_lm_scores",
     "ivf_assignment_drift",
+    "ann_lsh_multiprobe",
 ]
 
 

@@ -298,6 +298,118 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    m_probes: int = 2,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): each query searches its own bucket
+    PLUS the ``m_probes`` buckets reached by flipping its least-confident
+    hyperplane bits (smallest |v·plane| margin — the bits most likely to
+    disagree for a true neighbor). Buys back the recall that finer buckets
+    cost WITHOUT the extra index copies of multi-table LSH: the corpus is
+    bucketed and stored ONCE; only the query side fans out, m+1 broadcast
+    probe rows per query.
+
+    100 TB shape: corpus bucketing is the same zero-shuffle map stage as
+    single-probe; probes (|queries|·(m+1) rows) broadcast onto the bucket
+    join, so the corpus is never shuffled; the probe ranking is a window
+    over n_planes rows per query (query side is tiny by contract). Probes
+    are distinct buckets, so no pair meets twice — no dedup stage. Margin
+    ordering ties break on the plane index, and every margin is the same
+    sequential fold the oracle mirrors, so probe sets are deterministic
+    cross-engine."""
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    c = ensure_parallelism(c).withColumn("bucket", bucket_expr("c_vec", planes))
+    c = _cap_bucket_size(c, ["bucket"], max_bucket).withColumn(
+        "c_nrm", norm("c_vec")
+    )
+
+    # query side: materialize each plane's signed margin ONCE as a real
+    # column (HOF-CSE rule), derive bucket + probe ranking from those
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    for p, row in enumerate(planes):
+        consts = "array(" + ", ".join(f"{v}D" for v in row) + ")"
+        u = _u()
+        q = q.withColumn(
+            f"__d{p}",
+            F.expr(
+                f"aggregate(zip_with(q_vec, {consts}, (x{u}, y{u}) -> "
+                f"cast(x{u} as double) * y{u}), 0D, (acc{u}, v{u}) -> acc{u} + v{u})"
+            ),
+        )
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(F.col(f"__d{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    q = q.withColumn("qb", bucket.cast("long")).withColumn("q_nrm", norm("q_vec"))
+
+    home = q.select("query_id", "q_vec", "q_nrm", F.col("qb").alias("bucket"))
+    margins = q.select(
+        "query_id",
+        "q_vec",
+        "q_nrm",
+        "qb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(f"__d{p}")).alias("a"), F.lit(p).alias("p")
+                    )
+                    for p in range(n_planes)
+                ]
+            )
+        ).alias("mp"),
+    )
+    wflip = Window.partitionBy("query_id").orderBy(
+        F.col("mp.a").asc(), F.col("mp.p").asc()
+    )
+    flips = (
+        margins.withColumn("__rn", F.row_number().over(wflip))
+        .where(F.col("__rn") <= m_probes)
+        .select(
+            "query_id",
+            "q_vec",
+            "q_nrm",
+            F.expr("qb ^ shiftleft(CAST(1 AS BIGINT), mp.p)").alias("bucket"),
+        )
+    )
+    probes = F.broadcast(home.unionByName(flips))
+
+    scored = (
+        c.join(probes, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     *,

@@ -1134,6 +1134,73 @@ def q_ann_lsh_multitable(spark, sf_dir):
     )
 
 
+M_PROBES = 2
+
+
+def _ann_multiprobe_oracle() -> str:
+    b = dd_bucket("embedding", _PLANES)
+
+    def chain(row):
+        return " + ".join(f"qv[{i + 1}]::DOUBLE * {v}.0" for i, v in enumerate(row))
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT query_id, {p} AS p, abs({chain(row)}) AS a FROM q"
+        for p, row in enumerate(_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+qp AS (
+  {arms}
+),
+fl AS (
+  SELECT query_id, p FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY a ASC, p ASC) AS rn
+    FROM qp
+  ) WHERE rn <= {M_PROBES}
+),
+probes AS (
+  SELECT query_id, qv, qb AS probe FROM q
+  UNION ALL
+  SELECT q.query_id, q.qv, xor(q.qb, CAST(1 AS BIGINT) << fl.p) AS probe
+  FROM q JOIN fl USING (query_id)
+),
+scored AS (
+  SELECT pr.query_id, c.vec_id AS neighbor_id,
+    {dd_cosine('pr.qv', 'c.embedding')} AS cosine_sim
+  FROM b c JOIN probes pr ON c.bucket = pr.probe
+  WHERE c.vec_id <> pr.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= 10
+"""
+
+
+@register("ann_lsh_multiprobe", _ann_multiprobe_oracle())
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (Lv et al. 2007): each query also probes the
+    2 buckets reached by flipping its least-confident hyperplane bits —
+    recall recovery WITHOUT multi-table's extra index copies (the corpus
+    is bucketed and stored once; only the broadcast query side fans out).
+    Read against ann_lsh_bucketed (same planes, home bucket only) and
+    ann_lsh_multitable (recall via independent tables) — the three recall
+    dials a production LSH deployment chooses between
+    (operators/similarity.lsh_multiprobe_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_multiprobe_topk(
+        emb, queries, k=10, n_planes=N_PLANES, dim=EMB_DIM, m_probes=M_PROBES
+    )
+
+
 def _near_dup_oracle() -> str:
     b = dd_bucket("embedding", _PLANES)
     cos = dd_cosine("a.embedding", "x.embedding")

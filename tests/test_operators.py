@@ -324,3 +324,39 @@ def test_containment_pairs_candidates_branch_matches_inverted(spark):
                   df, "doc_id", threshold=0.5, candidates=cands
               ).collect()}
     assert pruned == full == {(1, 2): (1.0, 0.25)}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe's candidate pool is a strict superset of the home
+    bucket's (probes include it), so recall@10 vs the exact baseline must
+    be >= single-probe recall for every query — the property that makes
+    it a recall dial and not just a different index."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+        recall_vs_exact,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    # 4 planes = 16 buckets over 500 vectors: recall is non-trivial for
+    # both arms (8 planes shatters this corpus to ~2 vectors/bucket and
+    # both recalls degenerate to 0, proving nothing)
+    single = lsh_bucketed_topk(emb, queries, k=10, n_planes=4, dim=64)
+    multi = lsh_multiprobe_topk(
+        emb, queries, k=10, n_planes=4, dim=64, m_probes=2
+    )
+    r_single = {r["query_id"]: r["n_hits"]
+                for r in recall_vs_exact(single, exact, queries, k=10).collect()}
+    r_multi = {r["query_id"]: r["n_hits"]
+               for r in recall_vs_exact(multi, exact, queries, k=10).collect()}
+    assert set(r_single) == set(r_multi)
+    for qid in r_single:
+        assert r_multi[qid] >= r_single[qid], qid
+    # and somewhere it actually buys recall on this corpus
+    assert sum(r_multi.values()) > sum(r_single.values())

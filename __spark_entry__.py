@@ -114,6 +114,10 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "bigram_lm_scores",  # new in r5 (post-rotation); local parity both SFs
     "ivf_assignment_drift",  # new in r5 (post-rotation); local parity both SFs
     "ann_lsh_multiprobe",  # new in r5 (post-rotation); local parity both SFs
+    "bloom_decontamination",  # new in r5 (post-rotation); local parity both SFs
+    "knn_graph_edges",  # new in r5 (post-rotation); local parity both SFs
+    "knn_label_agreement",  # new in r5 (post-rotation); local parity both SFs
+    "weighted_sample_docs",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -103,6 +103,12 @@ HEADLINE = [
     "bigram_lm_scores",
     "ivf_assignment_drift",
     "ann_lsh_multiprobe",
+    # r5: Bloom-prefiltered decontamination, kNN graph + label audit,
+    # deterministic weighted sampling
+    "bloom_decontamination",
+    "knn_graph_edges",
+    "knn_label_agreement",
+    "weighted_sample_docs",
 ]
 
 

@@ -1073,3 +1073,82 @@ def recall_vs_exact(
             ),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_list_size: int | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: top-``k`` neighbors for EVERY
+    corpus vector, via IVF candidate bucketing. The all-vectors analogue of
+    :func:`ivf_topk` — the structure behind kNN-based label-noise audits,
+    graph clustering, and diversity/coreset selection over embeddings.
+
+    Returns ``(query_id, neighbor_id, cosine_sim, rnk)`` with rnk ≤ k,
+    cosine rounded to 6 dp before ranking, ties to the lowest neighbor id.
+
+    100 TB shape — deliberately different from ivf_topk's: there the probe
+    side (a handful of queries) broadcasts and the corpus is never
+    shuffled; here BOTH sides are the corpus, so nothing broadcasts.
+    Instead each side is keyed by ``list_id`` (index side: nearest list;
+    probe side: ``n_probe`` nearest lists — both zero-shuffle map stages
+    over centroid literals) and candidates come from ONE co-partitioned
+    shuffle join on that key. Candidate volume is Σ_l probe_l·|list_l| ≈
+    N²·n_probe/n_lists, so n_lists must scale ~sqrt(N) (the FAISS rule)
+    to keep it ~N^1.5; hot lists from a skewed embedding distribution are
+    bounded by ``max_list_size`` (over-cap lists are excluded from the
+    INDEX side via :func:`_cap_bucket_size` — recall degrades gracefully
+    instead of the join going quadratic) and by the session's AQE
+    skew-join split at runtime.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+    )
+    indexed = ivf_assign(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        cents,
+        vec_col="c_vec",
+        id_col="neighbor_id",
+    )
+    indexed = _cap_bucket_size(indexed, ["list_id"], max_list_size)
+    indexed = indexed.withColumn("c_nrm", norm("c_vec"))
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_nrm", norm("q_vec"))
+    sims = _centroid_sims("q_vec", cents)
+    probe_structs = F.array(
+        *[F.struct((-s).alias("neg"), F.lit(cid).alias("cid")) for cid, s in sims]
+    )
+    probes = q.withColumn(
+        "list_id",
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, n_probe).getField("cid")
+        ),
+    )
+    scored = (
+        indexed.join(probes, "list_id")  # co-partitioned shuffle join — see above
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -1251,3 +1251,168 @@ def q_length_bucket_padding(spark, sf_dir):
             6,
         ).alias("pad_frac"),
     )
+
+
+# --- Bloom-prefiltered decontamination (round 5) ---------------------------
+
+#: 4-word shingles + a ≥2-shared-shingle floor: a stricter contamination
+#: policy than decontamination_overlap's any-3-gram rule, so the two
+#: queries exercise different match semantics as well as different plans
+_BLOOM_K_SHINGLE = 4
+_BLOOM_MIN_SHARED = 2
+_BLOOM_M_BITS = 1 << 17
+_BLOOM_K_HASHES = 4
+
+_BLOOM_DECON_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({dd_shingles('text', _BLOOM_K_SHINGLE)}) AS shingle
+  FROM documents WHERE source = '{_EVAL_SOURCE}'
+),
+tr AS (
+  SELECT doc_id, unnest({dd_shingles('text', _BLOOM_K_SHINGLE)}) AS shingle
+  FROM documents WHERE NOT (source = '{_EVAL_SOURCE}')
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id
+  HAVING count(*) >= {_BLOOM_MIN_SHARED}
+)
+SELECT h.doc_id, h.n_shared, s.n_shingles,
+  round(h.n_shared / s.n_shingles, 6) AS contamination_ratio
+FROM hit h JOIN sz s USING (doc_id)
+"""
+
+
+@register("bloom_decontamination", _BLOOM_DECON_ORACLE)
+def q_bloom_decontamination(spark, sf_dir):
+    """Decontamination with an explicit Bloom prefilter stage: eval-slice
+    4-gram shingles build a ~16 KiB Bloom bitmap (operators/bloom.py);
+    every train shingle is probed against it MAP-SIDE, and only Bloom
+    survivors (true overlaps + the small false-positive tail) enter the
+    exact broadcast verify join. Docs sharing ≥{_BLOOM_MIN_SHARED}
+    distinct shingles are reported.
+
+    100 TB shape — why this exists next to decontamination_overlap: the
+    exact path must broadcast the full eval shingle-string set and
+    hash-probe EVERY train shingle against it; this path ships a
+    constant-size bitmap and discards ~99% of shingles with pure codegen
+    arithmetic before any join machinery runs. Bloom has no false
+    negatives, so the composed output is bit-identical to the exact join
+    alone — which is why this query keeps an exact SQL oracle (and the
+    no-false-negative + FP-rate properties are pinned in
+    tests/test_bloom.py).
+    """
+    from py_datalake_move_files_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    sh = DD.with_shingles(docs, "text", _BLOOM_K_SHINGLE)
+    is_eval = F.col("source") == _EVAL_SOURCE
+    ev = (
+        sh.where(is_eval)
+        .select(F.explode_outer("shingle_set").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    bf = bloom_build(ev, "shingle", m_bits=_BLOOM_M_BITS, k_hashes=_BLOOM_K_HASHES)
+    train = (
+        sh.where(~is_eval)
+        .select(
+            "doc_id",
+            F.size("shingle_set").cast("long").alias("n_shingles"),
+            F.explode_outer("shingle_set").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    survivors = bloom_probe(
+        train, "shingle", bf, m_bits=_BLOOM_M_BITS, k_hashes=_BLOOM_K_HASHES
+    ).where(F.col("bloom_might_contain"))
+    hits = (
+        survivors.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _BLOOM_MIN_SHARED)
+    )
+    return hits.select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+# --- deterministic weighted sampling (round 5) -----------------------------
+
+_WS_TOPK = 20
+#: 13 hex nibbles = 52 bits: v+1 is exactly representable as a double, so
+#: u = (v+1)/2^52 ∈ (0, 1] is identical in both engines before any libm call
+_WS_NIBBLES = 13
+_WS_DENOM = float(1 << 52)
+
+
+def _ws_key_sql(id_sql: str, w_sql: str) -> str:
+    """Portable (Spark SQL + DuckDB) Efraimidis–Spirakis sampling key:
+    ``ln(u) / w`` with u drawn deterministically from md5(id). Log-domain
+    form of the classic ``u^(1/w)`` key — same argmax order, no pow()
+    underflow for large weights. Rounded to 6 dp BEFORE ranking (the
+    repo-wide cross-engine double discipline); ties break on id."""
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    v = hex_value_sql(f"md5(CAST({id_sql} AS STRING))", _WS_NIBBLES)
+    return (
+        f"round((ln(CAST(({v}) AS DOUBLE) + 1.0) - ln({_WS_DENOM})) "
+        f"/ CAST({w_sql} AS DOUBLE), 6)"
+    )
+
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    {_ws_key_sql('doc_id', 'n_chars')} AS sample_key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (
+    ORDER BY sample_key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id, n_chars, sample_key, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= {_WS_TOPK}
+"""
+
+
+@register("weighted_sample_docs", _WS_ORACLE)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Weighted random sampling without replacement (Efraimidis–Spirakis
+    A-ES): draw {_WS_TOPK} documents with probability proportional to
+    length (``n_chars``), deterministically — the curation move for
+    "sample a quality-weighted subcorpus, reproducibly, on any cluster".
+
+    Each doc gets key ``ln(u)/w`` with ``u`` derived from md5(doc_id)
+    (not rand(): same sample on every run, every partitioning, every
+    executor count); the global top-k by key IS the weighted sample.
+
+    100 TB shape: key computation is map-only codegen (md5 + integer
+    arithmetic + one ln); the top-k plans as TakeOrderedAndProject
+    (per-partition partial top-k, k rows shuffled per partition — never a
+    global sort); the rank window runs over the {_WS_TOPK} survivors
+    only. Contrast temperature/bernoulli sampling (rate-based, output
+    size stochastic): A-ES pins the output size exactly."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_ws_key_sql("doc_id", "n_chars")).alias("sample_key"),
+    )
+    top = keyed.orderBy(F.desc("sample_key"), "doc_id").limit(_WS_TOPK)
+    w = Window.orderBy(F.desc("sample_key"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w))

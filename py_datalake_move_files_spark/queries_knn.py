@@ -1,0 +1,135 @@
+"""kNN-graph queries over the embedding corpus (round 5).
+
+The kNN graph — top-k neighbors for EVERY vector, not a handful of query
+points — is the workhorse structure behind several curation passes a
+training-data pipeline runs at scale: label-noise audits (neighbor
+voting), graph-based clustering/coreset selection, and diversity
+analysis. Built here on the IVF candidate-bucketing path
+(operators/similarity.knn_graph): both sides of the candidate join are
+the corpus keyed by ``list_id``, one co-partitioned shuffle each — the
+broadcast-probes shape of ``ivf_topk`` cannot apply when every vector is
+a query.
+
+Oracles reuse oracle_ivf.IVF_PRELUDE (centroid selection + assignment are
+a deterministic md5-ordered sample, recomputable in pure SQL), so the
+whole index-build + graph + audit pipeline is exactly mirrored in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.oracle_frags import dd_cosine
+from py_datalake_move_files_spark.oracle_ivf import IVF_PRELUDE, N_LISTS, N_PROBE
+from py_datalake_move_files_spark.queries import _t, register
+
+KNN_K = 5
+
+#: shared oracle chain: every vector probes its N_PROBE nearest lists,
+#: candidates join the (rn = 1) assignment on list_id, rounded cosine,
+#: per-query top-k with ties to the lowest neighbor id — mirroring
+#: operators/similarity.knn_graph step for step
+_KNN_EDGES_CTE = f""",
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cid AS list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sc
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {dd_cosine('p.q_vec', 'a.embedding')} AS cosine_sim
+  FROM probes p JOIN asg a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+edges AS (
+  SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_K}
+)
+"""
+
+
+def _knn_edges(spark, sf_dir):
+    from py_datalake_move_files_spark.queries_ivf import _centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(
+        emb, k=KNN_K, n_lists=N_LISTS, n_probe=N_PROBE,
+        centroids=_centroids(spark, sf_dir),
+    )
+
+
+@register(
+    "knn_graph_edges",
+    IVF_PRELUDE + _KNN_EDGES_CTE + """
+SELECT query_id, neighbor_id, cosine_sim, rnk FROM edges
+""",
+)
+def q_knn_graph_edges(spark, sf_dir):
+    """The kNN graph itself: top-{KNN_K} IVF-bucketed neighbors per
+    vector. Assignment + probing are zero-shuffle map stages over centroid
+    literals; the candidate join shuffles each corpus copy ONCE on
+    list_id (plan-pinned: no broadcast of a corpus-sized side, no
+    cartesian product); the only other exchange is the per-query top-k
+    window."""
+    return _knn_edges(spark, sf_dir)
+
+
+@register(
+    "knn_label_agreement",
+    IVF_PRELUDE + _KNN_EDGES_CTE + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT e.query_id, lq.label AS q_label, ln.label AS n_label
+  FROM edges e
+  JOIN lab lq ON lq.vec_id = e.query_id
+  JOIN lab ln ON ln.vec_id = e.neighbor_id
+)
+SELECT query_id AS vec_id, q_label AS label,
+  CAST(count(*) AS BIGINT) AS n_neighbors,
+  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+  round(CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS agreement
+FROM j GROUP BY query_id, q_label
+""",
+)
+def q_knn_label_agreement(spark, sf_dir):
+    """kNN label-agreement audit (the Confident-Learning-style neighbor
+    vote): for each vector, the fraction of its top-{KNN_K} neighbors
+    sharing its label. Low agreement flags probable label noise — the
+    standard triage pass before training on a labeled corpus.
+
+    Rides on the same edge list as ``knn_graph_edges``; the two label
+    joins key on vector id (Catalyst broadcasts them while the label
+    projection fits, falls back to shuffle joins beyond — either is one
+    pass over the N·k edge table), then one map-side-combined aggregate
+    per query vector."""
+    edges = _knn_edges(spark, sf_dir)
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq = lab.select(
+        F.col("vec_id").alias("q_vec_id"), F.col("label").alias("q_label")
+    )
+    ln = lab.select(
+        F.col("vec_id").alias("n_vec_id"), F.col("label").alias("n_label")
+    )
+    j = edges.join(lq, F.col("query_id") == F.col("q_vec_id")).join(
+        ln, F.col("neighbor_id") == F.col("n_vec_id")
+    )
+    return (
+        j.groupBy(F.col("query_id").alias("vec_id"), F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("long").alias("n_same"),
+        )
+        .withColumn(
+            "agreement",
+            F.round(F.col("n_same").cast("double") / F.col("n_neighbors").cast("double"), 6),
+        )
+    )

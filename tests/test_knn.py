@@ -1,0 +1,97 @@
+"""kNN-graph operator (operators/similarity.knn_graph) and the
+weighted-sampling query: structural plan pins + semantic invariants the
+oracle comparison alone would not localize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.catalog import load_table
+from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_knn_graph_plan_shape(spark):
+    df = QUERIES["knn_graph_edges"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # candidate generation is bucketed: never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # assignment + probing are map stages over centroid literals: the only
+    # exchanges are the candidate join on list_id (absorbed into a
+    # broadcast at this tiny scale) and the per-query top-k window
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_knn_graph_edge_invariants(spark):
+    rows = QUERIES["knn_graph_edges"](spark, SF).collect()
+    assert rows, "graph must be non-empty"
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.000001 <= r["cosine_sim"] <= 1.000001
+        per_q.setdefault(r["query_id"], []).append(r)
+    from py_datalake_move_files_spark.queries_knn import KNN_K
+
+    for q, es in per_q.items():
+        ranks = sorted(e["rnk"] for e in es)
+        assert ranks == list(range(1, len(es) + 1)), q
+        assert len(es) <= KNN_K
+        # rank order must follow (cosine desc, neighbor asc)
+        es = sorted(es, key=lambda e: e["rnk"])
+        keyed = [(-e["cosine_sim"], e["neighbor_id"]) for e in es]
+        assert keyed == sorted(keyed), q
+
+
+def test_knn_graph_list_cap_bounds_candidates(spark):
+    # a hard list-size cap must drop over-cap lists from the index side
+    # (graceful recall loss), never error or go quadratic
+    emb = load_table(spark, SF, "embeddings")
+    capped = SIM.knn_graph(emb, k=3, n_lists=4, n_probe=1, max_list_size=50)
+    uncapped = SIM.knn_graph(emb, k=3, n_lists=4, n_probe=1)
+    assert capped.count() <= uncapped.count()
+
+
+def test_label_agreement_consistent_with_edges(spark):
+    edges = QUERIES["knn_graph_edges"](spark, SF)
+    agree = {r["vec_id"]: r for r in QUERIES["knn_label_agreement"](spark, SF).collect()}
+    n_edges = {
+        r["query_id"]: r["n"]
+        for r in edges.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(agree) == set(n_edges)
+    for q, r in agree.items():
+        assert r["n_neighbors"] == n_edges[q]
+        assert 0 <= r["n_same"] <= r["n_neighbors"]
+        assert abs(r["agreement"] - round(r["n_same"] / r["n_neighbors"], 6)) < 1e-9
+
+
+def test_weighted_sample_plan_and_determinism(spark):
+    df = QUERIES["weighted_sample_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # global top-k by sampling key: per-partition heaps, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    a = [tuple(r) for r in df.collect()]
+    # identical sample regardless of physical layout — the property that
+    # separates hash-keyed sampling from rand()
+    docs = load_table(spark, SF, "documents").repartition(13)
+    docs.createOrReplaceTempView("__ws_docs")
+    b = [tuple(r) for r in QUERIES["weighted_sample_docs"](spark, SF).collect()]
+    assert a == b and len(a) == 20
+
+
+def test_weighted_sample_key_formula(spark):
+    # spot-check the A-ES key against a driver-side recomputation:
+    # key = round((ln(v+1) - ln(2^52)) / w, 6), v = first 13 md5 nibbles
+    import hashlib
+    import math
+
+    rows = QUERIES["weighted_sample_docs"](spark, SF).collect()
+    for r in rows[:5]:
+        v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
+        want = round((math.log(v + 1) - math.log(float(1 << 52))) / r["n_chars"], 6)
+        assert abs(r["sample_key"] - want) < 1e-9, r

@@ -109,6 +109,7 @@ HEADLINE = [
     "knn_graph_edges",
     "knn_label_agreement",
     "weighted_sample_docs",
+    "source_overlap_matrix",
 ]
 
 

@@ -1416,3 +1416,85 @@ def q_weighted_sample_docs(spark, sf_dir):
     top = keyed.orderBy(F.desc("sample_key"), "doc_id").limit(_WS_TOPK)
     w = Window.orderBy(F.desc("sample_key"), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# --- cross-source near-dup overlap matrix (round 5) ------------------------
+
+_SOM_T = 0.5
+
+_SOM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT i.id_a, i.id_b,
+    round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {_SOM_T}
+),
+src AS (SELECT doc_id, source FROM documents),
+m AS (
+  SELECT least(s1.source, s2.source) AS source_a,
+         greatest(s1.source, s2.source) AS source_b,
+         CAST(round(pr.jaccard * 1000000) AS BIGINT) AS j_micro
+  FROM pr
+  JOIN src s1 ON s1.doc_id = pr.id_a
+  JOIN src s2 ON s2.doc_id = pr.id_b
+)
+SELECT source_a, source_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(sum(j_micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_jaccard
+FROM m GROUP BY source_a, source_b
+"""
+
+
+@register("source_overlap_matrix", _SOM_ORACLE)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: verified near-dup pairs
+    (exact n-gram Jaccard ≥ {_SOM_T} over the inverted shingle index —
+    never all-pairs) attributed to their (source, source) cell. The
+    data-mixing diagnostic: heavy off-diagonal mass means two acquisition
+    sources ship the same content and their mixture weights double-count
+    it; heavy diagonal mass means a source self-duplicates.
+
+    Determinism discipline: per-pair Jaccard is rounded to 6 dp, then
+    converted to integer MICRO-units before the per-cell sum — the
+    average is an exact-integer sum divided once, so no cross-engine /
+    cross-partition float-summation-order risk reaches the hash compare.
+    The two source lookups are id-keyed joins on a 2-column projection
+    (broadcast while it fits, shuffle beyond — one pass over the pair
+    list either way)."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    pairs = DD.jaccard_pairs(docs, "doc_id", threshold=_SOM_T)
+    src = docs.select("doc_id", "source")
+    s1 = src.select(
+        F.col("doc_id").alias("__id_a"), F.col("source").alias("__src_a")
+    )
+    s2 = src.select(
+        F.col("doc_id").alias("__id_b"), F.col("source").alias("__src_b")
+    )
+    m = (
+        pairs.join(s1, F.col("id_a") == F.col("__id_a"))
+        .join(s2, F.col("id_b") == F.col("__id_b"))
+        .select(
+            F.least("__src_a", "__src_b").alias("source_a"),
+            F.greatest("__src_a", "__src_b").alias("source_b"),
+            F.round(F.col("jaccard") * 1000000).cast("long").alias("j_micro"),
+        )
+    )
+    return m.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("j_micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("avg_jaccard"),
+    )

@@ -240,3 +240,64 @@ def foreach_batch_ivf_ingest(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_bloom_screen(
+    doc_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    bloom: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 4,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+):
+    """Streaming contamination screen: each arriving micro-batch of
+    documents is shingled and probed MAP-SIDE against a FROZEN Bloom
+    filter of benchmark/eval shingles (operators/bloom.py); per-doc
+    Bloom-hit counts are appended, batch-stamped, to ``out_path``. The
+    streaming composition of the batch ``bloom_decontamination`` query's
+    prefilter stage — the shape of an ingest pipeline that quarantines
+    probably-contaminated documents ON ARRIVAL, long before the offline
+    exact-verify job runs.
+
+    The filter is deliberately a frozen one-row DataFrame argument (built
+    once from the eval corpus, like the frozen centroid epoch in
+    :func:`foreach_batch_ivf_ingest`): benchmark suites change by
+    release, not per micro-batch, and a screen must stay deterministic
+    within an epoch. Bloom has no false negatives, so a downstream exact
+    verify over flagged docs recovers the exact answer; ``bloom_hits``
+    over-counts only by the filter's FP rate. Replays carry ``batch_id``
+    for at-least-once dedup.
+    """
+    from py_datalake_move_files_spark.operators import dedup as DD
+    from py_datalake_move_files_spark.operators.bloom import bloom_probe
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sh = DD.with_shingles(batch_df, text_col, k_shingle)
+        exploded = sh.select(
+            id_col,
+            F.size("shingle_set").cast("long").alias("n_shingles"),
+            F.explode_outer("shingle_set").alias("shingle"),
+        ).where(F.col("shingle").isNotNull())
+        probed = bloom_probe(
+            exploded, "shingle", bloom, m_bits=m_bits, k_hashes=k_hashes
+        )
+        per_doc = (
+            probed.groupBy(id_col, "n_shingles")
+            .agg(
+                F.sum(F.col("bloom_might_contain").cast("long"))
+                .cast("long")
+                .alias("bloom_hits")
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        per_doc.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

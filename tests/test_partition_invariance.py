@@ -12,8 +12,10 @@ split), fixed-point ADC (PQ search), and the iterative CC labels.
 r5 additions: BM25 (exact integer df/tf/len sums feeding a fixed-order
 double chain, rounded before ranking), containment/jaccard (pure integer
 intersection counts), repeated spans (digest group counts), cluster-safe
-split (md5 of CC labels), bigram LM (integer log2-bucket sums), and IVF
-drift (integer per-list tallies over centroid argmax)."""
+split (md5 of CC labels), bigram LM (integer log2-bucket sums), IVF
+drift (integer per-list tallies over centroid argmax), Bloom-composed
+decontamination, the kNN graph, A-ES weighted sampling, and the
+source-overlap matrix's micro-unit averages."""
 
 from __future__ import annotations
 
@@ -41,6 +43,14 @@ QUERIES_UNDER_TEST = [
     "cluster_safe_split",
     "bigram_lm_scores",
     "ivf_assignment_drift",
+    # r5 late tier: Bloom-prefilter composition (integer shingle
+    # counts), kNN graph (rounded cosine + id tie-breaks over a
+    # deterministic IVF assignment), A-ES sampling (md5-derived
+    # uniforms), source matrix (integer micro-unit Jaccard sums)
+    "bloom_decontamination",
+    "knn_graph_edges",
+    "weighted_sample_docs",
+    "source_overlap_matrix",
 ]
 
 

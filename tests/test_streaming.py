@@ -195,3 +195,77 @@ def test_streaming_ivf_ingest_matches_batch_assignment(spark, tmp_path):
     }
     assert stream_assign == batch_assign
     assert got.select("batch_id").distinct().count() == 2
+
+
+def test_streaming_bloom_screen_matches_batch_prefilter(spark, tmp_path):
+    """Two-micro-batch stream through the frozen Bloom screen must produce
+    exactly the per-doc hit counts the one-shot batch probe computes —
+    and zero false negatives vs the exact shingle-set intersection."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators import dedup as DD
+    from py_datalake_move_files_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_bloom_screen,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ev = (
+        DD.with_shingles(docs.where(F.col("source") == "src0"), "text", 4)
+        .select(F.explode("shingle_set").alias("shingle"))
+        .distinct()
+    )
+    bf = bloom_build(ev, "shingle", m_bits=1 << 16, k_hashes=4).cache()
+    bf.count()  # freeze the epoch: one build, reused across micro-batches
+
+    train = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    src = tmp_path / "bin"
+    train.where("doc_id < 100").coalesce(1).write.parquet(str(src / "p0"))
+    train.where("doc_id >= 100").coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", "doc_id long, text string", max_files_per_trigger=1
+    )
+    q = foreach_batch_bloom_screen(
+        stream,
+        str(tmp_path / "bckpt"),
+        bloom=bf,
+        out_path=str(tmp_path / "bout"),
+        m_bits=1 << 16,
+        k_hashes=4,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "bout"))
+    assert got.select("batch_id").distinct().count() == 2
+    stream_hits = {r["doc_id"]: r["bloom_hits"] for r in got.collect()}
+
+    sh = DD.with_shingles(train, "text", 4)
+    exploded = sh.select(
+        "doc_id", F.explode("shingle_set").alias("shingle")
+    )
+    batch_hits = {
+        r["doc_id"]: r["h"]
+        for r in bloom_probe(
+            exploded, "shingle", bf, m_bits=1 << 16, k_hashes=4
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("bloom_might_contain").cast("long")).alias("h"))
+        .collect()
+    }
+    assert stream_hits == batch_hits
+
+    # no false negatives at the doc level: every doc with a true shared
+    # shingle must show bloom_hits >= its true shared count
+    true_hits = {
+        r["doc_id"]: r["h"]
+        for r in exploded.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("h"))
+        .collect()
+    }
+    for doc, h in true_hits.items():
+        assert stream_hits.get(doc, 0) >= h

@@ -119,6 +119,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "knn_label_agreement",  # new in r5 (post-rotation); local parity both SFs
     "weighted_sample_docs",  # new in r5 (post-rotation); local parity both SFs
     "source_overlap_matrix",  # new in r5 (post-rotation); local parity both SFs
+    "image_phash_dedup",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "knn_label_agreement",
     "weighted_sample_docs",
     "source_overlap_matrix",
+    "image_phash_dedup",
 ]
 
 

@@ -2058,6 +2058,96 @@ def q_dataset_split_counts(spark, sf_dir):
     )
 
 
+# --- perceptual-hash image dedup (round 5) --------------------------------
+
+#: content is keyed on doc_id % factor so the synthetic corpus contains
+#: real duplicate images (factor-sized groups) while media_id stays unique
+_PHASH_DUP_FACTOR = 100
+
+
+def _dd_phash_oracle() -> str:
+    hex_chain = " || ".join(
+        f"md5('m{i}:' || (doc_id % {_PHASH_DUP_FACTOR})::VARCHAR)"
+        for i in range(4)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN {dd_hexbyte('h', j)} > {dd_hexbyte('h', j + 1)} "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(15)
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, {hex_chain} AS hex FROM documents),
+d AS (SELECT media_id, md5(hex) AS h FROM m),
+ph AS (SELECT media_id, CAST({bits} AS BIGINT) AS phash FROM d)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+  CAST(min(media_id) AS BIGINT) AS canonical_id
+FROM ph GROUP BY phash HAVING count(*) >= 2
+"""
+
+
+@register("image_phash_dedup", _dd_phash_oracle())
+def q_image_phash_dedup(spark, sf_dir):
+    """Image near-dup detection by perceptual hash (dHash): decode the
+    binary media column in Arrow batches (operators/multimodal — real PIL
+    branch where a codec exists, the SQL-mirrorable md5 stub here), then
+    derive a 15-bit gradient hash JVM-side (bit j = feature[j] >
+    feature[j+1]; on real thumbnails this is the classic dHash, robust to
+    resize/re-encode) and group equal hashes into duplicate clusters with
+    the lowest media id as canonical.
+
+    100 TB shape: decode is the unavoidable Python stage (vectorized
+    Arrow batches, media bytes never shuffled); everything after it is
+    codegen — the hash is pure array arithmetic and the only exchange
+    carries (64-bit hash, id) pairs, never pixels or bytes. Near-dup (small
+    Hamming distance) extends the same way the fuzzy tier does: band the
+    hash into interleaved bit classes and verify candidates
+    (operators/fuzzy.fuzzy_hamming_pairs) — exact-equality clustering is
+    registered here because the stub's hashes are uniform (real corpora
+    get their near-dup mass from re-encodes, which dHash maps to EQUAL
+    hashes anyway)."""
+    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
+    from py_datalake_move_files_spark.operators.multimodal import decode_images
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    blob = F.to_binary(
+        F.concat(
+            *[
+                F.md5(
+                    F.concat(
+                        F.lit(f"m{i}:"),
+                        (F.col("doc_id") % _PHASH_DUP_FACTOR).cast("string"),
+                    )
+                )
+                for i in range(4)
+            ]
+        ),
+        F.lit("hex"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        blob.alias("content"),
+        F.length(blob).cast("long").alias("n_bytes"),
+    )
+    decoded = decode_images(media)
+    ph = decoded.select(
+        "media_id",
+        F.expr(
+            "aggregate(sequence(0, 14), 0L, (phacc, phj) -> phacc + "
+            "CASE WHEN element_at(feature, phj + 1) > element_at(feature, phj + 2) "
+            "THEN shiftleft(1L, phj) ELSE 0L END)"
+        ).alias("phash"),
+    )
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("media_id").cast("long").alias("canonical_id"),
+        )
+        .where(F.col("n_images") >= 2)
+    )
+
+
 # --------------------------------------------------------------------------
 # extension registries (import side effect: they register into QUERIES/ORACLE)
 # --------------------------------------------------------------------------

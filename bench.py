@@ -111,6 +111,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "source_overlap_matrix",
     "image_phash_dedup",
+    "lang_confusion_matrix",
 ]
 
 

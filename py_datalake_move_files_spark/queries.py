@@ -2148,6 +2148,51 @@ def q_image_phash_dedup(spark, sf_dir):
     )
 
 
+# --- language-ID confusion matrix (round 5) -------------------------------
+
+
+def _dd_lang_confusion_oracle() -> str:
+    return f"""
+WITH p AS ({_lang_oracle()}),
+j AS (
+  SELECT d.lang, p.pred_lang
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(count(*) AS DOUBLE)
+        / sum(count(*)) OVER (PARTITION BY lang), 6) AS share_of_lang
+FROM j GROUP BY lang, pred_lang
+"""
+
+
+@register("lang_confusion_matrix", _dd_lang_confusion_oracle())
+def q_lang_confusion_matrix(spark, sf_dir):
+    """Weak-label audit for the language column: confusion matrix of the
+    stored ``lang`` label vs the marker-token classifier's prediction,
+    with each cell's share of its true-label row. Off-diagonal mass tells
+    a curation pipeline which label source to distrust before
+    language-conditional filtering or temperature resampling runs.
+
+    100 TB shape: classification is the map-only lang_scores stage; the
+    matrix is one aggregate over (lang, pred_lang) — a few dozen cells —
+    and the row-normalizing window runs on those cells, not on documents.
+    Integer counts divide once at the end, so no float-summation-order
+    risk reaches the hash."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        TXT.lang_scores(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.withColumn(
+        "share_of_lang",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6),
+    )
+
+
 # --------------------------------------------------------------------------
 # extension registries (import side effect: they register into QUERIES/ORACLE)
 # --------------------------------------------------------------------------

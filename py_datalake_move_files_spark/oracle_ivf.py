@@ -15,13 +15,18 @@ from py_datalake_move_files_spark.oracle_frags import dd_cosine
 N_LISTS = 8
 N_PROBE = 2
 
-#: shared oracle prelude: centroid selection + full-corpus assignment,
-#: mirroring ivf_centroids (md5-ordered sample) and ivf_assign (argmax of
-#: ROUNDED cosine, ties to the lowest centroid id)
-IVF_PRELUDE = f"""
+
+def ivf_prelude(n_lists: int = N_LISTS) -> str:
+    """Oracle prelude: centroid selection + full-corpus assignment,
+    mirroring ivf_centroids (md5-ordered sample) and ivf_assign (argmax of
+    ROUNDED cosine, ties to the lowest centroid id). Parameterized so
+    tiers with a different list count (the kNN graph runs n_lists closer
+    to sqrt(N), queries_knn.py) stay textually in lockstep with the
+    serving tier's chain — only the LIMIT differs."""
+    return f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_LISTS}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_lists}
 ),
 sc AS (
   SELECT e.vec_id, e.embedding, c.cid,
@@ -36,3 +41,8 @@ asg AS (
   ) WHERE rn = 1
 )
 """
+
+
+#: the serving tier's shared instance (n_lists = 8 across queries_ivf /
+#: queries_pq so their recall metrics stay directly comparable)
+IVF_PRELUDE = ivf_prelude()

@@ -10,9 +10,17 @@ the corpus keyed by ``list_id``, one co-partitioned shuffle each — the
 broadcast-probes shape of ``ivf_topk`` cannot apply when every vector is
 a query.
 
-Oracles reuse oracle_ivf.IVF_PRELUDE (centroid selection + assignment are
-a deterministic md5-ordered sample, recomputable in pure SQL), so the
+Oracles reuse oracle_ivf.ivf_prelude (centroid selection + assignment
+are a deterministic md5-ordered sample, recomputable in pure SQL), so the
 whole index-build + graph + audit pipeline is exactly mirrored in DuckDB.
+
+List count: the graph tier runs its OWN ``KNN_LISTS`` (16, vs the serving
+tier's shared 8) because candidate volume here is N²·n_probe/n_lists —
+with every vector a query, n_lists must track sqrt(N) or the join goes
+quadratic; 16 ≈ sqrt(2000) at the bench scale (measured ~2x candidate
+reduction vs 8 at identical plan shape). A production deployment re-pins
+this per corpus size at index-train time; the oracle mirrors whatever is
+pinned.
 """
 
 from __future__ import annotations
@@ -21,10 +29,27 @@ from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.operators import similarity as SIM
 from py_datalake_move_files_spark.oracle_frags import dd_cosine
-from py_datalake_move_files_spark.oracle_ivf import IVF_PRELUDE, N_LISTS, N_PROBE
+from py_datalake_move_files_spark.oracle_ivf import N_PROBE, ivf_prelude
 from py_datalake_move_files_spark.queries import _t, register
 
 KNN_K = 5
+KNN_LISTS = 16
+
+_KNN_PRELUDE = ivf_prelude(KNN_LISTS)
+
+#: graph-tier centroid cache, snapshot-keyed like queries_ivf._CENTROIDS
+_KNN_CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def _knn_centroids(spark, sf_dir: str):
+    from py_datalake_move_files_spark.catalog import table_snapshot
+
+    key = table_snapshot(sf_dir, "embeddings")
+    if key not in _KNN_CENTROIDS:
+        _KNN_CENTROIDS[key] = SIM.ivf_centroids(
+            _t(spark, sf_dir, "embeddings"), n_lists=KNN_LISTS
+        )
+    return _KNN_CENTROIDS[key]
 
 #: shared oracle chain: every vector probes its N_PROBE nearest lists,
 #: candidates join the (rn = 1) assignment on list_id, rounded cosine,
@@ -55,18 +80,16 @@ edges AS (
 
 
 def _knn_edges(spark, sf_dir):
-    from py_datalake_move_files_spark.queries_ivf import _centroids
-
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.knn_graph(
-        emb, k=KNN_K, n_lists=N_LISTS, n_probe=N_PROBE,
-        centroids=_centroids(spark, sf_dir),
+        emb, k=KNN_K, n_lists=KNN_LISTS, n_probe=N_PROBE,
+        centroids=_knn_centroids(spark, sf_dir),
     )
 
 
 @register(
     "knn_graph_edges",
-    IVF_PRELUDE + _KNN_EDGES_CTE + """
+    _KNN_PRELUDE + _KNN_EDGES_CTE + """
 SELECT query_id, neighbor_id, cosine_sim, rnk FROM edges
 """,
 )
@@ -82,7 +105,7 @@ def q_knn_graph_edges(spark, sf_dir):
 
 @register(
     "knn_label_agreement",
-    IVF_PRELUDE + _KNN_EDGES_CTE + """,
+    _KNN_PRELUDE + _KNN_EDGES_CTE + """,
 lab AS (SELECT vec_id, label FROM embeddings),
 j AS (
   SELECT e.query_id, lq.label AS q_label, ln.label AS n_label

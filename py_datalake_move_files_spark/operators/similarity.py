@@ -469,10 +469,11 @@ def ivf_centroids(
     Driver-side collect is ``n_lists`` rows (k·dim floats — small relative
     to any corpus, though MBs once k reaches the tens of thousands). How
     the collected centroids re-enter the plan depends on k — see
-    :func:`ivf_assign`: closed-form column literals below
-    ``max_literal_k`` (fastest, zero shuffles), a broadcast centroid table
-    above it (constant-size plan; the literal/when-chain plan would blow
-    up codegen long before data volume matters)."""
+    :func:`ivf_assign`: a closed-form struct-argmin over centroid literals
+    below ``max_literal_k`` (fastest, zero shuffles, linear in k), a
+    broadcast centroid table above it (constant-size plan; a literal plan
+    embeds k·dim constants and outgrows expression-tree budgets long
+    before data volume matters)."""
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.md5(F.col("cid").cast("string")).asc())
@@ -505,10 +506,10 @@ def _centroid_sims(vec_col: str, centroids: list[tuple[int, list[float]]]) -> li
 
 
 #: Above this k, ivf_assign switches from centroid LITERALS (one cosine
-#: expression + one when-branch per centroid — fastest at small k, but the
-#: expression tree and generated code grow O(k·dim) and collapse codegen
-#: long before 100 TB of data matters) to a broadcast centroid TABLE whose
-#: plan size is constant in k.
+#: expression per centroid, folded by a struct argmin — fastest at small
+#: k and linear in k, but the expression tree embeds k·dim constants and
+#: outgrows plan/codegen budgets at k in the thousands) to a broadcast
+#: centroid TABLE whose plan size is constant in k.
 IVF_LITERAL_MAX_K = 64
 
 
@@ -684,23 +685,27 @@ def kmeans_profile(
     fixed-point quantized cosines (the 6-dp rounded cosine ×1e6 as BIGINT)
     so the aggregate is partition-order-independent — same engine-portable
     trick as :func:`kmeans_refine`. Map-only until the k-row aggregate."""
-    # ONE _centroid_sims call feeds BOTH the assignment when-chain and the
-    # winning-cosine column: calling ivf_assign separately would rebuild
-    # the k cosine HOFs with fresh lambda variable names, and Catalyst
-    # cannot CSE structurally-unequal trees — 2k HOF evaluations per row
-    # instead of k
+    # ONE argmin struct, materialized as a real column, feeds BOTH the
+    # assignment and the winning-cosine column: every centroid cosine HOF
+    # is evaluated exactly once per row (Catalyst cannot CSE
+    # structurally-unequal lambda trees, so re-deriving either column
+    # separately would double the HOF work)
     sims = _centroid_sims(vec_col, centroids)
-    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
-    assign = None
-    for cid, sc in sims:  # ascending cid => lowest id wins ties
-        assign = (
-            F.when(sc == best, F.lit(cid))
-            if assign is None
-            else assign.when(sc == best, F.lit(cid))
+    structs = F.array(
+        *[F.struct((-sc).alias("neg"), F.lit(cid).alias("cid")) for cid, sc in sims]
+    )
+    assigned = (
+        corpus.withColumn("__best", F.array_min(structs))
+        .withColumn(out, F.col("__best").getField("cid"))
+        .withColumn(
+            "__qc",
+            F.round(
+                (-F.col("__best").getField("neg")) * F.lit(float(scale))
+            ).cast("long"),
         )
-    assigned = corpus.withColumn(out, assign)
+    )
     return (
-        assigned.withColumn("__qc", F.round(best * F.lit(float(scale))).cast("long"))
+        assigned
         .groupBy(out)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),

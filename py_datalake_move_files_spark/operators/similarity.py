@@ -523,8 +523,12 @@ def ivf_assign(
     max_literal_k: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max rounded cosine, ties
-    to the lowest centroid id). Two physically different plans, identical
-    results (same IEEE fold order, same rounding, same tie-break):
+    to the lowest centroid id). Vectors and centroids are assumed
+    non-zero-norm (cosine is undefined at zero norm; a NaN similarity
+    orders differently between the two dispatch paths below, so zero
+    vectors must be dropped or exact-deduped upstream). Two physically
+    different plans, identical results (same IEEE fold order, same
+    rounding, same tie-break):
 
     - ``k <= max_literal_k``: pure column expressions over centroid
       literals — ZERO shuffles, an embarrassingly parallel map stage, the

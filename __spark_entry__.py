@@ -121,6 +121,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "source_overlap_matrix",  # new in r5 (post-rotation); local parity both SFs
     "image_phash_dedup",  # new in r5 (post-rotation); local parity both SFs
     "lang_confusion_matrix",  # new in r5 (post-rotation); local parity both SFs
+    "knn_density_scores",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

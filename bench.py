@@ -112,6 +112,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "image_phash_dedup",
     "lang_confusion_matrix",
+    "knn_density_scores",
 ]
 
 

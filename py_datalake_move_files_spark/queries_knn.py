@@ -156,3 +156,51 @@ def q_knn_label_agreement(spark, sf_dir):
             F.round(F.col("n_same").cast("double") / F.col("n_neighbors").cast("double"), 6),
         )
     )
+
+
+@register(
+    "knn_density_scores",
+    _KNN_PRELUDE + _KNN_EDGES_CTE + """
+SELECT query_id AS vec_id,
+  CAST(count(*) AS BIGINT) AS n_neighbors,
+  round(CAST(sum(CAST(round(cosine_sim * 1000000) AS BIGINT)) AS DOUBLE)
+        / (count(*) * 1000000.0), 6) AS mean_cos,
+  CAST(sum(CASE WHEN cosine_sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_close
+FROM edges GROUP BY query_id
+""",
+)
+def q_knn_density_scores(spark, sf_dir):
+    """Local-density / redundancy score per vector: mean cosine to its
+    top-{KNN_K} neighbors plus a count of near-duplicate-range (≥0.8)
+    neighbors. The diversity-selection signal — coreset builders drop or
+    down-weight high-density vectors (their information is carried by
+    neighbors) and keep low-density ones; it is also SemDeDup's ranking
+    signal generalized from clusters to the kNN graph.
+
+    Rides the shared edge list (one more map-side-combined aggregate over
+    N·k rows); the mean folds integer micro-units and divides once, so no
+    float-summation-order risk reaches the hash."""
+    edges = _knn_edges(spark, sf_dir)
+    return (
+        edges.groupBy(F.col("query_id").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(
+                F.round(F.col("cosine_sim") * 1000000).cast("long")
+            ).alias("__sum_micro"),
+            F.sum(
+                F.when(F.col("cosine_sim") >= 0.8, 1).otherwise(0)
+            ).cast("long").alias("n_close"),
+        )
+        .select(
+            "vec_id",
+            "n_neighbors",
+            F.round(
+                F.col("__sum_micro").cast("double")
+                / (F.col("n_neighbors") * F.lit(1000000.0)),
+                6,
+            ).alias("mean_cos"),
+            "n_close",
+        )
+    )

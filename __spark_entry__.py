@@ -122,6 +122,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "image_phash_dedup",  # new in r5 (post-rotation); local parity both SFs
     "lang_confusion_matrix",  # new in r5 (post-rotation); local parity both SFs
     "knn_density_scores",  # new in r5 (post-rotation); local parity both SFs
+    "duplicated_span_coverage",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

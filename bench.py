@@ -113,6 +113,7 @@ HEADLINE = [
     "image_phash_dedup",
     "lang_confusion_matrix",
     "knn_density_scores",
+    "duplicated_span_coverage",
 ]
 
 

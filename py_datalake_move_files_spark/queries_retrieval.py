@@ -209,3 +209,96 @@ def q_repeated_ngram_spans(spark, sf_dir):
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- duplicated-span coverage (round 5) ------------------------------------
+
+_COV_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+s AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < {SPAN_W} THEN []
+         ELSE list_transform(
+           range(0, len(toks) - {SPAN_W} + 1, {SPAN_STRIDE}),
+           spi -> {{'st': spi,
+                    'h': md5(array_to_string(toks[spi + 1 : spi + {SPAN_W}], ' '))}})
+    END) AS sp
+  FROM t
+),
+sp2 AS (SELECT doc_id, sp.st AS st, sp.h AS h FROM s),
+dup AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM sp2 GROUP BY h
+  ) WHERE nd >= 2
+),
+pos AS (
+  SELECT DISTINCT f.doc_id, p
+  FROM (SELECT sp2.doc_id, sp2.st FROM sp2 JOIN dup USING (h)) f,
+       unnest(range(f.st, f.st + {SPAN_W})) AS u(p)
+),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens FROM pos GROUP BY doc_id)
+SELECT c.doc_id, z.n_tokens, c.covered_tokens,
+  round(CAST(c.covered_tokens AS DOUBLE) / z.n_tokens, 6) AS dup_coverage
+FROM cov c JOIN sz z ON z.doc_id = c.doc_id
+"""
+
+
+@register("duplicated_span_coverage", _COV_ORACLE)
+def q_duplicated_span_coverage(spark, sf_dir):
+    """Per-document duplicated-content fraction: the share of each doc's
+    token positions covered by a cross-document repeated {SPAN_W}-token
+    window (stride {SPAN_STRIDE}) — the doc-level policy signal that
+    `repeated_ngram_spans`' corpus-level candidates feed. RefinedWeb-style
+    pipelines drop docs above a coverage threshold and keep low-coverage
+    docs with the duplicated spans masked or down-weighted.
+
+    100 TB shape: span hashing stays the zero-shuffle map stage; the
+    flagged-hash set is derived by a digest-keyed aggregate and rejoined
+    on the digest (co-partitioned — the same key both exchanges already
+    carry); position expansion explodes W ints per FLAGGED span only, and
+    the coverage union is a distinct over (doc_id, position) int pairs —
+    document text never shuffles at any stage."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = docs.withColumn("__toks", F.expr("split(text, ' ')"))
+    sizes = toks.select(
+        "doc_id", F.size("__toks").cast("long").alias("n_tokens")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(0, size(__toks) - {SPAN_W}, {SPAN_STRIDE}), "
+                f"cvi -> struct(cvi AS st, "
+                f"md5(array_join(slice(__toks, cvi + 1, {SPAN_W}), ' ')) AS h)) END"
+            )
+        ).alias("sp"),
+    ).select("doc_id", F.col("sp.st").alias("st"), F.col("sp.h").alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("h")
+    )
+    pos = (
+        spans.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(st, st + {SPAN_W - 1})")
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    cov = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("covered_tokens")
+    )
+    return cov.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_coverage"),
+    )

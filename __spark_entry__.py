@@ -123,6 +123,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "lang_confusion_matrix",  # new in r5 (post-rotation); local parity both SFs
     "knn_density_scores",  # new in r5 (post-rotation); local parity both SFs
     "duplicated_span_coverage",  # new in r5 (post-rotation); local parity both SFs
+    "label_centroid_similarity",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -114,6 +114,7 @@ HEADLINE = [
     "lang_confusion_matrix",
     "knn_density_scores",
     "duplicated_span_coverage",
+    "label_centroid_similarity",
 ]
 
 

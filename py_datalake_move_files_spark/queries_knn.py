@@ -204,3 +204,94 @@ def q_knn_density_scores(spark, sf_dir):
             "n_close",
         )
     )
+
+
+# --- embedding-space class geometry ----------------------------------------
+
+_CENT_SCALE = 1_000_000
+
+_CENT_ORACLE = f"""
+WITH x AS (
+  SELECT label, i,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * {_CENT_SCALE}) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+s AS (
+  SELECT label, i, CAST(sum(q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY label, i
+),
+c AS (
+  SELECT label, n,
+    list(CAST(sq AS DOUBLE) / (n * {_CENT_SCALE}.0) ORDER BY i) AS cv
+  FROM s GROUP BY label, n
+)
+SELECT a.label AS label_a, b.label AS label_b,
+  a.n AS n_a, b.n AS n_b,
+  {dd_cosine('a.cv', 'b.cv')} AS centroid_cos
+FROM c a JOIN c b ON a.label < b.label
+"""
+
+
+@register("label_centroid_similarity", _CENT_ORACLE)
+def q_label_centroid_similarity(spark, sf_dir):
+    """Embedding-space class-geometry audit: cosine between per-label mean
+    vectors, for every label pair. High inter-centroid cosine = entangled
+    classes — the triage signal before training a classifier on the
+    labels, and the companion view to `knn_label_agreement` (which scores
+    individual vectors, not class structure).
+
+    100 TB shape: per-dimension sums fold FIXED-POINT integers
+    (round(v·1e6) as BIGINT), so the centroid means are exact and
+    partition-order-independent — the kmeans_refine device; the pairwise
+    stage runs over ONE tiny row per (label, dim) aggregate, and the
+    final 10×10 centroid cross join is driver-trivial while the corpus is
+    touched exactly once, map-only before the (label, dim) aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "label",
+        "i",
+        F.round(F.col("v").cast("double") * _CENT_SCALE).cast("long").alias("q"),
+    )
+    s = x.groupBy("label", "i").agg(
+        F.sum("q").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = (
+        s.groupBy("label", "n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "sq"))
+            ).alias("__ord")
+        )
+        .select(
+            "label",
+            "n",
+            F.expr(
+                f"transform(__ord, ce -> CAST(ce.sq AS DOUBLE) / (n * {_CENT_SCALE}.0))"
+            ).alias("cv"),
+        )
+    )
+    from py_datalake_move_files_spark.operators.similarity import dot, norm
+
+    a = c.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a"),
+        F.col("cv").alias("cv_a"),
+    ).withColumn("nrm_a", norm("cv_a"))
+    b = c.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b"),
+        F.col("cv").alias("cv_b"),
+    ).withColumn("nrm_b", norm("cv_b"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                dot("cv_a", "cv_b") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("centroid_cos"),
+        )
+    )

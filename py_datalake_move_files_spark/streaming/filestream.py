@@ -301,3 +301,64 @@ def foreach_batch_bloom_screen(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_weighted_reservoir(
+    doc_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    out_path: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+):
+    """Streaming Efraimidis–Spirakis weighted reservoir: maintain the
+    exact top-``k`` weighted sample of everything that has ARRIVED, one
+    micro-batch at a time. A-ES keys are mergeable — the global sample is
+    just the k largest keys ever seen — so each batch computes its rows'
+    deterministic keys (the same md5-derived ``ln(u)/w`` the batch
+    ``weighted_sample_docs`` query uses), unions the stored reservoir,
+    and OVERWRITES the reservoir with the new top-k. After any prefix of
+    the stream the reservoir equals the one-shot batch sample over the
+    same rows (pinned in tests/test_streaming).
+
+    At-least-once replays are absorbed, not just tolerated: a replayed
+    row re-derives the SAME key (md5, not rand), so the union + distinct
+    top-k is idempotent — the reservoir is a CRDT-style max-k set. State
+    is k rows on durable storage; no per-key streaming state store is
+    involved. The atomic rewrite below collects the k survivors (fine for
+    sample-sized k; a huge-k variant writes to a temp path and swaps —
+    the reservoir never depends on per-key state-store capacity either
+    way).
+    """
+    from py_datalake_move_files_spark.queries_corpus import _ws_key_sql
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.where(F.col(weight_col) > 0).select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("__w"),
+            F.expr(_ws_key_sql(id_col, weight_col)).alias("sample_key"),
+        )
+        try:
+            prev = spark.read.parquet(out_path)
+        except Exception:  # first batch: no reservoir yet
+            prev = None
+        merged = keyed if prev is None else prev.unionByName(keyed)
+        top = (
+            merged.dropDuplicates([id_col])
+            .orderBy(F.desc("sample_key"), F.col(id_col).asc())
+            .limit(k)
+        )
+        # k rows: collect-and-rewrite keeps the reservoir atomic vs the
+        # read above (overwrite-in-place of an input path is illegal)
+        rows = top.collect()
+        spark.createDataFrame(rows, top.schema).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

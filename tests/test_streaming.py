@@ -269,3 +269,64 @@ def test_streaming_bloom_screen_matches_batch_prefilter(spark, tmp_path):
     }
     for doc, h in true_hits.items():
         assert stream_hits.get(doc, 0) >= h
+
+
+def test_streaming_weighted_reservoir_matches_batch_sample(spark, tmp_path):
+    """After two micro-batches the reservoir must equal the one-shot
+    top-k weighted sample over the union of arrived rows, and a replayed
+    batch (same files re-streamed into a fresh checkpoint) must leave it
+    unchanged — A-ES keys are deterministic, so the merge is idempotent."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries_corpus import _ws_key_sql
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_weighted_reservoir,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    src = tmp_path / "win"
+    docs.where("doc_id < 250").coalesce(1).write.parquet(str(src / "p0"))
+    docs.where("doc_id >= 250").coalesce(1).write.parquet(str(src / "p1"))
+    out = str(tmp_path / "wout")
+
+    def run(ckpt: str) -> None:
+        stream = file_arrival_stream(
+            spark, f"{src}/*", "doc_id long, n_chars long",
+            max_files_per_trigger=1,
+        )
+        q = foreach_batch_weighted_reservoir(
+            stream, ckpt, out_path=out, k=20
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "wckpt1"))
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).select(
+            "doc_id", "__w", "sample_key"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("__w"),
+            F.expr(_ws_key_sql("doc_id", "n_chars")).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.col("doc_id").asc())
+        .limit(20)
+        .collect()
+    )
+    assert got == want and len(got) == 20
+
+    # full replay into a fresh checkpoint: every row re-derives the same
+    # key, so the reservoir must not move
+    run(str(tmp_path / "wckpt2"))
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(out).select(
+            "doc_id", "__w", "sample_key"
+        ).collect()
+    )
+    assert again == got

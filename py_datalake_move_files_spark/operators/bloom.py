@@ -47,19 +47,35 @@ _SEED_A = 0x5BF0
 _SEED_B = 0xC3A5
 
 
-def _positions_sql(item_sql: str, m_bits: int, k_hashes: int) -> str:
-    """SQL array expression of the ``k_hashes`` bit positions for one item.
+def _positions_sql(h1_sql: str, h2_sql: str, m_bits: int, k_hashes: int) -> str:
+    """SQL array expression of the ``k_hashes`` bit positions, given the
+    TWO per-item hash columns (Kirsch–Mitzenmatcher double hashing).
 
-    ``pmod`` each hash into [0, m) before the multiply-add: i*h2 with a raw
-    64-bit h2 would overflow BIGINT (an error under ANSI mode, silent wrap
-    otherwise); after reduction the intermediate is < k*m, always safe for
-    any practical m.
+    The hashes are taken as column references, not inlined expressions:
+    Catalyst does not hoist loop-invariant subexpressions out of HOF
+    lambdas, so inlining ``xxhash64(item)`` here would recompute both
+    hashes for every i — 2·k hash calls per item instead of 2 on the very
+    stage this module advertises as the billions-of-shingles map filter.
+    Callers materialize the hashes with :func:`_with_hashes` first.
+
+    ``pmod`` each hash into [0, m) before the multiply-add: i*h2 with a
+    raw 64-bit h2 would overflow BIGINT (an error under ANSI mode, silent
+    wrap otherwise); after reduction the intermediate is < k*m, always
+    safe for any practical m.
     """
-    h1 = f"pmod(xxhash64({item_sql}, {_SEED_A}), {m_bits}L)"
-    h2 = f"pmod(xxhash64({item_sql}, {_SEED_B}), {m_bits}L)"
     return (
         f"transform(sequence(0, {k_hashes - 1}), bfi -> "
-        f"pmod({h1} + CAST(bfi AS BIGINT) * {h2}, {m_bits}L))"
+        f"pmod({h1_sql} + CAST(bfi AS BIGINT) * {h2_sql}, {m_bits}L))"
+    )
+
+
+def _with_hashes(df: DataFrame, col: str, m_bits: int) -> DataFrame:
+    """Materialize the two double-hashing bases as real columns (one
+    xxhash64 each per row — see :func:`_positions_sql`)."""
+    return df.withColumn(
+        "__bf_h1", F.expr(f"pmod(xxhash64({col}, {_SEED_A}), {m_bits}L)")
+    ).withColumn(
+        "__bf_h2", F.expr(f"pmod(xxhash64({col}, {_SEED_B}), {m_bits}L)")
     )
 
 
@@ -85,8 +101,10 @@ def bloom_build(
     of train shingles probed against a fixed filter) the filter is the
     only thing small enough to ship to every executor.
     """
-    pos = items.select(
-        F.explode(F.expr(_positions_sql(col, m_bits, k_hashes))).alias("bf_pos")
+    pos = _with_hashes(items, col, m_bits).select(
+        F.explode(
+            F.expr(_positions_sql("__bf_h1", "__bf_h2", m_bits, k_hashes))
+        ).alias("bf_pos")
     )
     words = pos.select(
         F.expr("CAST(bf_pos DIV 64 AS INT)").alias("bf_word"),
@@ -121,12 +139,13 @@ def bloom_probe(
     handles words no build item ever touched.
     """
     probe = F.expr(
-        f"forall({_positions_sql(col, m_bits, k_hashes)}, bfp -> "
+        f"forall({_positions_sql('__bf_h1', '__bf_h2', m_bits, k_hashes)}, bfp -> "
         f"(shiftright(coalesce(try_element_at(bloom, CAST(bfp DIV 64 AS INT)), 0L), "
         f"CAST(bfp % 64 AS INT)) & 1L) = 1L)"
     )
     return (
-        df.join(F.broadcast(bloom))
+        _with_hashes(df, col, m_bits)
+        .join(F.broadcast(bloom))
         .withColumn(flag_col, probe)
-        .drop("bloom")
+        .drop("bloom", "__bf_h1", "__bf_h2")
     )

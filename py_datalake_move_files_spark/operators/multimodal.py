@@ -57,12 +57,24 @@ FRAME_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def synth_media(df: DataFrame, id_col: str, *, mime: str = "image/fake") -> DataFrame:
+def synth_media(
+    df: DataFrame,
+    id_col: str,
+    *,
+    mime: str = "image/fake",
+    content_key=None,
+) -> DataFrame:
     """Deterministic synthetic media column for tests/demo: bytes derived
-    from the id (sha-like expansion). Real pipelines replace this with a
+    from ``content_key`` (default: the id — sha-like expansion). Passing a
+    coarser key (e.g. ``F.col(id) % 100``) manufactures genuine duplicate
+    payloads under distinct media ids, which the phash-dedup query uses.
+    This is the ONE definition of the stub byte layout — the decoder stub
+    and every SQL oracle mirror it, so content construction must never be
+    re-inlined at call sites. Real pipelines replace this with a
     ``binaryFile`` scan or a bytes column from upstream ingestion."""
+    key = F.col(id_col) if content_key is None else content_key
     blob = F.to_binary(
-        F.concat(*[F.md5(F.concat(F.lit(f"m{i}:"), F.col(id_col).cast("string"))) for i in range(4)]),
+        F.concat(*[F.md5(F.concat(F.lit(f"m{i}:"), key.cast("string"))) for i in range(4)]),
         F.lit("hex"),
     )
     return ensure_parallelism(df).select(

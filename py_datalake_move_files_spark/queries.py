@@ -2105,29 +2105,14 @@ def q_image_phash_dedup(spark, sf_dir):
     registered here because the stub's hashes are uniform (real corpora
     get their near-dup mass from re-encodes, which dHash maps to EQUAL
     hashes anyway)."""
-    from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
-    from py_datalake_move_files_spark.operators.multimodal import decode_images
-
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    blob = F.to_binary(
-        F.concat(
-            *[
-                F.md5(
-                    F.concat(
-                        F.lit(f"m{i}:"),
-                        (F.col("doc_id") % _PHASH_DUP_FACTOR).cast("string"),
-                    )
-                )
-                for i in range(4)
-            ]
-        ),
-        F.lit("hex"),
+    from py_datalake_move_files_spark.operators.multimodal import (
+        decode_images,
+        synth_media,
     )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image/fake").alias("mime"),
-        blob.alias("content"),
-        F.length(blob).cast("long").alias("n_bytes"),
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(
+        docs, "doc_id", content_key=F.col("doc_id") % _PHASH_DUP_FACTOR
     )
     decoded = decode_images(media)
     ph = decoded.select(

@@ -1359,14 +1359,19 @@ def _ws_key_sql(id_sql: str, w_sql: str) -> str:
     """Portable (Spark SQL + DuckDB) Efraimidis–Spirakis sampling key:
     ``ln(u) / w`` with u drawn deterministically from md5(id). Log-domain
     form of the classic ``u^(1/w)`` key — same argmax order, no pow()
-    underflow for large weights. Rounded to 6 dp BEFORE ranking (the
-    repo-wide cross-engine double discipline); ties break on id."""
+    underflow for large weights. Rounded to 12 dp BEFORE ranking (NOT the
+    usual 6: keys live in [-36/w, 0], so 6 dp would collapse every key to
+    a handful of values once weights reach ~1e4 and the "weighted" sample
+    would degrade into lowest-id selection among huge tie groups; 12 dp
+    keeps ~1e7 distinct levels at w=1e6 while still sitting ~9 orders of
+    magnitude above cross-engine ln() ulp noise, so the rounding remains
+    a safe engine-parity boundary). Ties break on id."""
     from py_datalake_move_files_spark.operators.dedup import hex_value_sql
 
     v = hex_value_sql(f"md5(CAST({id_sql} AS STRING))", _WS_NIBBLES)
     return (
         f"round((ln(CAST(({v}) AS DOUBLE) + 1.0) - ln({_WS_DENOM})) "
-        f"/ CAST({w_sql} AS DOUBLE), 6)"
+        f"/ CAST({w_sql} AS DOUBLE), 12)"
     )
 
 

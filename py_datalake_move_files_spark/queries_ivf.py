@@ -33,13 +33,17 @@ from py_datalake_move_files_spark.queries import dd_cosine, register, _t  # noqa
 _CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
-def _centroids(spark, sf_dir: str):
+def _centroids(spark, sf_dir: str, n_lists: int = N_LISTS):
+    """Snapshot- AND list-count-keyed trained-centroid cache. The single
+    cache for every tier (serving n_lists=8, kNN graph n_lists=16 —
+    queries_knn delegates here), so cache-invalidation semantics can
+    never diverge between tiers."""
     from py_datalake_move_files_spark.catalog import table_snapshot
 
-    key = table_snapshot(sf_dir, "embeddings")
+    key = (table_snapshot(sf_dir, "embeddings"), n_lists)
     if key not in _CENTROIDS:
         _CENTROIDS[key] = SIM.ivf_centroids(
-            _t(spark, sf_dir, "embeddings"), n_lists=N_LISTS
+            _t(spark, sf_dir, "embeddings"), n_lists=n_lists
         )
     return _CENTROIDS[key]
 

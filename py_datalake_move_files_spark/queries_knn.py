@@ -37,19 +37,14 @@ KNN_LISTS = 16
 
 _KNN_PRELUDE = ivf_prelude(KNN_LISTS)
 
-#: graph-tier centroid cache, snapshot-keyed like queries_ivf._CENTROIDS
-_KNN_CENTROIDS: dict[tuple, list[tuple[int, list[float]]]] = {}
-
 
 def _knn_centroids(spark, sf_dir: str):
-    from py_datalake_move_files_spark.catalog import table_snapshot
+    """Graph-tier centroids via the SINGLE shared (snapshot, n_lists)
+    cache in queries_ivf — one cache-invalidation implementation for
+    every tier (review r5: a verbatim copy here could silently diverge)."""
+    from py_datalake_move_files_spark.queries_ivf import _centroids
 
-    key = table_snapshot(sf_dir, "embeddings")
-    if key not in _KNN_CENTROIDS:
-        _KNN_CENTROIDS[key] = SIM.ivf_centroids(
-            _t(spark, sf_dir, "embeddings"), n_lists=KNN_LISTS
-        )
-    return _KNN_CENTROIDS[key]
+    return _centroids(spark, sf_dir, n_lists=KNN_LISTS)
 
 #: shared oracle chain: every vector probes its N_PROBE nearest lists,
 #: candidates join the (rn = 1) assignment on list_id, rounded cosine,

@@ -275,6 +275,13 @@ def foreach_batch_bloom_screen(
     from py_datalake_move_files_spark.operators import dedup as DD
     from py_datalake_move_files_spark.operators.bloom import bloom_probe
 
+    # Freeze AND materialize the epoch here, not per batch: an uncached
+    # lazy `bloom` would re-run the whole eval-corpus build aggregate
+    # under every micro-batch's probe (the ivf-ingest sibling freezes its
+    # epoch as collected centroids for the same reason).
+    bloom = bloom.cache()
+    bloom.count()
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sh = DD.with_shingles(batch_df, text_col, k_shingle)
         exploded = sh.select(
@@ -331,6 +338,8 @@ def foreach_batch_weighted_reservoir(
     the reservoir never depends on per-key state-store capacity either
     way).
     """
+    from pyspark.errors import AnalysisException
+
     from py_datalake_move_files_spark.queries_corpus import _ws_key_sql
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -342,7 +351,14 @@ def foreach_batch_weighted_reservoir(
         )
         try:
             prev = spark.read.parquet(out_path)
-        except Exception:  # first batch: no reservoir yet
+        except AnalysisException as exc:
+            # ONLY the missing-path case means "first batch". Any other
+            # read failure (corrupt partial write, permissions, transient
+            # FS error) must abort the batch — silently treating it as
+            # empty would overwrite the reservoir with this batch's rows
+            # and permanently drop every earlier sample member.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             prev = None
         merged = keyed if prev is None else prev.unionByName(keyed)
         top = (

@@ -69,7 +69,7 @@ def test_label_agreement_consistent_with_edges(spark):
         assert abs(r["agreement"] - round(r["n_same"] / r["n_neighbors"], 6)) < 1e-9
 
 
-def test_weighted_sample_plan_and_determinism(spark):
+def test_weighted_sample_plan_and_determinism(spark, tmp_path):
     df = QUERIES["weighted_sample_docs"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # global top-k by sampling key: per-partition heaps, never a full sort
@@ -77,21 +77,25 @@ def test_weighted_sample_plan_and_determinism(spark):
     assert "BatchEvalPython" not in plan
     a = [tuple(r) for r in df.collect()]
     # identical sample regardless of physical layout — the property that
-    # separates hash-keyed sampling from rand()
-    docs = load_table(spark, SF, "documents").repartition(13)
-    docs.createOrReplaceTempView("__ws_docs")
-    b = [tuple(r) for r in QUERIES["weighted_sample_docs"](spark, SF).collect()]
+    # separates hash-keyed sampling from rand(): rerun the query against
+    # a 13-file rewrite of the same table (different file count, different
+    # row-to-partition placement) and require the identical sample
+    alt = tmp_path / "ws_alt"
+    load_table(spark, SF, "documents").repartition(13).write.parquet(
+        str(alt / "documents.parquet")
+    )
+    b = [tuple(r) for r in QUERIES["weighted_sample_docs"](spark, str(alt)).collect()]
     assert a == b and len(a) == 20
 
 
 def test_weighted_sample_key_formula(spark):
     # spot-check the A-ES key against a driver-side recomputation:
-    # key = round((ln(v+1) - ln(2^52)) / w, 6), v = first 13 md5 nibbles
+    # key = round((ln(v+1) - ln(2^52)) / w, 12), v = first 13 md5 nibbles
     import hashlib
     import math
 
     rows = QUERIES["weighted_sample_docs"](spark, SF).collect()
     for r in rows[:5]:
         v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
-        want = round((math.log(v + 1) - math.log(float(1 << 52))) / r["n_chars"], 6)
-        assert abs(r["sample_key"] - want) < 1e-9, r
+        want = round((math.log(v + 1) - math.log(float(1 << 52))) / r["n_chars"], 12)
+        assert abs(r["sample_key"] - want) < 1e-12, r

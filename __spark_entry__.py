@@ -124,6 +124,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "knn_density_scores",  # new in r5 (post-rotation); local parity both SFs
     "duplicated_span_coverage",  # new in r5 (post-rotation); local parity both SFs
     "label_centroid_similarity",  # new in r5 (post-rotation); local parity both SFs
+    "lang_balanced_sample",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

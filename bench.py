@@ -115,6 +115,7 @@ HEADLINE = [
     "knn_density_scores",
     "duplicated_span_coverage",
     "label_centroid_similarity",
+    "lang_balanced_sample",
 ]
 
 

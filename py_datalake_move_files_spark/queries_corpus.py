@@ -1503,3 +1503,56 @@ def q_source_overlap_matrix(spark, sf_dir):
             6,
         ).alias("avg_jaccard"),
     )
+
+
+# --- per-group balanced weighted sampling (round 5) ------------------------
+
+_WS_PER_LANG = 5
+
+_WS_LANG_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+    {_ws_key_sql('doc_id', 'n_chars')} AS sample_key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY sample_key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, sample_key, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= {_WS_PER_LANG}
+"""
+
+
+@register("lang_balanced_sample", _WS_LANG_ORACLE)
+def q_lang_balanced_sample(spark, sf_dir):
+    """Group-quota weighted sampling: an exact {_WS_PER_LANG}-doc A-ES
+    sample PER LANGUAGE — the balanced-eval-set construction move
+    (equal-sized per-group samples, each length-weighted within its
+    group), where the global `weighted_sample_docs` would let big
+    languages crowd out small ones.
+
+    A-ES keys are per-row and group-independent, so the same map-only key
+    stage serves both queries; the per-group top-k is one window over the
+    group key (hash-partitioned by lang — at 100 TB the heavy languages'
+    partitions split under AQE skew handling, and a two-stage per-group
+    TopK prefilter is the known escalation if a single group ever
+    dominates a partition)."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(_ws_key_sql("doc_id", "n_chars")).alias("sample_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("sample_key"), F.col("doc_id").asc()
+    )
+    return keyed.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _WS_PER_LANG
+    )

@@ -125,6 +125,8 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "duplicated_span_coverage",  # new in r5 (post-rotation); local parity both SFs
     "label_centroid_similarity",  # new in r5 (post-rotation); local parity both SFs
     "lang_balanced_sample",  # new in r5 (post-rotation); local parity both SFs
+    "ann_sq_topk",  # new in r5 (post-rotation); local parity both SFs
+    "ann_recall_sq",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

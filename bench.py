@@ -116,6 +116,8 @@ HEADLINE = [
     "duplicated_span_coverage",
     "label_centroid_similarity",
     "lang_balanced_sample",
+    "ann_sq_topk",
+    "ann_recall_sq",
 ]
 
 

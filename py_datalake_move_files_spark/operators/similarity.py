@@ -1049,6 +1049,122 @@ def ivfpq_topk(
     )
 
 
+def sq_encode(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the FAISS
+    ``SQ8``-style storage path): ``scale = max|x| / 127`` (1 for the zero
+    vector), ``codes[i] = round(x[i] / scale)`` ∈ [-127, 127], plus the
+    integer code norm the asymmetric scan divides by.
+
+    The per-VECTOR scale cancels out of cosine similarity — cos(q, scale·c)
+    = cos(q, c) — so :func:`sq_topk` scores queries directly against the
+    integer codes and never needs the scale at serving time. Map-only
+    (zero shuffles): the same class of zero-shuffle signature stage as
+    minhash/pq_encode, and at 100 TB the persisted (id, int8-codes, norm)
+    index is ~4x smaller scan IO than the float32 vectors."""
+    u = _u()
+    mx = F.expr(
+        f"aggregate({vec_col}, 0D, (sq{u}a, sq{u}x) -> "
+        f"greatest(sq{u}a, abs(CAST(sq{u}x AS DOUBLE))))"
+    )
+    out = corpus.withColumn(
+        "__sq_scale",
+        F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / 127.0),
+    )
+    v = _u()
+    return out.withColumn(
+        codes_col,
+        F.expr(
+            f"transform({vec_col}, sq{v}v -> "
+            f"CAST(round(CAST(sq{v}v AS DOUBLE) / __sq_scale) AS INT))"
+        ),
+    ).drop("__sq_scale")
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Scalar-quantized ANN with exact re-ranking — the int8 serving path
+    that completes the compression spectrum beside :func:`pq_adc_topk`
+    (SQ keeps per-dimension resolution at 1 byte/dim; PQ trades dimensions
+    for codebook bits at ~1 bit/dim).
+
+    1. Asymmetric scan: float queries (broadcast) score against the int8
+       code vectors — the per-vector scale cancels in cosine, so
+       ``approx_sim = dot(q, codes) / (|q|·|codes|)`` needs only the codes.
+       Corpus is never shuffled; only the per-query top-``rerank`` window
+       exchanges.
+    2. Re-rank: survivors are re-scored at full precision via one
+       broadcast join back to the float vectors; final top ``k`` matches
+       the output shape of every other ANN path.
+
+    Here encode fuses into the scan (one map stage over the parquet
+    scan); a deployment persists :func:`sq_encode`'s output once and the
+    serving scan reads 1/4 the bytes. Deterministic end-to-end (fixed
+    IEEE fold order, 6-dp rounding, id tie-breaks) → exact DuckDB oracle."""
+    enc = sq_encode(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        vec_col="c_vec",
+    ).select("neighbor_id", "codes")
+    enc = enc.withColumn("code_nrm", norm("codes"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn("q_nrm", norm("q_vec"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        enc.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "q_nrm",
+            F.round(
+                dot("q_vec", "codes") / (F.col("q_nrm") * F.col("code_nrm")), 6
+            ).alias("approx_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(wa))
+        .where(F.col("__rn") <= rerank)
+        .select("query_id", "neighbor_id", "q_vec", "q_nrm")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("r_vec")
+    ).withColumn("r_nrm", norm("r_vec"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        full.join(F.broadcast(survivors), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("q_vec", "r_vec") / (F.col("q_nrm") * F.col("r_nrm")), 6
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 def recall_vs_exact(
     approx: DataFrame,
     exact: DataFrame,

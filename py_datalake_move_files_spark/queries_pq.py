@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.operators import similarity as SIM
 from py_datalake_move_files_spark.oracle_frags import dd_recall_tail
-from py_datalake_move_files_spark.queries import EMB_DIM, dd_cosine, register, _t
+from py_datalake_move_files_spark.queries import (
+    EMB_DIM,
+    dd_cosine,
+    dd_dot,
+    dd_norm,
+    register,
+    _t,
+)
 
 K_CODES = 16
 M_SUB = 8
@@ -373,6 +380,101 @@ def q_hard_negative_mining(spark, sf_dir):
         pair_predicate=F.col("neg_label") != F.col("q_label"),
         extra_out=["neg_label"],
     )
+
+
+# --- int8 scalar-quantized (SQ8) ANN with exact re-ranking ----------------
+
+_SQ_RERANK = 20
+
+
+def _sq_prelude() -> str:
+    """Shared SQ oracle CTEs: encode (per-vector scale cancels out of
+    cosine, so only the int codes matter), asymmetric scan, top-rerank
+    survivors, full-precision re-rank — mirrors similarity.sq_topk
+    stage for stage."""
+    return f"""
+WITH sqm AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx
+  FROM embeddings
+),
+sqe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+      (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END)) AS INT)) AS codes
+  FROM sqm
+),
+qv AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+sq_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(({dd_dot('q.q_vec', 'e.codes')}) /
+          (({dd_norm('q.q_vec')}) * ({dd_norm('e.codes')})), 6) AS approx_sim
+  FROM qv q CROSS JOIN sqe e WHERE e.vec_id <> q.query_id
+),
+sq_surv AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC) AS rn
+    FROM sq_scored
+  ) WHERE rn <= {_SQ_RERANK}
+),
+sq_rr AS (
+  SELECT s.query_id, s.neighbor_id,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cosine_sim
+  FROM sq_surv s
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+  JOIN qv q ON q.query_id = s.query_id
+),
+sq_final AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sq_rr
+)"""
+
+
+@register(
+    "ann_sq_topk",
+    _sq_prelude()
+    + """
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk
+FROM sq_final WHERE rn <= 10
+""",
+)
+def q_ann_sq_topk(spark, sf_dir):
+    """Scalar-quantized (int8) ANN with exact re-ranking — the serving
+    path that completes the compression spectrum beside PQ: SQ keeps
+    per-dimension resolution at 1 byte (4x smaller scans, near-exact
+    ranking), PQ compresses to ~1 bit/dim (32x, coarser). The asymmetric
+    scan scores float queries directly against the integer codes (the
+    per-vector scale cancels in cosine — similarity.sq_encode), so a
+    persisted SQ index never ships scales to the scanner. Same query set
+    and output shape as the other ANN paths."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.sq_topk(emb, queries, k=10, rerank=_SQ_RERANK)
+
+
+@register(
+    "ann_recall_sq",
+    _sq_prelude()
+    + dd_recall_tail("sq_final"),
+)
+def q_ann_recall_sq(spark, sf_dir):
+    """Recall@10 of the SQ8 path vs the exact baseline — read alongside
+    ann_recall_pq: int8 keeps every dimension so its approximate ranking
+    is nearly exact and the top-rerank cut recovers the rest, which is
+    why serving stacks default to SQ until memory forces PQ. Both arms
+    deterministic → exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sq = SIM.sq_topk(emb, queries, k=10, rerank=_SQ_RERANK)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    return SIM.recall_vs_exact(sq, exact, queries, k=10)
 
 
 # --- exact label-stratified split over the embedding corpus ---------------

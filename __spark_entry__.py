@@ -127,6 +127,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "lang_balanced_sample",  # new in r5 (post-rotation); local parity both SFs
     "ann_sq_topk",  # new in r5 (post-rotation); local parity both SFs
     "ann_recall_sq",  # new in r5 (post-rotation); local parity both SFs
+    "lang_relative_quality_gate",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

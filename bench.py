@@ -118,6 +118,7 @@ HEADLINE = [
     "lang_balanced_sample",
     "ann_sq_topk",
     "ann_recall_sq",
+    "lang_relative_quality_gate",
 ]
 
 

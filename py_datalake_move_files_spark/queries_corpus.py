@@ -1556,3 +1556,73 @@ def q_lang_balanced_sample(spark, sf_dir):
     return keyed.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= _WS_PER_LANG
     )
+
+
+# --- per-language relative quality gate (CCNet-style calibration) ---------
+
+
+def _lang_gate_oracle() -> str:
+    from py_datalake_move_files_spark.queries import ORACLE
+
+    return f"""
+WITH q AS ({ORACLE['quality_scores']}),
+sc AS (
+  SELECT d.lang, q.doc_id, q.quality
+  FROM q JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT lang, round(quantile_cont(quality, 0.4), 6) AS threshold_q40
+  FROM sc GROUP BY lang
+)
+SELECT s.lang, t.threshold_q40,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN s.quality >= t.threshold_q40 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  round(CAST(SUM(CAST(s.quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+    AS mean_quality
+FROM sc s JOIN thr t USING (lang)
+GROUP BY s.lang, t.threshold_q40
+"""
+
+
+@register("lang_relative_quality_gate", _lang_gate_oracle())
+def q_lang_relative_quality_gate(spark, sf_dir):
+    """Per-LANGUAGE relative quality thresholding (the CCNet/FineWeb
+    calibration move): each language keeps its own top 60% by composite
+    quality, instead of one absolute cut that would starve whichever
+    languages the heuristic scores systematically lower. Output is the
+    calibration table a curation run audits: per-lang threshold, corpus
+    size, kept count, mean quality.
+
+    Two aggregations on the lang key, no window over the full corpus: the
+    per-lang p40 is computed by a grouped percentile agg, broadcast back
+    (a handful of languages), and the gate is a map-side comparison. At
+    100 TB the exact percentile becomes approx_percentile with the same
+    plan shape — the threshold table stays a broadcast dimension either
+    way. Mean quality sums in the DECIMAL domain so the cross-engine
+    value never depends on partition order."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = TXT.quality_score(docs).select("lang", "doc_id", "quality")
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile("quality", F.lit(0.4)), 6).alias("threshold_q40")
+    )
+    j = scored.join(F.broadcast(thr), "lang")
+    return (
+        j.groupBy("lang", "threshold_q40")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("quality") >= F.col("threshold_q40"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+        .select("lang", "threshold_q40", "n_docs", "n_kept", "mean_quality")
+    )

@@ -119,6 +119,7 @@ HEADLINE = [
     "ann_sq_topk",
     "ann_recall_sq",
     "lang_relative_quality_gate",
+    "cms_token_frequencies",
 ]
 
 

@@ -13,9 +13,11 @@ DataSketches HLL family as SQL aggregates (``hll_sketch_agg`` /
 The estimates are deterministic for a given item set (the sketch hashes
 values, not partition layouts) and the union is associative/commutative, so
 ``estimate(union(daily)) == estimate(sketch(whole corpus))`` EXACTLY — the
-invariant pinned in tests/test_sketches.py. No DuckDB oracle exists (DuckDB's
-``approx_count_distinct`` is a different sketch), so this tier is
-pytest-verified rather than registry-checked, like the streaming surface.
+invariant pinned in tests/test_sketches.py. For the HLL tier no DuckDB
+oracle exists (DuckDB's ``approx_count_distinct`` is a different sketch),
+so it is pytest-verified rather than registry-checked, like the streaming
+surface. The count-min tier below IS oracle-checked
+(``cms_token_frequencies``): its cells are plain md5-bucket counts.
 
 No analogue in the reference (a 565-LoC file mover, app/main.py); part of
 the engine's analytics mandate (BASELINE.json north star).
@@ -27,6 +29,82 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def cms_hash_sql(j_sql: str, item_sql: str, width: int) -> str:
+    """Row-``j`` count-min bucket for a string item: first 8 md5 hex chars →
+    BIGINT → mod width (the hex→int Spark/DuckDB parity pair). ``j_sql`` and
+    ``item_sql`` are SQL string expressions."""
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({j_sql} AS STRING), ':', "
+        f"{item_sql})), 1, 8), 16, 10) AS BIGINT) % {width}"
+    )
+
+
+def cms_cells(
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    grain_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: ``(grain…, row_j, bucket, n)`` —
+    at most ``depth·width`` cells per grain regardless of item cardinality.
+
+    The CMS is LINEAR (cells of A∪B = elementwise sum of cells of A and
+    cells of B — pinned in tests/test_sketches.py), which makes it the
+    frequency analogue of the HLL partials above: materialize per-day cell
+    tables once, answer any-window frequency estimates later by summing a
+    few thousand cell rows instead of re-shuffling the raw token stream.
+    Point estimate = min over the ``depth`` row buckets; always ≥ the true
+    count (hashing collisions only ADD).
+
+    Plan shape: the items are exploded ×depth map-side, but partial
+    aggregation collapses each partition to ≤ depth·width rows before the
+    ONE shuffle — at 100 TB the exchange moves bounded sketch cells, never
+    the token stream. Everything is md5-bucket column math (exact DuckDB
+    twin via :func:`cms_hash_sql`)."""
+    rows = items.select(
+        *grain_cols,
+        F.col(item_col).cast("string").alias("__item"),
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row_j"),
+    )
+    return (
+        rows.select(
+            *grain_cols,
+            "row_j",
+            F.expr(cms_hash_sql("row_j", "__item", width)).alias("bucket"),
+        )
+        .groupBy(*grain_cols, "row_j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate frequencies for a (small) probe set against a CMS
+    cell table: each probe joins its ``depth`` buckets and takes the min.
+    The cell table is ≤ depth·width rows and broadcast; probe estimation
+    never touches the original item stream."""
+    pj = probes.withColumn(
+        "row_j", F.explode(F.expr(f"sequence(0, {depth - 1})"))
+    ).withColumn(
+        "bucket",
+        F.expr(cms_hash_sql("row_j", f"CAST({item_col} AS STRING)", width)),
+    )
+    keep = [c for c in probes.columns]
+    return (
+        pj.join(F.broadcast(cells), ["row_j", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("n").cast("long").alias("cms_est"))
+    )
 
 
 def sketch_partials(

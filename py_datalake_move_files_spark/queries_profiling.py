@@ -567,3 +567,90 @@ def q_data_quality_audit(spark, sf_dir):
             "violation_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch token frequencies (mergeable, bounded-memory)
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_PROBES = 30
+
+_CMS_JS = f"(SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS row_j)"
+
+
+def _dd_cms_bucket(j: str, item: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {item}), 1, 8))"
+        f"::BIGINT % {_CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), t2 AS (
+  SELECT token FROM toks WHERE token <> ''
+),
+cells AS (
+  SELECT js.row_j, {_dd_cms_bucket('js.row_j', 't2.token')} AS bucket,
+         count(*) AS n
+  FROM t2 CROSS JOIN {_CMS_JS} js
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, count(*) AS true_n FROM t2 GROUP BY token
+  ORDER BY true_n DESC, token ASC LIMIT {_CMS_PROBES}
+)
+SELECT p.token, CAST(p.true_n AS BIGINT) AS true_n,
+       CAST(min(c.n) AS BIGINT) AS cms_est,
+       CAST(min(c.n) - p.true_n AS BIGINT) AS overestimate
+FROM probes p CROSS JOIN {_CMS_JS} js
+JOIN cells c ON c.row_j = js.row_j
+           AND c.bucket = {_dd_cms_bucket('js.row_j', 'p.token')}
+GROUP BY p.token, p.true_n
+"""
+
+
+@register("cms_token_frequencies", _CMS_ORACLE)
+def q_cms_token_frequencies(spark, sf_dir):
+    """Count-min sketch frequency estimation over the token stream, audited
+    against exact counts for the top-30 tokens: (token, true_n, cms_est,
+    overestimate). cms_est ≥ true_n always (collisions only add) — the
+    eval a pipeline runs before trusting the sketch for admission
+    thresholds.
+
+    The sketch is the bounded-memory complement to the exact Misra-Gries
+    heavy hitters: depth x width cells regardless of vocabulary size,
+    LINEAR under union (functions/sketches.cms_cells; merge = cell sum,
+    pinned in tests/test_sketches.py), so per-day cell tables roll up to
+    any window without re-touching the token stream. The one exchange
+    moves ≤ depth·width cell rows after map-side combine; the probe side
+    is a broadcast of the tiny cell table. The probe top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    from py_datalake_move_files_spark.functions.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    cells = cms_cells(toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("token").asc())
+        .limit(_CMS_PROBES)
+    )
+    est = cms_estimate(
+        cells, probes, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return est.select(
+        "token",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_n")).cast("long").alias("overestimate"),
+    )

@@ -378,3 +378,46 @@ def foreach_batch_weighted_reservoir(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_cms_ingest(
+    doc_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    out_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming count-min sketch ingest: each arriving micro-batch's token
+    stream collapses to its own ≤ depth·width CMS cell rows
+    (functions/sketches.cms_cells) and appends, batch-stamped, to
+    ``out_path``. Because the CMS is LINEAR, summing the stored cells per
+    (row_j, bucket) over ANY prefix of batches equals the one-shot batch
+    sketch over the same documents (pinned in tests/test_streaming) — so a
+    monitoring job reads a few thousand cell rows to estimate any token's
+    running frequency, and per-day cell partitions roll up to arbitrary
+    windows without re-touching text.
+
+    This is the frequency sibling of :func:`foreach_batch_bloom_screen`
+    (membership) and the HLL partials (cardinality): all three keep
+    bounded state per grain and merge by union/sum, which is what lets a
+    100 TB ingest pipeline expose live corpus statistics for pennies.
+    Replays carry ``batch_id``: consumers dedupe at-least-once re-runs by
+    keeping one row per (batch_id, row_j, bucket)."""
+    from py_datalake_move_files_spark.functions.sketches import cms_cells
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split(text_col, " ")).alias("__tok")
+        ).where(F.col("__tok") != "")
+        cells = cms_cells(toks, "__tok", depth=depth, width=width)
+        cells.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

@@ -330,3 +330,52 @@ def test_streaming_weighted_reservoir_matches_batch_sample(spark, tmp_path):
         ).collect()
     )
     assert again == got
+
+
+def test_streaming_cms_ingest_cells_sum_to_batch_sketch(spark, tmp_path):
+    """CMS linearity, streaming-side: cells appended over two micro-batches,
+    summed per (row_j, bucket), must equal the one-shot batch sketch over
+    the union — the invariant that lets per-batch cell rows answer
+    running-frequency queries without re-touching text."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.functions.sketches import cms_cells
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_cms_ingest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "cin"
+    docs.where("doc_id < 100").coalesce(1).write.parquet(str(src / "p0"))
+    docs.where("doc_id >= 100").coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", "doc_id long, text string", max_files_per_trigger=1
+    )
+    q = foreach_batch_cms_ingest(
+        stream,
+        str(tmp_path / "cckpt"),
+        out_path=str(tmp_path / "cout"),
+        depth=4,
+        width=64,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "cout"))
+    assert got.select("batch_id").distinct().count() == 2
+    summed = {
+        (r["row_j"], r["bucket"]): r["n"]
+        for r in got.groupBy("row_j", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    }
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("__tok")
+    ).where(F.col("__tok") != "")
+    whole = {
+        (r["row_j"], r["bucket"]): r["n"]
+        for r in cms_cells(toks, "__tok", depth=4, width=64).collect()
+    }
+    assert summed == whole

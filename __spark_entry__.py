@@ -129,6 +129,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "ann_recall_sq",  # new in r5 (post-rotation); local parity both SFs
     "lang_relative_quality_gate",  # new in r5 (post-rotation); local parity both SFs
     "cms_token_frequencies",  # new in r5 (post-rotation); local parity both SFs
+    "mixture_epoch_plan",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

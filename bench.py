@@ -120,6 +120,7 @@ HEADLINE = [
     "ann_recall_sq",
     "lang_relative_quality_gate",
     "cms_token_frequencies",
+    "mixture_epoch_plan",
 ]
 
 

@@ -1626,3 +1626,78 @@ def q_lang_relative_quality_gate(spark, sf_dir):
         )
         .select("lang", "threshold_q40", "n_docs", "n_kept", "mean_quality")
     )
+
+
+# --- token-budget mixture epoch planner -----------------------------------
+
+_MIX_BUDGET = 10_000_000  # target training tokens for the plan table
+_MIX_SCALE = 1_000_000  # sqrt fixed-point scale (exact integer totals)
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_SCALE}) AS BIGINT)
+    AS s_int
+  FROM t
+),
+tot AS (SELECT SUM(s_int) AS total FROM s)
+SELECT source, n_docs, n_tokens,
+  round(CAST(s_int AS DOUBLE) / total, 6) AS mix_weight,
+  CAST(({_MIX_BUDGET} * s_int) // total AS BIGINT) AS target_tokens,
+  round(CAST(({_MIX_BUDGET} * s_int) // total AS DOUBLE) / n_tokens, 6)
+    AS epochs,
+  ({_MIX_BUDGET} * s_int) // total > n_tokens AS needs_oversampling
+FROM s CROSS JOIN tot
+"""
+
+
+@register("mixture_epoch_plan", _MIX_ORACLE)
+def q_mixture_epoch_plan(spark, sf_dir):
+    """Token-budget mixture planning (the LLaMA/DoReMi data-recipe table):
+    allocate a global training-token budget across sources with
+    sqrt-temperature weights, and report per source the target token
+    count, the implied epoch/repeat factor over its available tokens, and
+    whether it must be oversampled (epochs > 1) — the table a pretraining
+    run freezes before sampling begins.
+
+    Determinism device: weights come from FIXED-POINT sqrt(n_tokens)
+    (floor(sqrt·1e6) as BIGINT), so the normalizing total is an exact
+    integer sum — order-independent where a double sum would not be — and
+    budget shares are integer floor-division. The oversampling flag
+    compares exact integers (target > available), never a rounded ratio.
+
+    100 TB shape: one grouped agg over the corpus (map-side partial sums
+    of per-doc token counts), then all planning math happens on the
+    #sources-row table — the empty-frame window below sorts ~20 rows, not
+    the corpus."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    s = t.withColumn(
+        "s_int",
+        F.expr(
+            f"CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_SCALE}) AS BIGINT)"
+        ),
+    ).withColumn("total", F.sum("s_int").over(Window.partitionBy()))
+    tgt = F.expr(f"CAST(({_MIX_BUDGET} * s_int) DIV total AS BIGINT)")
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("s_int").cast("double") / F.col("total"), 6).alias(
+            "mix_weight"
+        ),
+        tgt.alias("target_tokens"),
+        F.round(tgt.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+        (tgt > F.col("n_tokens")).alias("needs_oversampling"),
+    )

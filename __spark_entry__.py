@@ -130,6 +130,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "lang_relative_quality_gate",  # new in r5 (post-rotation); local parity both SFs
     "cms_token_frequencies",  # new in r5 (post-rotation); local parity both SFs
     "mixture_epoch_plan",  # new in r5 (post-rotation); local parity both SFs
+    "rp_distance_preservation",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "lang_relative_quality_gate",
     "cms_token_frequencies",
     "mixture_epoch_plan",
+    "rp_distance_preservation",
 ]
 
 

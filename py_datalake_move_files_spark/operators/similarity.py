@@ -1049,6 +1049,28 @@ def ivfpq_topk(
     )
 
 
+def rp_project_sql(vec_sql: str, planes: list[list[int]]) -> str:
+    """Spark-SQL text projecting ``vec_sql`` onto deterministic ±1
+    hyperplanes (:func:`hyperplanes`) — the Achlioptas/JL random
+    projection, as one HOF loop over a literal plane matrix (array
+    constructors keep generated bytecode tiny where an unrolled
+    per-dimension expression tree would blow the JVM 64 KB codegen
+    limit). Output: ``array<double>`` of ``len(planes)`` dots, each a
+    sequential left fold — IEEE-identical to the oracle's explicit
+    left-associative chains. Map-only: dimensionality reduction at 100 TB
+    is a projection inside the scan, no shuffle, no driver state."""
+    planes_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v}.0D" for v in row) + ")" for row in planes
+    ) + ")"
+    u = _u()
+    return (
+        f"transform({planes_lit}, rp{u}p -> "
+        f"aggregate(zip_with({vec_sql}, rp{u}p, (rp{u}x, rp{u}y) -> "
+        f"CAST(rp{u}x AS DOUBLE) * rp{u}y), 0D, "
+        f"(rp{u}a, rp{u}v) -> rp{u}a + rp{u}v))"
+    )
+
+
 def sq_encode(
     corpus: DataFrame,
     *,

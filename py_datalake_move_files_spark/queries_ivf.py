@@ -583,3 +583,118 @@ def q_semantic_dedup_summary(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss random projection: distance preservation -------
+
+_RP_OUT_DIM = 16
+_RP_PLANES = SIM.hyperplanes(_RP_OUT_DIM, 64, table=7)
+
+
+def _dd_rp_proj(a: str) -> str:
+    """DuckDB 16-element projected list: per plane, the same
+    left-associative multiply-accumulate chain Spark's HOF fold runs."""
+    chains = []
+    for row in _RP_PLANES:
+        chains.append(
+            " + ".join(
+                f"{a}[{i + 1}]::DOUBLE * {v}.0" for i, v in enumerate(row)
+            )
+        )
+    return "[" + ", ".join(f"({c})" for c in chains) + "]"
+
+
+def _rp_oracle() -> str:
+    from py_datalake_move_files_spark.oracle_frags import dd_dot, dd_norm
+
+    d = _RP_OUT_DIM
+    return f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+),
+ex AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {dd_cosine('q.q_vec', 'e.embedding')} AS cos_orig
+  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_orig DESC, neighbor_id ASC) AS rn
+  FROM ex
+),
+pj AS (
+  SELECT t.query_id, t.neighbor_id, t.cos_orig, t.rn,
+    {_dd_rp_proj('q.q_vec')} AS pq,
+    {_dd_rp_proj('e.embedding')} AS pc
+  FROM r t
+  JOIN qv q USING (query_id)
+  JOIN embeddings e ON e.vec_id = t.neighbor_id
+  WHERE t.rn <= 10
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, cos_orig,
+  round(({dd_dot('pq', 'pc', d)}) /
+        (({dd_norm('pq', d)}) * ({dd_norm('pc', d)})), 6) AS cos_proj,
+  round(abs(cos_orig - round(({dd_dot('pq', 'pc', d)}) /
+        (({dd_norm('pq', d)}) * ({dd_norm('pc', d)})), 6)), 6) AS abs_err
+FROM pj
+"""
+
+
+@register("rp_distance_preservation", _rp_oracle())
+def q_rp_distance_preservation(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit: project 64-dim
+    embeddings to 16 dims with deterministic ±1 hyperplanes
+    (similarity.rp_project_sql — the Achlioptas construction) and report,
+    for each exact top-10 neighbor pair, the original vs projected cosine
+    and the absolute error — the measurement that decides whether a
+    4x-cheaper projected index is safe to serve coarse candidate
+    generation.
+
+    Plan shape: the exact top-k is the standard brute-force arm; the
+    audit stage joins the 50 survivor pairs back to the corpus twice as
+    BROADCASTS (a deployment point-looks-up the vectors), and both
+    projections are map-only HOF loops over a literal plane matrix —
+    dimensionality reduction at 100 TB is a projection inside the scan,
+    never a shuffle. Every fold is left-associative, so projected cosines
+    are bit-identical in the DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pairs = SIM.brute_force_topk(emb, queries, k=10).select(
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        F.col("cosine_sim").alias("cos_orig"),
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    j = cv.join(F.broadcast(pairs), "neighbor_id")
+    j = qv.join(F.broadcast(j), "query_id")
+    j = j.withColumn(
+        "__pq", F.expr(SIM.rp_project_sql("q_vec", _RP_PLANES))
+    ).withColumn("__pc", F.expr(SIM.rp_project_sql("c_vec", _RP_PLANES)))
+    j = (
+        j.withColumn("__pqn", SIM.norm("__pq"))
+        .withColumn("__pcn", SIM.norm("__pc"))
+        .withColumn(
+            "cos_proj",
+            F.round(
+                SIM.dot("__pq", "__pc") / (F.col("__pqn") * F.col("__pcn")), 6
+            ),
+        )
+    )
+    return j.select(
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        "cos_orig",
+        "cos_proj",
+        F.round(F.abs(F.col("cos_orig") - F.col("cos_proj")), 6).alias(
+            "abs_err"
+        ),
+    )

@@ -131,6 +131,12 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "cms_token_frequencies",  # new in r5 (post-rotation); local parity both SFs
     "mixture_epoch_plan",  # new in r5 (post-rotation); local parity both SFs
     "rp_distance_preservation",  # new in r5 (post-rotation); local parity both SFs
+    "event_transition_matrix",  # new in r5 (post-rotation); local parity both SFs
+    "pareto_quality_frontier",  # new in r5 (post-rotation); local parity both SFs
+    "mad_outlier_events",  # new in r5 (post-rotation); local parity both SFs
+    "training_shard_plan",  # new in r5 (post-rotation); local parity both SFs
+    "pmi_collocations",  # new in r5 (post-rotation); local parity both SFs
+    "knn_triangle_count",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -122,6 +122,14 @@ HEADLINE = [
     "cms_token_frequencies",
     "mixture_epoch_plan",
     "rp_distance_preservation",
+    # r5: behavioral analytics + robust stats + training-shard planning,
+    # PMI phrase mining, and the degree-ordered kNN triangle census
+    "event_transition_matrix",
+    "pareto_quality_frontier",
+    "mad_outlier_events",
+    "training_shard_plan",
+    "pmi_collocations",
+    "knn_triangle_count",
 ]
 
 

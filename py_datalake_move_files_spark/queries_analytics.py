@@ -455,3 +455,272 @@ def q_cdc_upsert_apply(spark, sf_dir):
     return upsert_preview(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+# --------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov behavior model)
+# --------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+  CAST(n_transitions * 1000000 //
+       sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+    AS share_ppm
+FROM cells
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    for each (from_type, to_type) pair, how many transitions occurred and
+    what per-million share of the from-type's outgoing edges it holds —
+    the behavioral model behind next-event prediction, funnel design, and
+    bot detection (a scripted client's matrix is near-degenerate).
+
+    Plan: ONE exchange on ``user_id`` for the ``lead`` window (ties broken
+    on the full deterministic (ts, event_id) key so the successor is
+    engine-independent), then a map-side-combined aggregate onto at most
+    |types|^2 = 25 cells; the share window runs over those 25 rows, not
+    the event stream. Shares are integer parts-per-million (floor
+    division) so no float ratio ever reaches the hash compare. At 100 TB
+    the only data-sized move is the per-user window — the same exchange
+    every sessionization query already pays."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cells = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return cells.withColumn("__row_total", row_total).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("(n_transitions * 1000000) div __row_total").alias("share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D Pareto (skyline) frontier: documents not dominated on (size, lexical
+# diversity) — aggregate-then-window so the global scan never single-threads
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+           AS n_distinct_tokens
+  FROM documents
+),
+per_x AS (
+  SELECT n_chars, max(n_distinct_tokens) AS y_max
+  FROM scored GROUP BY n_chars
+),
+frontier AS (
+  SELECT n_chars, y_max FROM (
+    SELECT n_chars, y_max,
+      max(y_max) OVER (ORDER BY n_chars DESC
+        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt
+    FROM per_x
+  ) WHERE m_gt IS NULL OR y_max > m_gt
+)
+SELECT s.doc_id, s.n_chars, s.n_distinct_tokens
+FROM scored s JOIN frontier f
+  ON s.n_chars = f.n_chars AND s.n_distinct_tokens = f.y_max
+"""
+
+
+@register("pareto_quality_frontier", _PARETO_ORACLE)
+def q_pareto_quality_frontier(spark, sf_dir):
+    """Skyline / Pareto-frontier query: the documents no other document
+    strictly dominates on (n_chars, distinct-token count) — the
+    multi-criteria shortlist shape (curation wants "longest AND most
+    lexically diverse" exemplars without collapsing the two into one
+    weighted score).
+
+    The naive skyline is a quadratic dominance anti-join. This plan uses
+    the classic sort-scan reduction, made distributed by aggregating
+    FIRST: (1) map-only scoring, (2) one exchange to ``max(y)`` per
+    distinct x — a row can only be on the frontier if it holds its x's
+    max y, (3) the running-max window ``ORDER BY x DESC RANGE 1
+    PRECEDING`` runs over the per-x AGGREGATE (bounded by |distinct
+    n_chars|, thousands, not corpus rows — the unpartitioned window never
+    sees data-sized input), (4) frontier points broadcast back to tag the
+    winning documents. Strict dominance: a point survives iff its y beats
+    every y at strictly greater x (the RANGE frame excludes its own x) and
+    it holds the max y at its own x."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "n_distinct_tokens"
+        ),
+    )
+    per_x = scored.groupBy("n_chars").agg(
+        F.max("n_distinct_tokens").alias("y_max")
+    )
+    w = (
+        Window.orderBy(F.col("n_chars").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_x.withColumn("m_gt", F.max("y_max").over(w))
+        .where(F.col("m_gt").isNull() | (F.col("y_max") > F.col("m_gt")))
+        .select(
+            F.col("n_chars").alias("f_x"), F.col("y_max").alias("f_y")
+        )
+    )
+    return scored.join(
+        F.broadcast(frontier),
+        (F.col("n_chars") == F.col("f_x"))
+        & (F.col("n_distinct_tokens") == F.col("f_y")),
+    ).select("doc_id", "n_chars", "n_distinct_tokens")
+
+
+# --------------------------------------------------------------------------
+# robust outlier detection: median/MAD via integer-cent histograms
+# --------------------------------------------------------------------------
+
+def _mad_oracle() -> str:
+    return """
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+hist AS (
+  SELECT event_type, c, count(*) AS n FROM cents GROUP BY event_type, c
+),
+cum AS (
+  SELECT event_type, c, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+),
+med AS (
+  SELECT event_type, tot AS n_events,
+    min(CASE WHEN cw >= (tot + 1) // 2 THEN c END)
+      + min(CASE WHEN cw >= (tot + 2) // 2 THEN c END) AS med2
+  FROM cum GROUP BY event_type, tot
+),
+dev AS (
+  SELECT h.event_type, abs(2 * h.c - m.med2) AS d2, sum(h.n) AS n
+  FROM hist h JOIN med m USING (event_type)
+  GROUP BY h.event_type, abs(2 * h.c - m.med2)
+),
+dcum AS (
+  SELECT event_type, d2, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY d2
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+    min(CASE WHEN cw >= (tot + 1) // 2 THEN d2 END)
+      + min(CASE WHEN cw >= (tot + 2) // 2 THEN d2 END) AS mad4
+  FROM dcum GROUP BY event_type
+),
+outliers AS (
+  SELECT d.event_type, sum(CASE WHEN 2 * d.d2 > 3 * a.mad4 THEN d.n ELSE 0 END)
+    AS n_outliers
+  FROM dev d JOIN mad a USING (event_type)
+  GROUP BY d.event_type
+)
+SELECT m.event_type, CAST(m.n_events AS BIGINT) AS n_events, m.med2 AS median_cents_x2,
+  a.mad4 AS mad_cents_x4, CAST(o.n_outliers AS BIGINT) AS n_outliers,
+  CAST(o.n_outliers * 1000000 // m.n_events AS BIGINT) AS outlier_ppm
+FROM med m JOIN mad a USING (event_type) JOIN outliers o USING (event_type)
+"""
+
+
+@register("mad_outlier_events", _mad_oracle())
+def q_mad_outlier_events(spark, sf_dir):
+    """Robust (median/MAD) outlier rates per event type — the
+    monitoring-grade anomaly screen (mean/stddev z-scores move with the
+    outliers they hunt; the median and the median-absolute-deviation
+    don't).
+
+    Exact medians at 100 TB without buffering values: quantize to integer
+    cents, build a map-side-combined ``(type, cents) -> count`` HISTOGRAM
+    (one exchange; cell count is bounded by the value domain, not the row
+    count), and read both middle ranks off the cumulative window — the
+    textbook exact-median-from-histogram reduction. The deviation pass
+    reuses the SAME histogram joined to the per-type median (5 rows,
+    broadcast), so raw events are scanned once and shuffled once ever.
+    All arithmetic stays integral: ``med2`` is twice the median, ``mad4``
+    four times the MAD, and the outlier test ``|v-med| > 3*MAD`` is the
+    integer comparison ``2*|2c-med2| > 3*mad4`` — bit-exact on any engine,
+    no percentile-interpolation drift."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    hist = cents.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("n"))
+
+    def _median_x2(h, val_col, out):
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("event_type")
+        c = h.withColumn("cw", F.sum("n").over(wcum)).withColumn(
+            "tot", F.sum("n").over(wtot)
+        )
+        lo = F.min(
+            F.when(F.expr("cw >= (tot + 1) div 2"), F.col(val_col))
+        )
+        hi = F.min(
+            F.when(F.expr("cw >= (tot + 2) div 2"), F.col(val_col))
+        )
+        return c.groupBy("event_type", "tot").agg((lo + hi).alias(out))
+
+    med = _median_x2(hist, "c", "med2").withColumnRenamed("tot", "n_events")
+    dev = (
+        hist.join(F.broadcast(med.select("event_type", "med2")), "event_type")
+        .select(
+            "event_type",
+            F.abs(2 * F.col("c") - F.col("med2")).alias("d2"),
+            "n",
+        )
+        .groupBy("event_type", "d2")
+        .agg(F.sum("n").alias("n"))
+    )
+    mad = _median_x2(dev, "d2", "mad4").select("event_type", "mad4")
+    outliers = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(2 * F.col("d2") > 3 * F.col("mad4"), F.col("n")).otherwise(0))
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(outliers, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long"),
+            F.col("med2").alias("median_cents_x2"),
+            F.col("mad4").alias("mad_cents_x4"),
+            F.col("n_outliers").cast("long"),
+            F.expr("(n_outliers * 1000000) div n_events").alias("outlier_ppm"),
+        )
+    )

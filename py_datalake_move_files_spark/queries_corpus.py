@@ -1701,3 +1701,166 @@ def q_mixture_epoch_plan(spark, sf_dir):
         F.round(tgt.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
         (tgt > F.col("n_tokens")).alias("needs_oversampling"),
     )
+
+
+# --- deterministic training-shard plan -------------------------------------
+
+#: shard count is a pipeline constant (the number of output files per
+#: epoch-shuffled dataset slice); the oracle mirrors whatever is pinned
+_N_SHARDS = 16
+
+
+def _shard_oracle() -> str:
+    hv = DD.hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, ({hv}) % {_N_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+),
+pos AS (
+  SELECT shard, n_chars, doc_id,
+    row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS p
+  FROM keyed
+)
+SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
+  sum(p * (doc_id % 997)) AS order_checksum
+FROM pos GROUP BY shard
+"""
+
+
+@register("training_shard_plan", _shard_oracle())
+def q_training_shard_plan(spark, sf_dir):
+    """Deterministic epoch-shuffle shard plan: every document lands in an
+    md5-derived shard (0..15) at an md5-ranked position inside it — the
+    write plan for training shards where both the SHARDING and the
+    WITHIN-SHARD READ ORDER must be reproducible across runs, engines,
+    and partitionings (``DataFrame.sample``/``rand()`` can give neither).
+    The audit row per shard carries a position-weighted checksum
+    ``sum(position * (doc_id % 997))`` — any engine or partitioning that
+    produced a different within-shard order would change it, so the
+    oracle hash certifies the full permutation, not just the membership.
+
+    Plan: map-only key derivation, then ONE exchange on ``shard`` shared
+    by the position window and the final aggregate (same key, Catalyst
+    reuses the partitioning). 16 shards is the pipeline's file fan-in,
+    not a parallelism bound — at 100 TB each shard writes from its own
+    partition and the window's per-shard sort spills per-partition, or
+    the shard count is raised; membership and order keys are per-row
+    md5s, so replanning with more shards is a constant change."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    hv = DD.hex_value_sql("md5(CAST(doc_id AS STRING))", 2)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"({hv}) % {_N_SHARDS}").alias("shard"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    pos = keyed.withColumn("p", F.row_number().over(w))
+    return pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("p") * (F.col("doc_id") % 997)).alias("order_checksum"),
+    )
+
+
+# --- PMI collocations (phrase mining / tokenizer-merge candidates) ---------
+
+_PMI_MIN_COUNT = 8
+_PMI_TOP = 30
+
+_PMI_BG_LIST = (
+    "CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(t)), pmj -> t[pmj] || ' ' || t[pmj + 1]) END"
+)
+
+_PMI_ORACLE = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+n AS (SELECT count(*) AS nt FROM uni),
+bgs AS (SELECT unnest({_PMI_BG_LIST}) AS bigram FROM tok),
+bc AS (SELECT bigram, count(*) AS n_pair FROM bgs GROUP BY bigram),
+top AS (
+  SELECT bigram, n_pair FROM bc WHERE n_pair >= {_PMI_MIN_COUNT}
+  ORDER BY n_pair DESC, bigram LIMIT {_PMI_TOP}
+),
+sp AS (
+  SELECT bigram, n_pair,
+    string_split(bigram, ' ')[1] AS wa, string_split(bigram, ' ')[2] AS wb
+  FROM top
+)
+SELECT sp.bigram, sp.n_pair,
+  CAST((length(bin(sp.n_pair)) - 1) + (length(bin(n.nt)) - 1)
+    - (length(bin(a.c)) - 1) - (length(bin(b.c)) - 1) AS BIGINT)
+    AS pmi_log2_bucket
+FROM sp JOIN uc a ON sp.wa = a.w JOIN uc b ON sp.wb = b.w CROSS JOIN n
+"""
+
+
+@register("pmi_collocations", _PMI_ORACLE)
+def q_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: the top adjacent
+    token pairs by count, scored by the integer-log2-bucketed PMI
+    ``log2(P(ab) / P(a)P(b))`` — the phrase-mining / tokenizer-merge
+    signal (a high-count pair with LOW PMI is just two frequent words
+    touching; a high-PMI pair is a unit worth one token).
+
+    The bucket is computed ADDITIVELY — ``log2b(c_ab) + log2b(N) -
+    log2b(c_a) - log2b(c_b)`` with ``log2b(x) = length(bin(x)) - 1`` —
+    never as ``log2(c_ab * N)``: at corpus scale that product overflows
+    int64 (N ~ 1e13 tokens x c_ab ~ 1e9), while each additive term stays
+    a small integer, and integer buckets keep the score bit-identical on
+    any engine (no libm). Plan: two map-side-combined count aggregates
+    (bigrams, unigrams), a 30-row TakeOrderedAndProject (no global sort),
+    then the 30 survivors BROADCAST onto the unigram table twice; the
+    token stream itself is never joined or re-shuffled."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("nt"))
+    bgs = docs.withColumn("__pmt", F.split(F.col("text"), " ")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__pmt) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(__pmt) - 2), "
+                "pmj -> concat(element_at(__pmt, pmj + 1), ' ', "
+                "element_at(__pmt, pmj + 2))) END"
+            )
+        ).alias("bigram")
+    )
+    top = (
+        bgs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .orderBy(F.desc("n_pair"), "bigram")
+        .limit(_PMI_TOP)
+    )
+    sp = top.select(
+        "bigram",
+        "n_pair",
+        F.element_at(F.split(F.col("bigram"), " "), 1).alias("wa"),
+        F.element_at(F.split(F.col("bigram"), " "), 2).alias("wb"),
+    )
+    a = uc.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    log2b = lambda col: (F.length(F.bin(col)) - 1).cast("long")  # noqa: E731
+    return (
+        F.broadcast(sp)
+        .join(a, "wa")
+        .join(b, "wb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "n_pair",
+            (
+                log2b(F.col("n_pair"))
+                + log2b(F.col("nt"))
+                - log2b(F.col("c_a"))
+                - log2b(F.col("c_b"))
+            ).alias("pmi_log2_bucket"),
+        )
+    )

@@ -290,3 +290,126 @@ def q_label_centroid_similarity(spark, sf_dir):
             ).alias("centroid_cos"),
         )
     )
+
+
+# --- triangle census / clustering coefficient over the kNN graph ----------
+
+_TRI_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + """,
+und AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS u,
+                  greatest(query_id, neighbor_id) AS v
+  FROM edges
+),
+deg AS (
+  SELECT node, count(*) AS dg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+ded AS (
+  SELECT
+    CASE WHEN a.dg <= b.dg THEN e.u ELSE e.v END AS lo,
+    CASE WHEN a.dg <= b.dg THEN e.v ELSE e.u END AS hi,
+    CASE WHEN a.dg <= b.dg THEN b.dg ELSE a.dg END AS hid
+  FROM und e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM ded d1
+  JOIN ded d2 ON d1.lo = d2.lo
+    AND ((d1.hid < d2.hid) OR (d1.hid = d2.hid AND d1.hi < d2.hi))
+  JOIN ded d3 ON d3.lo = d1.hi AND d3.hi = d2.hi
+),
+wd AS (
+  SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges,
+         count(*) AS n_nodes
+  FROM deg
+),
+ne AS (SELECT count(*) AS n_edges FROM und)
+SELECT CAST(wd.n_nodes AS BIGINT) AS n_nodes,
+  CAST(ne.n_edges AS BIGINT) AS n_edges,
+  wd.n_wedges,
+  CAST(tri.t AS BIGINT) AS n_triangles,
+  CAST(3 * tri.t * 1000000 // wd.n_wedges AS BIGINT) AS closure_ppm
+FROM wd CROSS JOIN ne CROSS JOIN tri
+"""
+
+
+@register("knn_triangle_count", _TRI_ORACLE)
+def q_knn_triangle_count(spark, sf_dir):
+    """Triangle census + global clustering coefficient over the
+    (undirected) kNN graph — the graph-community signal behind
+    curation-time redundancy analysis: a corpus whose embedding graph
+    closes many triangles is clumpy (near-duplicate neighborhoods,
+    SemDeDup targets); one that closes few is spread thin.
+
+    The algorithm is the degree-ordered node-iterator — the standard
+    distributed triangle count (Suri & Vassilvitskii's MR design): every
+    undirected edge is DIRECTED from its lower-(degree, id)-rank endpoint
+    to the higher, each wedge is generated at its lowest-rank vertex
+    (join 1, on ``lo``), and closed by an equi-join on the directed third
+    edge (join 2). Directing by degree bounds per-vertex wedge fan-out by
+    the graph's arboricity — O(m^1.5) candidates total on ANY graph, vs
+    O(sum deg^2) for the naive id-ordering where one hub (a vector many
+    others call neighbor: in-degree is NOT k-bounded) goes quadratic.
+    Both joins are equi-keyed shuffles of the edge list; degrees come
+    from one map-side-combined count. ``closure_ppm = 3T/W`` in integer
+    parts-per-million (W = wedge count from degrees), so no float ratio
+    reaches the hash."""
+    edges = _knn_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("query_id", "neighbor_id").alias("u"),
+        F.greatest("query_id", "neighbor_id").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    u_first = F.col("du") <= F.col("dv")
+    ded = (
+        und.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hid"),
+        )
+    )
+    d1 = ded.select(
+        F.col("lo").alias("w_lo"), F.col("hi").alias("w_a"), F.col("hid").alias("w_ad")
+    )
+    d2 = ded.select(
+        F.col("lo").alias("w_lo"), F.col("hi").alias("w_b"), F.col("hid").alias("w_bd")
+    )
+    d3 = ded.select(F.col("lo").alias("c_a"), F.col("hi").alias("c_b"))
+    wedge_rank = (F.col("w_ad") < F.col("w_bd")) | (
+        (F.col("w_ad") == F.col("w_bd")) & (F.col("w_a") < F.col("w_b"))
+    )
+    tri = (
+        d1.join(d2, "w_lo")
+        .where(wedge_rank)
+        .join(
+            d3,
+            (F.col("w_a") == F.col("c_a")) & (F.col("w_b") == F.col("c_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wd = deg.agg(
+        F.sum(F.expr("dg * (dg - 1) div 2")).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wd.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_wedges").cast("long"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.expr("(3 * t * 1000000) div n_wedges").alias("closure_ppm"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Property tests for the late-round-5 tier: transition matrix, Pareto
+frontier, MAD outliers, training-shard plan, PMI collocations, and the
+degree-ordered kNN triangle census.
+
+Oracle parity (both SFs) runs in test_oracle_parity automatically; these
+tests pin the properties a hash compare can't express — plan shapes,
+partition invariance of the deterministic orderings, and independent
+Python recomputation of the nontrivial math (exact median/MAD, skyline
+dominance, brute-force triangle count).
+"""
+
+from __future__ import annotations
+
+import itertools
+import statistics
+
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.queries import QUERIES
+
+
+def test_transition_shares_sum_to_at_most_one(spark, sf_small):
+    rows = QUERIES["event_transition_matrix"](spark, sf_small).collect()
+    by_from: dict[str, list] = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for cells in by_from.values():
+        total_ppm = sum(c.share_ppm for c in cells)
+        # floor division loses < 1 ppm per cell
+        assert 1_000_000 - len(cells) <= total_ppm <= 1_000_000
+        n = sum(c.n_transitions for c in cells)
+        for c in cells:
+            assert c.share_ppm == c.n_transitions * 1_000_000 // n
+
+
+def test_pareto_frontier_rows_are_mutually_nondominated(spark, sf_small):
+    rows = QUERIES["pareto_quality_frontier"](spark, sf_small).collect()
+    assert rows, "frontier can never be empty on a nonempty corpus"
+    pts = [(r.n_chars, r.n_distinct_tokens) for r in rows]
+    for (x1, y1), (x2, y2) in itertools.permutations(pts, 2):
+        dominates = x1 >= x2 and y1 >= y2 and (x1 > x2 or y1 > y2)
+        assert not dominates, f"({x1},{y1}) dominates ({x2},{y2})"
+
+
+def test_pareto_frontier_dominates_every_document(spark, sf_small):
+    docs = QUERIES["pareto_quality_frontier"](spark, sf_small)
+    frontier = [(r.n_chars, r.n_distinct_tokens) for r in docs.collect()]
+    from py_datalake_move_files_spark.catalog import load_table
+
+    scored = (
+        load_table(spark, sf_small, "documents")
+        .select(
+            "n_chars",
+            F.size(F.array_distinct(F.split("text", " "))).alias("y"),
+        )
+        .collect()
+    )
+    for row in scored:
+        covered = any(
+            fx >= row.n_chars and fy >= row.y for fx, fy in frontier
+        )
+        assert covered, f"({row.n_chars},{row.y}) escapes the frontier"
+
+
+def test_mad_outliers_match_python_median_mad(spark, sf_small):
+    """Independent recomputation: the histogram-rank device must equal the
+    textbook median/MAD over the raw values."""
+    from py_datalake_move_files_spark.catalog import load_table
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["mad_outlier_events"](spark, sf_small).collect()
+    }
+    raw = (
+        load_table(spark, sf_small, "events")
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    for etype, cents in by_type.items():
+        med = statistics.median(cents)
+        mad = statistics.median(abs(c - med) for c in cents)
+        row = got[etype]
+        assert row.n_events == len(cents)
+        assert row.median_cents_x2 == round(2 * med)
+        assert row.mad_cents_x4 == round(4 * mad)
+        expect_out = sum(1 for c in cents if abs(c - med) > 3 * mad)
+        assert row.n_outliers == expect_out
+
+
+def test_training_shard_plan_is_partition_invariant(spark, sf_small):
+    """The shard checksums certify a full permutation — they must not move
+    under a hostile input partitioning."""
+    from py_datalake_move_files_spark.catalog import load_table
+
+    base = {
+        r.shard: (r.n_docs, r.total_chars, r.order_checksum)
+        for r in QUERIES["training_shard_plan"](spark, sf_small).collect()
+    }
+    assert set(base) == set(range(16))
+    # recompute from a deliberately reshuffled source via the same operators
+    docs = load_table(spark, sf_small, "documents").repartition(13)
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from pyspark.sql import Window
+
+    hv = hex_value_sql("md5(CAST(doc_id AS STRING))", 2)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"({hv}) % 16").alias("shard"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    again = {
+        r.shard: (r.n_docs, r.total_chars, r.order_checksum)
+        for r in keyed.withColumn("p", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("p") * (F.col("doc_id") % 997)).alias("order_checksum"),
+        )
+        .collect()
+    }
+    assert base == again
+
+
+def test_pmi_buckets_match_python_recomputation(spark, sf_small):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_small, "documents").collect()
+    ]
+    uni: dict[str, int] = {}
+    bg: dict[str, int] = {}
+    total = 0
+    for t in texts:
+        toks = t.split(" ")
+        total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            key = f"{a} {b}"
+            bg[key] = bg.get(key, 0) + 1
+    rows = QUERIES["pmi_collocations"](spark, sf_small).collect()
+    assert len(rows) == 30
+    log2b = lambda x: x.bit_length() - 1  # noqa: E731
+    for r in rows:
+        a, b = r.bigram.split(" ")
+        assert r.n_pair == bg[r.bigram]
+        expect = (
+            log2b(bg[r.bigram]) + log2b(total) - log2b(uni[a]) - log2b(uni[b])
+        )
+        assert r.pmi_log2_bucket == expect
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_small):
+    """The degree-ordered 3-join must count exactly the set-combinatorics
+    triangles of the undirected kNN graph."""
+    from py_datalake_move_files_spark.queries_knn import _knn_edges
+
+    edges = _knn_edges(spark, sf_small).collect()
+    und = {
+        (min(e.query_id, e.neighbor_id), max(e.query_id, e.neighbor_id))
+        for e in edges
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in und:
+        tri += len(adj[u] & adj[v] - {u, v})
+    tri //= 3  # each triangle counted once per edge
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    row = QUERIES["knn_triangle_count"](spark, sf_small).collect()[0]
+    assert row.n_edges == len(und)
+    assert row.n_nodes == len(adj)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+    assert row.closure_ppm == 3 * tri * 1_000_000 // wedges
+
+
+def test_triangle_join_has_no_cartesian_and_no_corpus_broadcast(spark, sf_small):
+    plan = QUERIES["knn_triangle_count"](spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_window_runs_over_aggregate_not_corpus(spark, sf_small):
+    """The unpartitioned running-max window must sit ABOVE the per-x
+    aggregate in the plan (window over thousands of aggregate rows, never
+    over the document scan)."""
+    plan = (
+        QUERIES["pareto_quality_frontier"](spark, sf_small)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    win = plan.find("Window")
+    agg = plan.find("Aggregate")
+    assert win != -1 and agg != -1
+    # optimized plans print top-down: the Window node must appear above
+    # (before) the per-x Aggregate that feeds it
+    assert win < agg

@@ -137,6 +137,8 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "training_shard_plan",  # new in r5 (post-rotation); local parity both SFs
     "pmi_collocations",  # new in r5 (post-rotation); local parity both SFs
     "knn_triangle_count",  # new in r5 (post-rotation); local parity both SFs
+    "hybrid_rrf_retrieval",  # new in r5 (post-rotation); local parity both SFs
+    "quality_percentile_ranks",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

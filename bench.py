@@ -130,6 +130,9 @@ HEADLINE = [
     "training_shard_plan",
     "pmi_collocations",
     "knn_triangle_count",
+    # r5: hybrid lexical+dense fusion and histogram percentile ranks
+    "hybrid_rrf_retrieval",
+    "quality_percentile_ranks",
 ]
 
 

@@ -1864,3 +1864,67 @@ def q_pmi_collocations(spark, sf_dir):
             ).alias("pmi_log2_bucket"),
         )
     )
+
+
+# --- global percentile-rank normalization without a global window ----------
+
+_PCT_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+hist AS (
+  SELECT n_tokens, count(*) AS n FROM scored GROUP BY n_tokens
+),
+cum AS (
+  SELECT n_tokens,
+    coalesce(sum(n) OVER (ORDER BY n_tokens
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+    sum(n) OVER () AS total
+  FROM hist
+)
+SELECT s.doc_id, s.n_tokens,
+  CAST(c.below * 1000000 // c.total AS BIGINT) AS pct_ppm
+FROM scored s JOIN cum c USING (n_tokens)
+"""
+
+
+@register("quality_percentile_ranks", _PCT_ORACLE)
+def q_quality_percentile_ranks(spark, sf_dir):
+    """Percentile-rank normalization of a per-document score (token count
+    here) across the whole corpus — the feature a curation pipeline feeds
+    models instead of raw scores (scale-free, robust to distribution
+    drift between crawl snapshots). ``pct_ppm`` is the strict
+    ``cume_dist``-style rank in integer parts-per-million: the share of
+    documents scoring strictly below.
+
+    The naive expression is ``cume_dist() OVER (ORDER BY score)`` — a
+    single-partition global window, the same scale-killer the Pareto
+    query avoids. Instead: one map-side-combined HISTOGRAM per distinct
+    score (bounded by the score domain, not corpus rows), an exclusive
+    running sum over those histogram rows, then the tiny cumulative table
+    broadcast back onto the scan — per-row rank assignment becomes a
+    map-side join, and the corpus is never globally sorted. Floor
+    division keeps the ppm integral end to end."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    hist = scored.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("n"))
+    w_below = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "n_tokens",
+        F.coalesce(F.sum("n").over(w_below), F.lit(0)).alias("below"),
+        F.sum("n").over(w_all).alias("total"),
+    ).select("n_tokens", "below", "total")
+    return scored.join(F.broadcast(cum), "n_tokens").select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST((below * 1000000) div total AS BIGINT)").alias("pct_ppm"),
+    )

@@ -302,3 +302,118 @@ def q_duplicated_span_coverage(spark, sf_dir):
             F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6
         ).alias("dup_coverage"),
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine -------
+
+#: RRF smoothing constant (Cormack et al. 2009, "Reciprocal Rank Fusion
+#: outperforms Condorcet..."); 60 is the published default
+_RRF_K = 60
+_RRF_QUERY_VEC = 0  # query vector id; doc ids and vec ids are aligned
+
+
+def _rrf_oracle() -> str:
+    from py_datalake_move_files_spark.oracle_frags import dd_cosine
+
+    return f"""
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avgdl,
+         {_BM25_STATS_DD}
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {_BM25_TF_DD}
+  FROM documents
+),
+lexs AS (
+  SELECT d.doc_id, {bm25_score_sql(len(BM25_TERMS))} AS score
+  FROM perdoc d CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM lexs
+  ) WHERE rn <= {BM25_TOPK}
+),
+qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+sems AS (
+  SELECT c.vec_id AS doc_id, {dd_cosine('q.q_vec', 'c.embedding')} AS cs
+  FROM embeddings c CROSS JOIN qv q WHERE c.vec_id <> {_RRF_QUERY_VEC}
+),
+sem AS (
+  SELECT doc_id, CAST(rn AS INT) AS sem_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS rn
+    FROM sems
+  ) WHERE rn <= {BM25_TOPK}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+    CAST(coalesce(1000000 // ({_RRF_K} + l.lex_rank), 0)
+       + coalesce(1000000 // ({_RRF_K} + s.sem_rank), 0) AS BIGINT) AS rrf_ppm
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_ppm,
+  CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) AS INT)
+    AS fused_rank
+FROM fused
+"""
+
+
+@register("hybrid_rrf_retrieval", _rrf_oracle())
+def q_hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid search: fuse the lexical BM25 top-k and the dense-cosine
+    top-k for one request via reciprocal-rank fusion — the
+    production-standard way to combine keyword and embedding retrieval
+    without calibrating their incomparable score scales (RRF needs only
+    the RANKS, which both arms define deterministically here).
+
+    Each arm is the already-proven serving shape (BM25: broadcast
+    one-row stats + map-side score + TakeOrderedAndProject; dense: the
+    exact scan that swaps for the IVF/PQ index at scale), so the fusion
+    stage only ever joins two k-row tables — a full-outer join on doc_id
+    over <=2k rows regardless of corpus size. The RRF score
+    ``sum(1/(60+rank))`` is computed in integer parts-per-million (floor
+    division) so no float sum order reaches the hash; the fused rank
+    breaks ppm ties on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    from py_datalake_move_files_spark.operators import similarity as SIM
+    from pyspark.sql import Window
+
+    lex = bm25_topk(docs, BM25_TERMS, k=BM25_TOPK).select(
+        "doc_id", F.col("rnk").alias("lex_rank")
+    )
+    queries = emb.where(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = SIM.brute_force_topk(emb, queries, k=BM25_TOPK).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("sem_rank")
+    )
+    fused = (
+        lex.withColumnRenamed("doc_id", "l_id")
+        .join(
+            sem.withColumnRenamed("doc_id", "s_id"),
+            F.col("l_id") == F.col("s_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("l_id"), F.col("s_id")).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr(f"CAST(1000000 div ({_RRF_K} + lex_rank) AS BIGINT)"),
+                    F.lit(0).cast("long"),
+                )
+                + F.coalesce(
+                    F.expr(f"CAST(1000000 div ({_RRF_K} + sem_rank) AS BIGINT)"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("rrf_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+    return fused.withColumn("fused_rank", F.row_number().over(w))

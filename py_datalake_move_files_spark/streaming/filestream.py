@@ -421,3 +421,81 @@ def foreach_batch_cms_ingest(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_transition_ingest(
+    event_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    state_path: str,
+    out_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """Streaming transition-matrix ingest — the continuous twin of the
+    batch ``event_transition_matrix`` query: each micro-batch contributes
+    its (from_type, to_type) transition counts, INCLUDING the transition
+    that straddles the batch boundary (each user's last event from prior
+    batches chains to their first event in this one).
+
+    State is an APPEND-ONLY max-register, not an overwritten snapshot:
+    every batch appends its per-user latest (ts, id, type) row, and the
+    reader takes the (ts, id)-max row per user — so a replayed batch
+    re-appends identical rows and changes nothing (the same CRDT-style
+    idempotence the weighted-reservoir ingest uses), where an
+    overwrite-in-place would have to read and rewrite the same path in
+    one job. State size is O(users x batches) rows of four scalar
+    columns; a compaction pass (keep rn=1 per user) is a standard
+    maintenance job and never changes answers.
+
+    Correctness contract (pinned in tests/test_streaming): when batches
+    respect per-user event-time order — true for append-only event logs
+    consumed in arrival order — the per-batch cell counts summed over any
+    batch prefix equal the one-shot batch matrix over the same events.
+    The counts appended per batch are at-least-once with ``batch_id`` for
+    replay dedup, same as every foreachBatch sink here."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    cols = [user_col, ts_col, id_col, type_col]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = batch_df.select(*cols)
+        w_last = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col).desc(), F.col(id_col).desc()
+        )
+        try:
+            stored = spark.read.parquet(state_path)
+            last = (
+                stored.withColumn("__rn", F.row_number().over(w_last))
+                .where(F.col("__rn") == 1)
+                .select(*cols)
+            )
+        except AnalysisException:  # first batch: no state yet
+            last = spark.createDataFrame([], ev.schema)
+        w_next = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+        cells = (
+            last.unionByName(ev)
+            .select(
+                F.col(type_col).alias("from_type"),
+                F.lead(type_col).over(w_next).alias("to_type"),
+            )
+            .where(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+        )
+        cells.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        ev.withColumn("__rn", F.row_number().over(w_last)).where(
+            F.col("__rn") == 1
+        ).select(*cols).write.mode("append").parquet(state_path)
+
+    return (
+        event_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

@@ -204,3 +204,113 @@ def test_pareto_window_runs_over_aggregate_not_corpus(spark, sf_small):
     # optimized plans print top-down: the Window node must appear above
     # (before) the per-x Aggregate that feeds it
     assert win < agg
+
+
+def test_streaming_transition_ingest_sums_to_batch_matrix(spark, tmp_path):
+    """Cross-batch chaining: per-batch transition cells summed over both
+    micro-batches must equal the one-shot batch matrix — the boundary
+    transition (last event of batch 0 -> first event of batch 1 per user)
+    must be counted exactly once."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_transition_ingest,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS m").collect()[0].m
+    src = tmp_path / "tin"
+    # event_id is assigned in ts order in the synthetic log, so an id
+    # split respects per-user event-time order (the operator's contract)
+    ev.where(F.col("event_id") <= cut).coalesce(1).write.parquet(str(src / "p0"))
+    ev.where(F.col("event_id") > cut).coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = file_arrival_stream(
+        spark,
+        f"{src}/*",
+        "user_id long, ts timestamp, event_id long, event_type string",
+        max_files_per_trigger=1,
+    )
+    q = (
+        foreach_batch_transition_ingest(
+            stream,
+            str(tmp_path / "tckpt"),
+            state_path=str(tmp_path / "tstate"),
+            out_path=str(tmp_path / "tout"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "tout"))
+    assert got.select("batch_id").distinct().count() == 2
+    summed = {
+        (r.from_type, r.to_type): r.n
+        for r in got.groupBy("from_type", "to_type")
+        .agg(F.sum("n_transitions").cast("long").alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = {
+        (r.from_type, r.to_type): r.n
+        for r in ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert summed == whole
+
+
+def test_rrf_fusion_combines_both_arms_exactly(spark, sf_small):
+    """RRF output must contain exactly the union of the two arms' doc ids,
+    with the ppm score recomputable from the two rank columns."""
+    rows = QUERIES["hybrid_rrf_retrieval"](spark, sf_small).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r.lex_rank is not None or r.sem_rank is not None
+        expect = 0
+        if r.lex_rank is not None:
+            expect += 1_000_000 // (60 + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += 1_000_000 // (60 + r.sem_rank)
+        assert r.rrf_ppm == expect
+    fused = sorted(rows, key=lambda r: (-r.rrf_ppm, r.doc_id))
+    assert [r.fused_rank for r in fused] == list(range(1, len(rows) + 1))
+
+
+def test_percentile_ranks_are_monotone_in_score(spark, sf_small):
+    rows = QUERIES["quality_percentile_ranks"](spark, sf_small).collect()
+    n = len(rows)
+    by_score = sorted(rows, key=lambda r: r.n_tokens)
+    for a, b in zip(by_score, by_score[1:]):
+        assert a.pct_ppm <= b.pct_ppm
+        if a.n_tokens == b.n_tokens:
+            assert a.pct_ppm == b.pct_ppm
+    # strict-below definition: the ppm equals the recount
+    below: dict[int, int] = {}
+    for r in rows:
+        below[r.n_tokens] = below.get(r.n_tokens, 0) + 1
+    for r in rows:
+        cnt = sum(v for k, v in below.items() if k < r.n_tokens)
+        assert r.pct_ppm == cnt * 1_000_000 // n
+
+
+def test_percentile_plan_broadcasts_histogram_not_corpus(spark, sf_small):
+    plan = (
+        QUERIES["quality_percentile_ranks"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -139,6 +139,9 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "knn_triangle_count",  # new in r5 (post-rotation); local parity both SFs
     "hybrid_rrf_retrieval",  # new in r5 (post-rotation); local parity both SFs
     "quality_percentile_ranks",  # new in r5 (post-rotation); local parity both SFs
+    "cms_join_size_estimate",  # new in r5 (post-rotation); local parity both SFs
+    "hll_overlap_estimate",  # new in r5 (post-rotation); local parity both SFs
+    "value_drift_psi",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -133,6 +133,10 @@ HEADLINE = [
     # r5: hybrid lexical+dense fusion and histogram percentile ranks
     "hybrid_rrf_retrieval",
     "quality_percentile_ranks",
+    # r5: sketch-based planning estimates and the PSI drift monitor
+    "cms_join_size_estimate",
+    "hll_overlap_estimate",
+    "value_drift_psi",
 ]
 
 

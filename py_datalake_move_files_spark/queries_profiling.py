@@ -654,3 +654,295 @@ def q_cms_token_frequencies(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") - F.col("true_n")).cast("long").alias("overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# CMS inner-product join-size estimation (pre-flight skew/output planning)
+# --------------------------------------------------------------------------
+
+_JS_WIDTH = 512
+
+
+_CMS_JS_ORACLE = f"""
+WITH pk AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+exact AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM pk),
+cells AS (
+  SELECT js.row_j,
+    ('0x' || substr(md5(CAST(js.row_j AS VARCHAR) || ':' ||
+      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_JS_WIDTH} AS bucket,
+    count(*) AS n
+  FROM events CROSS JOIN {_CMS_JS} js
+  GROUP BY 1, 2
+),
+rows_ip AS (
+  SELECT row_j, sum(n * n) AS ip FROM cells GROUP BY row_j
+)
+SELECT e.exact_pairs,
+  CAST(min(r.ip) AS BIGINT) AS cms_est,
+  CAST(min(r.ip) - e.exact_pairs AS BIGINT) AS overestimate
+FROM rows_ip r CROSS JOIN exact e
+GROUP BY e.exact_pairs
+"""
+
+
+@register("cms_join_size_estimate", _CMS_JS_ORACLE)
+def q_cms_join_size_estimate(spark, sf_dir):
+    """Self-join output-size estimation from count-min sketches — the
+    AGMS/CMS inner-product estimator (Cormode & Muthukrishnan 2005): the
+    size of ``events ⋈ events ON user_id`` is the inner product of the
+    key-frequency vector with itself, and ``min_j Σ_b cellsA[j,b] ·
+    cellsB[j,b]`` estimates it from bounded sketch state, never
+    under-estimating (collisions only add cross terms).
+
+    This is the pre-flight a planner runs BEFORE a suspected-skew join:
+    exact answer needs a full per-key count (one shuffle of every key);
+    the sketch answer reads ≤ depth·width cells that a streaming ingest
+    (foreach_batch_cms_ingest) is already maintaining — and because the
+    CMS is linear, yesterday's cell tables answer today's estimate with
+    zero touches of the event stream. Both the estimate and the exact
+    count are integers from md5-bucket math, so the audit row
+    (exact_pairs, cms_est, overestimate) is hash-exact cross-engine."""
+    from py_datalake_move_files_spark.functions.sketches import cms_cells
+
+    ev = _t(spark, sf_dir, "events")
+    pk = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = pk.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    cells = cms_cells(
+        ev.select(F.col("user_id")), "user_id", depth=_CMS_DEPTH, width=_JS_WIDTH
+    )
+    rows_ip = cells.groupBy("row_j").agg(F.sum(F.col("n") * F.col("n")).alias("ip"))
+    est = rows_ip.agg(F.min("ip").cast("long").alias("cms_est"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_pairs",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_pairs")).alias("overestimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch set-overlap estimate (inclusion-exclusion), exactness-audited
+# --------------------------------------------------------------------------
+
+_HLL_OVERLAP_ORACLE = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST((SELECT count(*) FROM v) AS BIGINT) AS exact_view,
+  CAST((SELECT count(*) FROM p) AS BIGINT) AS exact_purchase,
+  CAST((SELECT count(*) FROM v JOIN p USING (user_id)) AS BIGINT)
+    AS exact_both,
+  TRUE AS within_tolerance
+"""
+
+
+@register("hll_overlap_estimate", _HLL_OVERLAP_ORACLE)
+def q_hll_overlap_estimate(spark, sf_dir):
+    """Audience-overlap estimation from mergeable HLL sketches: |A∩B| ≈
+    |A| + |B| − |A∪B| by inclusion-exclusion over three sketch
+    estimates — the only way to intersect sketches (HLL unions natively
+    but cannot intersect). The use case is the same as the daily HLL
+    partials (functions/sketches.sketch_partials): per-segment sketches
+    are materialized once, and ANY pairwise overlap question is answered
+    later from sketch state without re-scanning events.
+
+    Like ``approx_distinct_users``, the raw estimates are engine-specific
+    (DataSketches HLL, lgK=12 → rsd ≈ 1.6% per estimate), so the emitted
+    row carries the EXACT values plus a ``within_tolerance`` envelope:
+    inclusion-exclusion compounds three estimate errors, so the bound is
+    3·rsd·(|A| + |B| + |A∪B|) — generous but deterministic. The exact
+    twin costs one distinct + one join; the sketch path is two map-side
+    aggs and a union of two 4 KB sketches."""
+    ev = _t(spark, sf_dir, "events")
+    lgk = 12
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id")), F.lit(lgk)
+        ).alias("sk_v"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")),
+            F.lit(lgk),
+        ).alias("sk_p"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_view"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchase"),
+    )
+    both_exact = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.where(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_both"))
+    )
+    est = sk.select(
+        "exact_view",
+        "exact_purchase",
+        F.hll_sketch_estimate("sk_v").alias("est_v"),
+        F.hll_sketch_estimate("sk_p").alias("est_p"),
+        F.hll_sketch_estimate(F.hll_union("sk_v", "sk_p")).alias("est_u"),
+    ).crossJoin(F.broadcast(both_exact))
+    inter_est = F.col("est_v") + F.col("est_p") - F.col("est_u")
+    rsd3 = 3 * 0.016
+    bound = (F.col("est_v") + F.col("est_p") + F.col("est_u")) * F.lit(rsd3)
+    return est.select(
+        F.col("exact_view").cast("long"),
+        F.col("exact_purchase").cast("long"),
+        "exact_both",
+        (F.abs(inter_est - F.col("exact_both")) <= bound).alias(
+            "within_tolerance"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# PSI distribution-drift monitor (reference half vs current half)
+# --------------------------------------------------------------------------
+
+#: event_id is assigned in arrival order, so the id midpoint splits the
+#: stream into a reference epoch and a current epoch of equal size
+_PSI_SPLIT_SQL = "(SELECT max(event_id) FROM events) / 2"
+_PSI_BUCKETS = 10
+_PSI_BUCKET_W = 50  # dollars per bucket; values span ~0..500
+
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+    CAST(least(floor(value / {_PSI_BUCKET_W}), {_PSI_BUCKETS - 1}) AS BIGINT)
+      AS bucket,
+    CASE WHEN event_id <= {_PSI_SPLIT_SQL} THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+grid AS (
+  SELECT DISTINCT event_type,
+         unnest(generate_series(0, {_PSI_BUCKETS - 1})) AS bucket
+  FROM events
+),
+cnt AS (
+  SELECT g.event_type, g.bucket,
+    coalesce(sum(b.is_ref), 0) AS pc,
+    coalesce(sum(1 - b.is_ref), 0) AS qc
+  FROM grid g LEFT JOIN b
+    ON b.event_type = g.event_type AND b.bucket = g.bucket
+  GROUP BY g.event_type, g.bucket
+),
+tot AS (
+  SELECT event_type, bucket, pc, qc,
+    sum(pc) OVER (PARTITION BY event_type) AS totp,
+    sum(qc) OVER (PARTITION BY event_type) AS totq
+  FROM cnt
+),
+term AS (
+  SELECT event_type, bucket, totp, totq,
+    (CAST(pc + 1 AS DOUBLE) / CAST(totp + {_PSI_BUCKETS} AS DOUBLE)
+     - CAST(qc + 1 AS DOUBLE) / CAST(totq + {_PSI_BUCKETS} AS DOUBLE))
+    * ln((CAST(pc + 1 AS DOUBLE) / CAST(totp + {_PSI_BUCKETS} AS DOUBLE))
+         / (CAST(qc + 1 AS DOUBLE) / CAST(totq + {_PSI_BUCKETS} AS DOUBLE)))
+      AS t
+  FROM tot
+)
+SELECT event_type,
+  CAST(max(totp) AS BIGINT) AS n_ref,
+  CAST(max(totq) AS BIGINT) AS n_cur,
+  round(list_reduce(list(t ORDER BY bucket), (a, x) -> a + x), 6) AS psi
+FROM term GROUP BY event_type
+"""
+
+
+@register("value_drift_psi", _PSI_ORACLE)
+def q_value_drift_psi(spark, sf_dir):
+    """Population-stability-index drift monitor: per event type, PSI
+    between the value distribution of the reference epoch (first half of
+    the stream by event id) and the current epoch — the standard
+    is-my-feature-distribution-moving alarm (PSI < 0.1 stable, > 0.25
+    drifted) a pipeline checks before trusting thresholds tuned on old
+    data.
+
+    Portability devices: a FIXED bucket grid (10 x $50) densified via a
+    tiny grid cross join so both engines see every (type, bucket) cell
+    even at zero count; Laplace (+1) smoothing keeps ln() off zeros; each
+    PSI term is the SAME double op chain on both engines, and the 10
+    per-type terms are summed by an EXPLICIT left fold in bucket order
+    (Spark ``aggregate`` over a sorted struct array ≡ DuckDB
+    ``list_reduce`` over ``list(... ORDER BY bucket)``) — never a
+    partition-order-dependent SUM of doubles — then rounded to 6 dp.
+    Plan: one map-side-combined count per (type, bucket, epoch) cell, all
+    later math on the ≤ |types|·10 aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    split = ev.agg((F.max("event_id") / 2).alias("__cut"))
+    b = ev.crossJoin(F.broadcast(split)).select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BUCKET_W), F.lit(_PSI_BUCKETS - 1)
+        ).alias("bucket"),
+        F.when(F.col("event_id") <= F.col("__cut"), 1).otherwise(0).alias(
+            "is_ref"
+        ),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            ev.sparkSession.range(_PSI_BUCKETS).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    cnt = (
+        grid.join(b, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.coalesce(F.sum("is_ref"), F.lit(0)).alias("pc"),
+            F.coalesce(F.sum(1 - F.col("is_ref")), F.lit(0)).alias("qc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    tot = cnt.withColumn("totp", F.sum("pc").over(wt)).withColumn(
+        "totq", F.sum("qc").over(wt)
+    )
+    p = (F.col("pc") + 1).cast("double") / (
+        F.col("totp") + _PSI_BUCKETS
+    ).cast("double")
+    q = (F.col("qc") + 1).cast("double") / (
+        F.col("totq") + _PSI_BUCKETS
+    ).cast("double")
+    term = tot.select(
+        "event_type",
+        "bucket",
+        "totp",
+        "totq",
+        ((p - q) * F.log(p / q)).alias("t"),
+    )
+    return (
+        term.groupBy("event_type")
+        .agg(
+            F.max("totp").cast("long").alias("n_ref"),
+            F.max("totq").cast("long").alias("n_cur"),
+            F.sort_array(F.collect_list(F.struct("bucket", "t"))).alias("__a"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.expr(
+                    "aggregate(__a, CAST(0 AS DOUBLE), (a, x) -> a + x.t)"
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )

@@ -314,3 +314,31 @@ def test_percentile_plan_broadcasts_histogram_not_corpus(spark, sf_small):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_join_size_never_underestimates(spark, sf_small):
+    """Inner-product estimates only gain from collisions — cms_est >= exact
+    on any data; equality when no two keys collide in the best row."""
+    row = QUERIES["cms_join_size_estimate"](spark, sf_small).collect()[0]
+    assert row.cms_est >= row.exact_pairs
+    assert row.overestimate == row.cms_est - row.exact_pairs
+    # exact self-join size cross-check against a real join
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events").select("user_id")
+    joined = ev.alias("a").join(ev.alias("b"), "user_id").count()
+    assert row.exact_pairs == joined
+
+
+def test_psi_terms_are_nonnegative_and_self_split_is_zero(spark, sf_small):
+    """(p-q) and ln(p/q) always share a sign, so PSI >= 0; and PSI of a
+    distribution against itself must be ~0 (here: tiny, from the halves
+    being different samples, bounded by a loose cap)."""
+    rows = QUERIES["value_drift_psi"](spark, sf_small).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.psi >= 0.0
+        assert r.n_ref + r.n_cur > 0
+        # synthetic halves are iid draws from one distribution: PSI should
+        # read "stable" (< 0.25 even at the small SF's sample noise)
+        assert r.psi < 0.25, f"{r.event_type} drifted: {r.psi}"

@@ -142,6 +142,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "cms_join_size_estimate",  # new in r5 (post-rotation); local parity both SFs
     "hll_overlap_estimate",  # new in r5 (post-rotation); local parity both SFs
     "value_drift_psi",  # new in r5 (post-rotation); local parity both SFs
+    "doc_novelty_scores",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE = [
     "cms_join_size_estimate",
     "hll_overlap_estimate",
     "value_drift_psi",
+    "doc_novelty_scores",
 ]
 
 

@@ -666,13 +666,23 @@ def q_mad_outlier_events(spark, sf_dir):
     All arithmetic stays integral: ``med2`` is twice the median, ``mad4``
     four times the MAD, and the outlier test ``|v-med| > 3*MAD`` is the
     integer comparison ``2*|2c-med2| > 3*mad4`` — bit-exact on any engine,
-    no percentile-interpolation drift."""
+    no percentile-interpolation drift.
+
+    The histogram is ``localCheckpoint``-ed (lazy): three downstream
+    branches (median, deviation histogram, outlier count) reference it,
+    and without the lineage cut each reference re-scans the raw events
+    (measured: 17 exchanges vs 7); the deviation histogram is cut for the
+    same reason (two consumers)."""
     ev = _t(spark, sf_dir, "events")
     cents = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
-    hist = cents.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("n"))
+    hist = (
+        cents.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
 
     def _median_x2(h, val_col, out):
         wcum = (
@@ -702,6 +712,7 @@ def q_mad_outlier_events(spark, sf_dir):
         )
         .groupBy("event_type", "d2")
         .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
     )
     mad = _median_x2(dev, "d2", "mad4").select("event_type", "mad4")
     outliers = (

@@ -354,12 +354,22 @@ def q_knn_triangle_count(spark, sf_dir):
     Both joins are equi-keyed shuffles of the edge list; degrees come
     from one map-side-combined count. ``closure_ppm = 3T/W`` in integer
     parts-per-million (W = wedge count from degrees), so no float ratio
-    reaches the hash."""
+    reaches the hash.
+
+    The undirected and directed edge tables are ``localCheckpoint``-ed
+    (lazy) because they are each referenced by 3+ downstream branches —
+    without the cut, Catalyst re-derives the whole kNN pipeline per
+    reference (measured: 53 exchanges vs 9; same device as the pagerank
+    edge build, queries_scale.py)."""
     edges = _knn_edges(spark, sf_dir)
-    und = edges.select(
-        F.least("query_id", "neighbor_id").alias("u"),
-        F.greatest("query_id", "neighbor_id").alias("v"),
-    ).distinct()
+    und = (
+        edges.select(
+            F.least("query_id", "neighbor_id").alias("u"),
+            F.greatest("query_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -377,6 +387,7 @@ def q_knn_triangle_count(spark, sf_dir):
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hid"),
         )
+        .localCheckpoint(eager=False)
     )
     d1 = ded.select(
         F.col("lo").alias("w_lo"), F.col("hi").alias("w_a"), F.col("hid").alias("w_ad")

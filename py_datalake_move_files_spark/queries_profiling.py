@@ -767,38 +767,33 @@ def q_hll_overlap_estimate(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", F.col("user_id")),
             F.lit(lgk),
         ).alias("sk_p"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "view", F.col("user_id"))
-        ).alias("exact_view"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("exact_purchase"),
     )
-    both_exact = (
-        ev.where(F.col("event_type") == "view")
-        .select("user_id")
-        .distinct()
-        .join(
-            ev.where(F.col("event_type") == "purchase")
-            .select("user_id")
-            .distinct(),
-            "user_id",
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_both"))
+    # all three exact counts from ONE per-user flag aggregate (a second
+    # scan, not three: |A|, |B| and |A∩B| are column sums over the flags)
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("hv"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("hp"),
+    )
+    exacts = flags.agg(
+        F.sum("hv").cast("long").alias("exact_view"),
+        F.sum("hp").cast("long").alias("exact_purchase"),
+        F.sum(F.col("hv") * F.col("hp")).cast("long").alias("exact_both"),
     )
     est = sk.select(
-        "exact_view",
-        "exact_purchase",
         F.hll_sketch_estimate("sk_v").alias("est_v"),
         F.hll_sketch_estimate("sk_p").alias("est_p"),
         F.hll_sketch_estimate(F.hll_union("sk_v", "sk_p")).alias("est_u"),
-    ).crossJoin(F.broadcast(both_exact))
+    ).crossJoin(F.broadcast(exacts))
     inter_est = F.col("est_v") + F.col("est_p") - F.col("est_u")
     rsd3 = 3 * 0.016
     bound = (F.col("est_v") + F.col("est_p") + F.col("est_u")) * F.lit(rsd3)
     return est.select(
-        F.col("exact_view").cast("long"),
-        F.col("exact_purchase").cast("long"),
+        "exact_view",
+        "exact_purchase",
         "exact_both",
         (F.abs(inter_est - F.col("exact_both")) <= bound).alias(
             "within_tolerance"
@@ -891,8 +886,21 @@ def q_value_drift_psi(spark, sf_dir):
             "is_ref"
         ),
     )
+    # aggregate the data cells FIRST (one corpus scan), then densify the
+    # tiny cell table against a grid derived from the cells themselves —
+    # the naive grid-left-join-raw shape scans events twice more (type
+    # list + join probe); the cell table is checkpointed because the grid
+    # and the join both consume it
+    raw = (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.sum("is_ref").alias("pc"),
+            F.sum(1 - F.col("is_ref")).alias("qc"),
+        )
+        .localCheckpoint(eager=False)
+    )
     grid = (
-        ev.select("event_type")
+        raw.select("event_type")
         .distinct()
         .crossJoin(
             ev.sparkSession.range(_PSI_BUCKETS).select(
@@ -901,11 +909,12 @@ def q_value_drift_psi(spark, sf_dir):
         )
     )
     cnt = (
-        grid.join(b, ["event_type", "bucket"], "left")
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.coalesce(F.sum("is_ref"), F.lit(0)).alias("pc"),
-            F.coalesce(F.sum(1 - F.col("is_ref")), F.lit(0)).alias("qc"),
+        grid.join(raw, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+            F.coalesce(F.col("qc"), F.lit(0)).alias("qc"),
         )
     )
     from pyspark.sql import Window

@@ -342,3 +342,34 @@ def test_psi_terms_are_nonnegative_and_self_split_is_zero(spark, sf_small):
         # synthetic halves are iid draws from one distribution: PSI should
         # read "stable" (< 0.25 even at the small SF's sample noise)
         assert r.psi < 0.25, f"{r.event_type} drifted: {r.psi}"
+
+
+def test_novelty_complements_duplication(spark, sf_small):
+    """Novelty recounted in plain Python, plus the structural invariants:
+    the lowest doc id is 100% novel, and every shingle has exactly one
+    first owner."""
+    from py_datalake_move_files_spark.catalog import load_table
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["doc_novelty_scores"](spark, sf_small).collect()
+    }
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+    first: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        toks = d.text.split(" ")
+        sh = (
+            {d.text}
+            if len(toks) < 3
+            else {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        )
+        per_doc[d.doc_id] = sh
+        for s in sh:
+            first.setdefault(s, d.doc_id)
+    min_id = min(per_doc)
+    assert rows[min_id].novelty == 1.0
+    for doc_id, sh in per_doc.items():
+        r = rows[doc_id]
+        assert r.n_shingles == len(sh)
+        assert r.n_first == sum(1 for s in sh if first[s] == doc_id)

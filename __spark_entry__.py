@@ -143,6 +143,8 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "hll_overlap_estimate",  # new in r5 (post-rotation); local parity both SFs
     "value_drift_psi",  # new in r5 (post-rotation); local parity both SFs
     "doc_novelty_scores",  # new in r5 (post-rotation); local parity both SFs
+    "session_pattern_match",  # new in r5 (post-rotation); local parity both SFs
+    "lang_kappa_score",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

@@ -138,6 +138,9 @@ HEADLINE = [
     "hll_overlap_estimate",
     "value_drift_psi",
     "doc_novelty_scores",
+    # r5: MATCH_RECOGNIZE-lite session automaton + chance-corrected kappa
+    "session_pattern_match",
+    "lang_kappa_score",
 ]
 
 

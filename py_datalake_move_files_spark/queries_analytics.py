@@ -735,3 +735,132 @@ def q_mad_outlier_events(spark, sf_dir):
             F.expr("(n_outliers * 1000000) div n_events").alias("outlier_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# session-scoped ordered pattern match (MATCH_RECOGNIZE-lite)
+# --------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS ms,
+    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_ms
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS nf
+  FROM x
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), m1 AS (
+  SELECT *,
+    CASE WHEN event_type = 'click' AND max(CASE WHEN event_type = 'view'
+        THEN sid END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = sid
+      THEN 1 ELSE 0 END AS c_after_v
+  FROM s
+), m2 AS (
+  SELECT *,
+    CASE WHEN event_type = 'purchase' AND max(CASE WHEN c_after_v = 1
+        THEN sid END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = sid
+      THEN 1 ELSE 0 END AS p_after_vc
+  FROM m1
+), per_session AS (
+  SELECT user_id, sid,
+    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+    max(c_after_v) AS has_vc,
+    max(p_after_vc) AS has_vcp
+  FROM m2 GROUP BY user_id, sid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(has_v) AS BIGINT) AS n_with_view,
+  CAST(sum(has_vc) AS BIGINT) AS n_view_then_click,
+  CAST(sum(has_vcp) AS BIGINT) AS n_full_pattern,
+  CAST(sum(has_vcp) * 1000000 // count(*) AS BIGINT) AS match_ppm
+FROM per_session
+"""
+
+
+@register("session_pattern_match", _PATTERN_ORACLE)
+def q_session_pattern_match(spark, sf_dir):
+    """Ordered-pattern matching inside sessions — MATCH_RECOGNIZE's
+    ``PATTERN (view -> click -> purchase)`` (strict subsequence, any gaps)
+    expressed declaratively, since Spark SQL lacks MATCH_RECOGNIZE: how
+    many 30-min-inactivity sessions contain a view, later a click, later
+    a purchase. Unlike the global funnel (funnel_conversion, which
+    compares first-event timestamps), this is a true per-session
+    subsequence automaton.
+
+    The automaton is a cascade of RUNNING MAXIMA: stage k's flag is "my
+    event type matches AND stage k-1 fired strictly earlier in MY
+    session", encoded as ``max(CASE WHEN stage_{k-1} THEN sid END) OVER
+    (user ORDER BY ts, id ROWS ... 1 PRECEDING) = sid`` — the session id
+    is nondecreasing per user, so the max carries exactly the latest
+    session with a prior match. Every window (sessionize lag, running
+    sid, both pattern stages) partitions by ``user_id`` alone, so the
+    whole automaton — arbitrary pattern length — costs ONE exchange on
+    user, the same exchange sessionization already pays; only the
+    per-session aggregate re-keys, map-side combined. Counts and ppm stay
+    integral."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ms = F.unix_millis("ts")
+    x = ev.select("user_id", "ts", "event_id", "event_type", ms.alias("ms"))
+    f = x.withColumn("prev_ms", F.lag("ms").over(w)).withColumn(
+        "nf",
+        F.when(
+            F.col("prev_ms").isNull()
+            | (F.col("ms") - F.col("prev_ms") > 1800000),
+            1,
+        ).otherwise(0),
+    )
+    s = f.withColumn("sid", F.sum("nf").over(wrun))
+    m1 = s.withColumn(
+        "c_after_v",
+        F.when(
+            (F.col("event_type") == "click")
+            & (
+                F.max(
+                    F.when(F.col("event_type") == "view", F.col("sid"))
+                ).over(wprev)
+                == F.col("sid")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    m2 = m1.withColumn(
+        "p_after_vc",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (
+                F.max(F.when(F.col("c_after_v") == 1, F.col("sid"))).over(
+                    wprev
+                )
+                == F.col("sid")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    per_session = m2.groupBy("user_id", "sid").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("has_v"),
+        F.max("c_after_v").alias("has_vc"),
+        F.max("p_after_vc").alias("has_vcp"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("has_v").cast("long").alias("n_with_view"),
+        F.sum("has_vc").cast("long").alias("n_view_then_click"),
+        F.sum("has_vcp").cast("long").alias("n_full_pattern"),
+        F.expr(
+            "CAST(sum(has_vcp) * 1000000 div count(*) AS BIGINT)"
+        ).alias("match_ppm"),
+    )

@@ -2003,3 +2003,92 @@ def q_doc_novelty_scores(spark, sf_dir):
             6,
         ).alias("novelty"),
     )
+
+
+# --- chance-corrected label agreement (Cohen's kappa) ----------------------
+
+def _kappa_oracle() -> str:
+    from py_datalake_move_files_spark.queries import _lang_oracle
+
+    return f"""
+WITH p AS ({_lang_oracle()}),
+j AS (
+  SELECT d.lang, p.pred_lang
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+),
+cells AS (
+  SELECT lang, pred_lang, count(*) AS n FROM j GROUP BY lang, pred_lang
+),
+marg AS (
+  SELECT coalesce(r.lang, c.pred_lang) AS k,
+         coalesce(r.rn, 0) AS rn, coalesce(c.cn, 0) AS cn
+  FROM (SELECT lang, sum(n) AS rn FROM cells GROUP BY lang) r
+  FULL OUTER JOIN (SELECT pred_lang, sum(n) AS cn FROM cells
+                   GROUP BY pred_lang) c
+    ON r.lang = c.pred_lang
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM cells
+),
+pe AS (SELECT CAST(sum(rn * cn) AS BIGINT) AS rc FROM marg)
+SELECT t.nt AS n_docs, t.agree AS n_agree,
+  round(CAST(t.agree AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS po,
+  round(CAST(p.rc AS DOUBLE) / CAST(t.nt * t.nt AS DOUBLE), 6) AS pe,
+  round((CAST(t.agree AS DOUBLE) / CAST(t.nt AS DOUBLE)
+         - CAST(p.rc AS DOUBLE) / CAST(t.nt * t.nt AS DOUBLE))
+        / (1.0 - CAST(p.rc AS DOUBLE) / CAST(t.nt * t.nt AS DOUBLE)), 6)
+    AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+
+
+@register("lang_kappa_score", _kappa_oracle())
+def q_lang_kappa_score(spark, sf_dir):
+    """Cohen's kappa between the stored ``lang`` label and the
+    marker-token classifier — the scalar companion of
+    ``lang_confusion_matrix``: raw agreement po overstates label quality
+    when the class distribution is skewed (a constant predictor scores
+    po = majority share); kappa = (po - pe)/(1 - pe) subtracts the
+    chance-agreement floor pe = Σ row_i·col_i / N², the number a
+    label-quality gate should actually threshold on.
+
+    All mass terms (N, agreement, row/column marginals, Σ row·col) are
+    exact integers from the few-dozen-cell confusion aggregate; the three
+    doubles divide once each at the end in the SAME op order both
+    engines, rounded to 6 dp. Classification stays the map-only
+    lang_scores stage — one corpus scan, one tiny-cell exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        TXT.lang_scores(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    rows_m = cells.groupBy("lang").agg(F.sum("n").alias("rn"))
+    cols_m = cells.groupBy("pred_lang").agg(F.sum("n").alias("cn"))
+    marg = (
+        rows_m.join(cols_m, rows_m["lang"] == cols_m["pred_lang"], "full_outer")
+        .select(
+            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("rc"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    po = F.col("agree").cast("double") / F.col("nt").cast("double")
+    pe = F.col("rc").cast("double") / (F.col("nt") * F.col("nt")).cast("double")
+    return tot.crossJoin(F.broadcast(marg)).select(
+        F.col("nt").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

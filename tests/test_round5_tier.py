@@ -373,3 +373,70 @@ def test_novelty_complements_duplication(spark, sf_small):
         r = rows[doc_id]
         assert r.n_shingles == len(sh)
         assert r.n_first == sum(1 for s in sh if first[s] == doc_id)
+
+
+def test_session_pattern_matches_python_automaton(spark, sf_small):
+    """The cascaded-running-max automaton must equal a plain-Python
+    subsequence scan over each sessionized event stream."""
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = sorted(
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    sessions: dict[tuple, list[str]] = {}
+    prev: dict[int, float] = {}
+    sid: dict[int, int] = {}
+    for r in ev:
+        t = r.ts.timestamp()
+        if r.user_id not in prev or t - prev[r.user_id] > 1800:
+            sid[r.user_id] = sid.get(r.user_id, 0) + 1
+        prev[r.user_id] = t
+        sessions.setdefault((r.user_id, sid[r.user_id]), []).append(r.event_type)
+
+    def matches(types, pattern):
+        i = 0
+        for t in types:
+            if i < len(pattern) and t == pattern[i]:
+                i += 1
+        return i == len(pattern)
+
+    n_v = sum(1 for s in sessions.values() if "view" in s)
+    n_vc = sum(1 for s in sessions.values() if matches(s, ["view", "click"]))
+    n_vcp = sum(
+        1 for s in sessions.values() if matches(s, ["view", "click", "purchase"])
+    )
+    row = QUERIES["session_pattern_match"](spark, sf_small).collect()[0]
+    assert row.n_sessions == len(sessions)
+    assert row.n_with_view == n_v
+    assert row.n_view_then_click == n_vc
+    assert row.n_full_pattern == n_vcp
+
+
+def test_kappa_matches_python_recomputation(spark, sf_small):
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.text import lang_scores
+
+    pred = {
+        r.doc_id: (r.lang, r.pred_lang)
+        for r in lang_scores(load_table(spark, sf_small, "documents"))
+        .select("doc_id", "lang", "pred_lang")
+        .collect()
+    }
+    n = len(pred)
+    agree = sum(1 for a, p in pred.values() if a == p)
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for a, p in pred.values():
+        rows[a] = rows.get(a, 0) + 1
+        cols[p] = cols.get(p, 0) + 1
+    rc = sum(rows.get(k, 0) * cols.get(k, 0) for k in set(rows) | set(cols))
+    po = agree / n
+    pe = rc / (n * n)
+    got = QUERIES["lang_kappa_score"](spark, sf_small).collect()[0]
+    assert got.n_docs == n and got.n_agree == agree
+    assert got.po == round(po, 6)
+    assert got.pe == round(pe, 6)
+    assert got.kappa == round((po - pe) / (1 - pe), 6)

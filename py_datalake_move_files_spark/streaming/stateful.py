@@ -156,3 +156,106 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+PATTERN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_with_view", T.LongType()),
+        T.StructField("n_view_then_click", T.LongType()),
+        T.StructField("n_full_pattern", T.LongType()),
+    ]
+)
+
+_PATTERN_STATE = T.StructType(
+    [
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("closed_v", T.LongType()),
+        T.StructField("closed_vc", T.LongType()),
+        T.StructField("closed_vcp", T.LongType()),
+        T.StructField("cur_v", T.LongType()),
+        T.StructField("cur_vc", T.LongType()),
+        T.StructField("cur_vcp", T.LongType()),
+    ]
+)
+
+
+def session_pattern_state(events: DataFrame, *, gap_ms: int = 1800000) -> DataFrame:
+    """Streaming twin of the batch ``session_pattern_match`` automaton:
+    per-user session counts and view→click→purchase subsequence matches,
+    maintained ACROSS micro-batches in the checkpointed state store via
+    ``applyInPandasWithState`` — the live-funnel monitor (the batch query
+    recomputes history; this sees each event once and keeps O(1) state
+    per user: last-event time, session count, per-stage totals, and the
+    open session's three stage flags).
+
+    Strict-precedence semantics match the batch cascade exactly: events
+    are processed in (ts, event_id) order and each stage consults the
+    flags BEFORE the current event mutates them, which is the sequential
+    equivalent of the batch query's 1-PRECEDING window frames. The open
+    session's flags fold into the closed totals when the 30-min gap
+    starts a new session; emitted totals always include the open session.
+    Contract (same as every ingest twin here): micro-batches respect
+    per-user event-time order — true for an append-only event log
+    consumed in arrival order. The per-row Python loop runs on
+    Arrow-batched pandas frames per key — the custom-state-machine slow
+    path that windows cannot express incrementally; throughput scales
+    with the number of user partitions, and state is O(users)."""
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            (last_ms, seen, ns, cv, cvc, cvcp, uv, uvc, uvcp) = state.get
+        else:
+            last_ms, seen, ns, cv, cvc, cvcp, uv, uvc, uvcp = (
+                None, 0, 0, 0, 0, 0, 0, 0, 0,
+            )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ms = int(ts.value // 1_000_000)  # pandas ns -> ms
+                if last_ms is None or ms - last_ms > gap_ms:
+                    cv += uv
+                    cvc += uvc
+                    cvcp += uvcp
+                    uv = uvc = uvcp = 0
+                    ns += 1
+                last_ms = ms
+                seen += 1
+                if et == "view":
+                    uv = 1
+                elif et == "click" and uv:
+                    uvc = 1
+                elif et == "purchase" and uvc:
+                    uvcp = 1
+        state.update(
+            (last_ms, seen, ns, cv, cvc, cvcp, uv, uvc, uvcp)
+        )
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [seen],
+                "n_sessions": [ns],
+                "n_with_view": [cv + uv],
+                "n_view_then_click": [cvc + uvc],
+                "n_full_pattern": [cvcp + uvcp],
+            }
+        )
+
+    from py_datalake_move_files_spark.functions.timeutil import ensure_timestamp
+
+    ev = ensure_timestamp(events, "ts").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=PATTERN_SCHEMA,
+        stateStructType=_PATTERN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

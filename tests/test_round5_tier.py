@@ -440,3 +440,43 @@ def test_kappa_matches_python_recomputation(spark, sf_small):
     assert got.po == round(po, 6)
     assert got.pe == round(pe, 6)
     assert got.kappa == round((po - pe) / (1 - pe), 6)
+
+
+def test_transition_state_is_replay_idempotent(spark, sf_small, tmp_path):
+    """The append-only max-register state must derive the SAME last-event
+    row per user after a replayed append of an earlier batch's state rows
+    (the CRDT-style property the operator's at-least-once story relies
+    on)."""
+    from pyspark.sql import Window
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS m").collect()[0].m
+    b0 = ev.where(F.col("event_id") <= cut)
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def last_rows(frame):
+        return (
+            frame.withColumn("__rn", F.row_number().over(w_last))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    state = str(tmp_path / "state")
+    last_rows(b0).write.mode("append").parquet(state)
+    last_rows(ev.where(F.col("event_id") > cut)).write.mode("append").parquet(
+        state
+    )
+    def derived():
+        return {
+            (r.user_id, r.ts, r.event_id)
+            for r in last_rows(spark.read.parquet(state)).collect()
+        }
+    before = derived()
+    # replay batch 0's state append
+    last_rows(b0).write.mode("append").parquet(state)
+    assert derived() == before

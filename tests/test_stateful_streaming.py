@@ -148,3 +148,78 @@ def test_transform_with_state_matches_batch(spark, sf_small, tmp_path):
     for k, (n, total) in got.items():
         assert n == want[k][0], k
         assert abs(total - want[k][1]) < 0.02, k
+
+
+def test_session_pattern_state_matches_batch_automaton(spark, sf_small, tmp_path):
+    """Two time-split micro-batches through the stateful session automaton
+    must end at exactly the per-user session/pattern counts the batch
+    recomputation gives — including sessions and matches that straddle
+    the batch boundary."""
+    from py_datalake_move_files_spark.streaming.stateful import (
+        session_pattern_state,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS m").collect()[0].m
+    ev.where(F.col("event_id") <= cut).coalesce(1).write.parquet(
+        f"{tmp_path}/in/b0"
+    )
+    ev.where(F.col("event_id") > cut).coalesce(1).write.parquet(
+        f"{tmp_path}/in/b1"
+    )
+    stream = file_arrival_stream(
+        spark,
+        f"{tmp_path}/in/*",
+        "user_id long, ts timestamp, event_id long, event_type string",
+        max_files_per_trigger=1,
+    )
+    q = (
+        session_pattern_state(stream)
+        .writeStream.format("memory")
+        .queryName("session_pattern_t")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM session_pattern_t").collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.events_seen > latest[r.user_id].events_seen:
+            latest[r.user_id] = r
+
+    # plain-Python batch automaton per user (the same reference logic the
+    # batch query's test uses)
+    by_user: dict[int, list] = {}
+    for r in sorted(ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, evs in by_user.items():
+        prev = None
+        sessions = []
+        for r in evs:
+            t = r.ts.timestamp()
+            if prev is None or t - prev > 1800:
+                sessions.append([])
+            prev = t
+            sessions[-1].append(r.event_type)
+
+        def matches(types, pattern):
+            i = 0
+            for t in types:
+                if i < len(pattern) and t == pattern[i]:
+                    i += 1
+            return i == len(pattern)
+
+        got = latest[uid]
+        assert got.events_seen == len(evs)
+        assert got.n_sessions == len(sessions), uid
+        assert got.n_with_view == sum(1 for s in sessions if "view" in s), uid
+        assert got.n_view_then_click == sum(
+            1 for s in sessions if matches(s, ["view", "click"])
+        ), uid
+        assert got.n_full_pattern == sum(
+            1 for s in sessions if matches(s, ["view", "click", "purchase"])
+        ), uid

@@ -499,3 +499,41 @@ def foreach_batch_transition_ingest(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_hll_ingest(
+    event_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    out_path: str,
+    item_col: str = "user_id",
+    grain_cols: tuple[str, ...] = ("event_type",),
+    lg_k: int = 12,
+):
+    """Streaming HLL ingest — the cardinality member of the streaming
+    sketch trio (Bloom = membership screen, CMS = frequency cells, HLL =
+    distinct counts): each micro-batch collapses to one ~KB sketch row
+    per grain (functions/sketches.sketch_partials), appended
+    batch-stamped. Because DataSketches HLL merges by union,
+    ``hll_union_agg`` over ANY prefix of stored batch rows equals the
+    one-shot sketch over those batches' raw items — so a live dashboard
+    answers "distinct users so far, by type" from a handful of sketch
+    rows, never re-shuffling the keys (pinned in tests/test_streaming).
+    Replays re-append identical sketch rows; since union is idempotent
+    only on identical-set inputs, consumers keep one row per
+    (batch_id, grain) — the same at-least-once contract as every
+    foreachBatch sink here, with batch_id provided for exactly that."""
+    from py_datalake_move_files_spark.functions.sketches import sketch_partials
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_partials(
+            batch_df, item_col, list(grain_cols), lg_k=lg_k
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )

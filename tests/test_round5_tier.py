@@ -480,3 +480,67 @@ def test_transition_state_is_replay_idempotent(spark, sf_small, tmp_path):
     # replay batch 0's state append
     last_rows(b0).write.mode("append").parquet(state)
     assert derived() == before
+
+
+def test_streaming_hll_ingest_unions_to_batch_sketch(spark, tmp_path):
+    """Mergeability, streaming-side: union of the per-batch sketch rows
+    must estimate exactly what the one-shot batch sketch estimates (same
+    algorithm, same lg_k — DataSketches HLL union of partitions of a set
+    is the sketch of the set)."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.functions.sketches import (
+        sketch_partials,
+        union_estimate,
+    )
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_hll_ingest,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS m").collect()[0].m
+    src = tmp_path / "hin"
+    ev.where(F.col("event_id") <= cut).coalesce(1).write.parquet(str(src / "p0"))
+    ev.where(F.col("event_id") > cut).coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = file_arrival_stream(
+        spark,
+        f"{src}/*",
+        "user_id long, event_id long, event_type string",
+        max_files_per_trigger=1,
+    )
+    q = (
+        foreach_batch_hll_ingest(
+            stream,
+            str(tmp_path / "hckpt"),
+            out_path=str(tmp_path / "hout"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(str(tmp_path / "hout"))
+    assert stored.select("batch_id").distinct().count() == 2
+    got = {
+        r.event_type: (r.approx_distinct, r.n_rows)
+        for r in union_estimate(stored, ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: (r.approx_distinct, r.n_rows)
+        for r in union_estimate(
+            sketch_partials(ev, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert got == want
+    # and the estimates sit within the 3*rsd envelope of exact truth
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, (est, _) in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k] * 3)

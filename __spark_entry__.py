@@ -145,6 +145,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "doc_novelty_scores",  # new in r5 (post-rotation); local parity both SFs
     "session_pattern_match",  # new in r5 (post-rotation); local parity both SFs
     "lang_kappa_score",  # new in r5 (post-rotation); local parity both SFs
+    "hourly_autocorrelation",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

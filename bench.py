@@ -141,6 +141,7 @@ HEADLINE = [
     # r5: MATCH_RECOGNIZE-lite session automaton + chance-corrected kappa
     "session_pattern_match",
     "lang_kappa_score",
+    "hourly_autocorrelation",
 ]
 
 

@@ -864,3 +864,109 @@ def q_session_pattern_match(spark, sf_dir):
             "CAST(sum(has_vcp) * 1000000 div count(*) AS BIGINT)"
         ).alias("match_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# time-series autocorrelation of the hourly event-count series
+# --------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+),
+dense AS (
+  SELECT s.hour, CAST(coalesce(h.n, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN hourly h USING (hour)
+),
+lagged AS (
+  SELECT cnt,
+    lag(cnt, 1) OVER (ORDER BY hour) AS l1,
+    lag(cnt, 24) OVER (ORDER BY hour) AS l24
+  FROM dense
+),
+pairs AS (
+  SELECT 1 AS lag, cnt AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT 24 AS lag, cnt AS x, l24 AS y FROM lagged WHERE l24 IS NOT NULL
+),
+s AS (
+  SELECT lag, count(*) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+    sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+    AS autocorr
+FROM s
+"""
+
+
+@register("hourly_autocorrelation", _ACF_ORACLE)
+def q_hourly_autocorrelation(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of the hourly event-count series —
+    the seasonality probe (a strong lag-24 says "daily cycle", which
+    decides windowing and anomaly baselines downstream). The hour spine
+    is densified (gap hours count 0, same generator device as
+    date_gap_fill) because autocorrelation over a gappy series silently
+    misaligns lags.
+
+    Exactness: the series is integer COUNTS, so every Pearson component
+    (n, Σx, Σy, Σx², Σy², Σxy) is an exact integer sum — the one double
+    division happens at the end in the same op order both engines (the
+    stats_corr device, without even needing decimals). The lag windows
+    order the AGGREGATE series (thousands of hour rows, the Pareto-query
+    posture), never raw events; both lags ride one window pass."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(F.date_trunc("hour", "ts").alias("hour"))
+    bounds = h.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    hourly = h.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+    dense = spine.join(hourly, "hour", "left").select(
+        "hour", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("hour")
+    lagged = dense.select(
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 24).over(w).alias("l24"),
+    )
+    pairs = lagged.where(F.col("l1").isNotNull()).select(
+        F.lit(1).alias("lag"), F.col("cnt").alias("x"), F.col("l1").alias("y")
+    ).unionAll(
+        lagged.where(F.col("l24").isNotNull()).select(
+            F.lit(24).alias("lag"),
+            F.col("cnt").alias("x"),
+            F.col("l24").alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return pairs.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n.cast("double") * sxy - sx.cast("double") * sy)
+            / (
+                F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+                * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)
+            ),
+            6,
+        ).alias("autocorr"),
+    )

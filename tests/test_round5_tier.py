@@ -544,3 +544,41 @@ def test_streaming_hll_ingest_unions_to_batch_sketch(spark, tmp_path):
     }
     for k, (est, _) in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k] * 3)
+
+
+def test_autocorrelation_matches_python_pearson(spark, sf_small):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events").select("ts").collect()
+    from collections import Counter
+    import datetime as dt
+    import math
+
+    hours = Counter(
+        r.ts.replace(minute=0, second=0, microsecond=0) for r in ev
+    )
+    h0, h1 = min(hours), max(hours)
+    series = []
+    h = h0
+    while h <= h1:
+        series.append(hours.get(h, 0))
+        h += dt.timedelta(hours=1)
+
+    def pearson(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    got = {
+        r.lag: (r.n_pairs, r.autocorr)
+        for r in QUERIES["hourly_autocorrelation"](spark, sf_small).collect()
+    }
+    for k in (1, 24):
+        xs, ys = series[k:], series[:-k]
+        assert got[k][0] == len(xs)
+        assert abs(got[k][1] - pearson(xs, ys)) < 1e-6

@@ -142,6 +142,7 @@ HEADLINE = [
     "session_pattern_match",
     "lang_kappa_score",
     "hourly_autocorrelation",
+    "range_partition_plan",
 ]
 
 

@@ -955,3 +955,89 @@ def q_value_drift_psi(spark, sf_dir):
             ).alias("psi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# range-partition planning: sample-derived sort boundaries + balance audit
+# --------------------------------------------------------------------------
+
+_RP_BUCKETS = 16
+#: md5 bucket < 13/256 ≈ a 5% deterministic sample — the reproducible
+#: stand-in for the random reservoir repartitionByRange draws internally
+_RP_SAMPLE = 13
+
+
+def _rp_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    hv = hex_value_sql("md5(CAST(o_orderkey AS VARCHAR))", 2)
+    return f"""
+WITH samp AS (
+  SELECT o_totalprice AS v FROM orders WHERE ({hv}) < {_RP_SAMPLE}
+),
+rk AS (
+  SELECT v, row_number() OVER (ORDER BY v, v) AS r,
+         count(*) OVER () AS n
+  FROM samp
+),
+bounds AS (
+  SELECT list(v ORDER BY v) AS bl FROM rk
+  WHERE r IN (SELECT DISTINCT CAST(ceil(i * n / {_RP_BUCKETS}.0) AS BIGINT)
+              FROM rk, unnest(generate_series(1, {_RP_BUCKETS - 1})) AS t(i))
+),
+assigned AS (
+  SELECT CAST(len(list_filter(b.bl, rpb -> o.o_totalprice >= rpb)) AS INT)
+    AS bucket
+  FROM orders o CROSS JOIN bounds b
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders
+FROM assigned GROUP BY bucket
+"""
+
+
+@register("range_partition_plan", _rp_oracle())
+def q_range_partition_plan(spark, sf_dir):
+    """Range-partition planning — what ``repartitionByRange`` /
+    distributed sort does internally, surfaced as an auditable query:
+    derive {n-1} split boundaries for ``o_totalprice`` from a
+    DETERMINISTIC 5% sample (md5-bucketed, so the plan is reproducible
+    across runs and engines — Spark's own reservoir sample is not), then
+    assign every order to its range bucket and report the per-bucket
+    counts a planner inspects for balance before committing to the sort.
+
+    Plan shape: sample filter is map-only on the scan; boundaries come
+    from a TakeOrderedAndProject-sized sort of the ~5% sample; the
+    (n-1)-element boundary array rides a one-row broadcast onto the full
+    scan, where assignment is one HOF count per row (``>= boundary``
+    over 15 elements, pure codegen); the final per-bucket count is one
+    map-side-combined exchange of 16 cells. At 100 TB this is exactly
+    the two-pass shape of a production sort plan: cheap sample pass,
+    metadata-sized planning state, one full scan."""
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    hv = hex_value_sql("md5(CAST(o_orderkey AS STRING))", 2)
+    samp = orders.where(F.expr(f"({hv}) < {_RP_SAMPLE}")).select(
+        F.col("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("v", "v")
+    rk = samp.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    is_bound = F.expr(
+        f"exists(sequence(1, {_RP_BUCKETS - 1}), "
+        f"rpi -> r = CAST(ceil(rpi * n / {_RP_BUCKETS}.0) AS BIGINT))"
+    )
+    bounds = (
+        rk.where(is_bound)
+        .agg(F.sort_array(F.collect_list("v")).alias("bl"))
+    )
+    assigned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "CAST(size(filter(bl, rpb -> o_totalprice >= rpb)) AS INT)"
+        ).alias("bucket")
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )

@@ -582,3 +582,19 @@ def test_autocorrelation_matches_python_pearson(spark, sf_small):
         xs, ys = series[k:], series[:-k]
         assert got[k][0] == len(xs)
         assert abs(got[k][1] - pearson(xs, ys)) < 1e-6
+
+
+def test_range_partition_plan_is_balanced_and_complete(spark, sf_small):
+    """All rows land in a bucket, bucket ids cover 0..15, and a 5% sample's
+    boundaries keep every bucket within a loose balance envelope of the
+    ideal share (the property a planner checks before trusting the
+    sort plan)."""
+    from py_datalake_move_files_spark.catalog import load_table
+
+    rows = QUERIES["range_partition_plan"](spark, sf_small).collect()
+    total = load_table(spark, sf_small, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    assert {r.bucket for r in rows} == set(range(16))
+    ideal = total / 16
+    for r in rows:
+        assert r.n_orders < 4 * ideal, (r.bucket, r.n_orders, ideal)

@@ -147,6 +147,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "lang_kappa_score",  # new in r5 (post-rotation); local parity both SFs
     "hourly_autocorrelation",  # new in r5 (post-rotation); local parity both SFs
     "range_partition_plan",  # new in r5 (post-rotation); local parity both SFs
+    "embedding_norm_outliers",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

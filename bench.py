@@ -143,6 +143,7 @@ HEADLINE = [
     "lang_kappa_score",
     "hourly_autocorrelation",
     "range_partition_plan",
+    "embedding_norm_outliers",
 ]
 
 

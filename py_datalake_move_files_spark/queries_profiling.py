@@ -1041,3 +1041,128 @@ def q_range_partition_plan(spark, sf_dir):
     return assigned.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-norm sanity audit (degenerate-vector detection, median/MAD)
+# --------------------------------------------------------------------------
+
+def _norm_outlier_oracle() -> str:
+    from py_datalake_move_files_spark.oracle_frags import dd_norm
+
+    return f"""
+WITH nm AS (
+  SELECT CAST(round(({dd_norm('embedding')}) * 1000000) AS BIGINT) AS c
+  FROM embeddings
+),
+hist AS (SELECT c, count(*) AS n FROM nm GROUP BY c),
+cum AS (
+  SELECT c, n,
+    sum(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cw,
+    sum(n) OVER () AS tot
+  FROM hist
+),
+med AS (
+  SELECT tot AS n_vectors,
+    min(CASE WHEN cw >= (tot + 1) // 2 THEN c END)
+      + min(CASE WHEN cw >= (tot + 2) // 2 THEN c END) AS med2
+  FROM cum GROUP BY tot
+),
+dev AS (
+  SELECT abs(2 * h.c - m.med2) AS d2, sum(h.n) AS n
+  FROM hist h CROSS JOIN med m GROUP BY abs(2 * h.c - m.med2)
+),
+dcum AS (
+  SELECT d2, n,
+    sum(n) OVER (ORDER BY d2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cw,
+    sum(n) OVER () AS tot
+  FROM dev
+),
+mad AS (
+  SELECT min(CASE WHEN cw >= (tot + 1) // 2 THEN d2 END)
+       + min(CASE WHEN cw >= (tot + 2) // 2 THEN d2 END) AS mad4
+  FROM dcum
+),
+outliers AS (
+  SELECT CAST(sum(CASE WHEN 2 * d.d2 > 3 * a.mad4 THEN d.n ELSE 0 END)
+              AS BIGINT) AS n_outliers
+  FROM dev d CROSS JOIN mad a
+)
+SELECT CAST(m.n_vectors AS BIGINT) AS n_vectors,
+  m.med2 AS median_norm_micro_x2, a.mad4 AS mad_norm_micro_x4,
+  o.n_outliers,
+  CAST(o.n_outliers * 1000000 // m.n_vectors AS BIGINT) AS outlier_ppm
+FROM med m CROSS JOIN mad a CROSS JOIN outliers o
+"""
+
+
+@register("embedding_norm_outliers", _norm_outlier_oracle())
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Embedding-space sanity audit: robust (median/MAD) outlier rate of
+    the L2-norm distribution — the first check before ANY cosine-based
+    pipeline runs (near-zero norms make cosine unstable; wildly large
+    norms usually mean a failed normalization or corrupted rows upstream,
+    and mean/stddev z-scores would let those very outliers hide the
+    threshold).
+
+    Devices reused, composed: norms via the same sequential fold the ANN
+    oracles use (bit-identical doubles), quantized to integer
+    MICRO-UNITS, then the mad_outlier_events histogram-rank machinery on
+    a single global group — map-side-combined cells, exact medians off
+    cumulative ranks, the all-integer ``2*|2c-med2| > 3*mad4`` test.
+    One corpus scan, exchanges carry histogram cells only."""
+    from py_datalake_move_files_spark.operators.similarity import norm
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nm = emb.select(
+        F.round(norm("embedding") * 1000000).cast("long").alias("c")
+    )
+    hist = (
+        nm.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _median_x2(h, val_col, out):
+        wcum = (
+            Window.orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy()
+        c = h.withColumn("cw", F.sum("n").over(wcum)).withColumn(
+            "tot", F.sum("n").over(wtot)
+        )
+        lo = F.min(F.when(F.expr("cw >= (tot + 1) div 2"), F.col(val_col)))
+        hi = F.min(F.when(F.expr("cw >= (tot + 2) div 2"), F.col(val_col)))
+        return c.groupBy("tot").agg((lo + hi).alias(out))
+
+    med = _median_x2(hist, "c", "med2").withColumnRenamed("tot", "n_vectors")
+    dev = (
+        hist.crossJoin(F.broadcast(med.select("med2")))
+        .select(F.abs(2 * F.col("c") - F.col("med2")).alias("d2"), "n")
+        .groupBy("d2")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mad = _median_x2(dev, "d2", "mad4").select("mad4")
+    outliers = dev.crossJoin(F.broadcast(mad)).agg(
+        F.sum(
+            F.when(2 * F.col("d2") > 3 * F.col("mad4"), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return (
+        med.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(outliers))
+        .select(
+            F.col("n_vectors").cast("long"),
+            F.col("med2").alias("median_norm_micro_x2"),
+            F.col("mad4").alias("mad_norm_micro_x4"),
+            "n_outliers",
+            F.expr("(n_outliers * 1000000) div n_vectors").alias("outlier_ppm"),
+        )
+    )

@@ -598,3 +598,29 @@ def test_range_partition_plan_is_balanced_and_complete(spark, sf_small):
     ideal = total / 16
     for r in rows:
         assert r.n_orders < 4 * ideal, (r.bucket, r.n_orders, ideal)
+
+
+def test_embedding_norm_audit_matches_python(spark, sf_small):
+    """Recount in Python, covering the MAD=0 degenerate case (the harness
+    embeddings are exactly unit-normalized — the audit must report that
+    faithfully, not crash on zero deviation)."""
+    import math
+    import statistics
+    from py_datalake_move_files_spark.catalog import load_table
+
+    vecs = [
+        r.embedding
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    ]
+    norms = [
+        round(math.sqrt(sum(float(x) * float(x) for x in v)) * 1_000_000)
+        for v in vecs
+    ]
+    med = statistics.median(norms)
+    mad = statistics.median(abs(c - med) for c in norms)
+    out = sum(1 for c in norms if abs(c - med) > 3 * mad)
+    row = QUERIES["embedding_norm_outliers"](spark, sf_small).collect()[0]
+    assert row.n_vectors == len(norms)
+    assert row.median_norm_micro_x2 == round(2 * med)
+    assert row.mad_norm_micro_x4 == round(4 * mad)
+    assert row.n_outliers == out

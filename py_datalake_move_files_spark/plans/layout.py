@@ -94,3 +94,88 @@ def zorder_key_sql(cols: list[str], *, bits: int = 8) -> str:
                 f"THEN {2 ** (b * len(cols) + i)} ELSE 0 END)"
             )
     return " + ".join(terms)
+
+
+def write_with_stats_index(
+    df: DataFrame,
+    path: str,
+    *,
+    stats_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered write + file-level min/max stats sidecar — the
+    lakehouse data-skipping index (Delta/Iceberg keep exactly this in
+    their metadata): ``repartitionByRange`` clusters the stats column so
+    each file owns a narrow value range, then one metadata-only pass
+    aggregates per-file (min, max, rows) into ``<path>__stats``.
+
+    Parquet row-group stats already skip WITHIN a file once it is opened;
+    this sidecar skips the file OPEN itself (at 100 TB: planning reads a
+    KB-scale stats table instead of footers of 100k files — the listing
+    and footer round-trips are the cold-read bottleneck, not the bytes).
+    The sidecar is derived purely from the written files
+    (``input_file_name`` aggregate), so a rewrite that forgets the
+    sidecar fails closed: read_with_stats_pruning refuses a stale index
+    (file-set mismatch) rather than silently scanning everything."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, stats_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    stats = (
+        written.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(stats_col).alias("min_v"),
+            F.max(stats_col).alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    stats.coalesce(1).write.mode(mode).parquet(path + "__stats")
+
+
+def read_with_stats_pruning(
+    spark: SparkSession,
+    path: str,
+    *,
+    stats_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Open ONLY the files whose [min, max] range intersects [lo, hi],
+    per the stats sidecar, then apply the residual predicate (file stats
+    are necessary, not sufficient). Raises if the sidecar's file set
+    disagrees with the directory listing (stale index — fail closed).
+
+    Returns the same rows as ``spark.read.parquet(path).where(lo <= c <=
+    hi)`` (pinned in tests/test_layout) while touching a subset of the
+    files; the driver-side stats read is a few KB regardless of table
+    size."""
+    from pyspark.sql import functions as F
+
+    stats = spark.read.parquet(path + "__stats").collect()
+    listed = {
+        r.file
+        for r in spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    }
+    indexed = {r.file for r in stats}
+    if listed != indexed:
+        raise ValueError(
+            f"stats index is stale: {len(indexed)} indexed vs "
+            f"{len(listed)} listed files — rewrite via write_with_stats_index"
+        )
+    keep = [r.file for r in stats if not (r.max_v < lo or r.min_v > hi)]
+    if not keep:
+        base = spark.read.parquet(path)
+        return base.where(F.lit(False))
+    return (
+        spark.read.parquet(*keep)
+        .where((F.col(stats_col) >= lo) & (F.col(stats_col) <= hi))
+    )

@@ -94,3 +94,54 @@ def test_orc_layout_round_trip_with_pruning_and_pushdown(spark, tmp_path):
         (F.col("event_type") == "purchase") & (F.col("user_id") == 7)
     ).count()
     assert sel.count() == want
+
+
+def test_stats_index_prunes_file_opens_and_matches_full_scan(spark, sf_small, tmp_path):
+    """Data-skipping sidecar: a narrow range predicate must read a strict
+    subset of files and return exactly the rows of the unpruned filter;
+    a stale sidecar must fail closed."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.plans.layout import (
+        read_with_stats_pruning,
+        write_with_stats_index,
+    )
+
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "lake")
+    write_with_stats_index(orders, path, stats_col="o_totalprice", n_files=8)
+
+    stats = spark.read.parquet(path + "__stats").collect()
+    assert len(stats) == 8
+    # ranges are disjoint-ish by construction: pick one file's exact range
+    target = sorted(stats, key=lambda r: r.min_v)[3]
+    lo, hi = target.min_v, target.max_v
+
+    pruned = read_with_stats_pruning(
+        spark, path, stats_col="o_totalprice", lo=lo, hi=hi
+    )
+    full = (
+        spark.read.parquet(path)
+        .where((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi))
+    )
+    got = sorted(r.o_orderkey for r in pruned.collect())
+    want = sorted(r.o_orderkey for r in full.collect())
+    assert got == want and got
+    # strictly fewer file opens than the table has files
+    opened = {
+        r.f
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(opened) < 8
+    # out-of-domain range opens zero files but still returns a valid frame
+    none = read_with_stats_pruning(
+        spark, path, stats_col="o_totalprice", lo=1e12, hi=2e12
+    )
+    assert none.count() == 0
+    # stale index fails closed
+    orders.limit(10).write.mode("append").parquet(path)
+    import pytest
+
+    with pytest.raises(ValueError, match="stale"):
+        read_with_stats_pruning(
+            spark, path, stats_col="o_totalprice", lo=lo, hi=hi
+        )

@@ -144,6 +144,7 @@ HEADLINE = [
     "hourly_autocorrelation",
     "range_partition_plan",
     "embedding_norm_outliers",
+    "conversion_latency_quartiles",
 ]
 
 

@@ -970,3 +970,106 @@ def q_hourly_autocorrelation(spark, sf_dir):
             6,
         ).alias("autocorr"),
     )
+
+
+# --------------------------------------------------------------------------
+# conversion-latency quartiles — exact R-7 quantiles from integer histograms
+# --------------------------------------------------------------------------
+
+def _quartile_sql(k: int) -> tuple[str, str]:
+    """(lo_rank, frac4) SQL for the k-th quartile under R-7 interpolation:
+    position = (n-1)*k/4 → rank pos4 div 4 (0-based) with a quarter-unit
+    remainder, exact integers both engines."""
+    return (
+        f"(((tot - 1) * {k}) div 4 + 1)",
+        f"(((tot - 1) * {k}) % 4)",
+    )
+
+
+def _latency_oracle() -> str:
+    pieces = []
+    for k in (1, 2, 3):
+        lo, fr = _quartile_sql(k)
+        lo = lo.replace(" div ", " // ")
+        # every term is an aggregate (per-row ``tot``/``cw`` only appear
+        # INSIDE min()/max()), so the projection is aggregate-valid in
+        # both engines
+        vlo = f"min(CASE WHEN cw >= {lo} THEN c END)"
+        vhi = f"min(CASE WHEN cw >= {lo} + 1 THEN c END)"
+        f4 = f"max({fr})"
+        pieces.append(
+            f"CAST(CASE WHEN {f4} = 0 THEN 4 * {vlo} "
+            f"ELSE 4 * {vlo} + {f4} * ({vhi} - {vlo}) END AS BIGINT) "
+            f"AS p{k * 25}_ms_x4"
+        )
+    sel = ", ".join(pieces)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT CAST(epoch_ms(tp) - epoch_ms(tv) AS BIGINT) AS c
+  FROM per_user WHERE tv IS NOT NULL AND tp >= tv
+),
+hist AS (SELECT c, count(*) AS n FROM lat GROUP BY c),
+cum AS (
+  SELECT c, n,
+    sum(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cw,
+    sum(n) OVER () AS tot
+  FROM hist
+)
+SELECT CAST(max(tot) AS BIGINT) AS n_pairs, {sel} FROM cum
+"""
+
+
+@register("conversion_latency_quartiles", _latency_oracle())
+def q_conversion_latency_quartiles(spark, sf_dir):
+    """Exact p25/p50/p75 of the view→purchase latency (first view to
+    first at-or-after purchase, per user) — the funnel-health metric a
+    product team watches, computed WITHOUT value-buffering percentile
+    aggregates: the histogram-rank median device generalized to
+    interpolated R-7 quantiles. ``(n-1)·q`` has an exact quarter-unit
+    remainder at quartile points, so each quantile is ``4·v(lo) +
+    frac4·(v(lo+1) − v(lo))`` in INTEGERS (×4 fixed point) read off the
+    cumulative histogram — identical to what ``percentile()`` /
+    ``quantile_cont()`` interpolate, minus their per-group value buffers
+    and cross-engine float risk. Latencies are exact epoch-millisecond
+    integers; one exchange builds the per-user mins, one the bounded
+    histogram."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    lat = per_user.where(
+        F.col("tv").isNotNull() & (F.col("tp") >= F.col("tv"))
+    ).select(
+        (F.unix_millis("tp") - F.unix_millis("tv")).alias("c")
+    )
+    hist = lat.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    cum = hist.withColumn("cw", F.sum("n").over(wcum)).withColumn(
+        "tot", F.sum("n").over(wtot)
+    )
+    aggs = [F.max("tot").cast("long").alias("n_pairs")]
+    for k in (1, 2, 3):
+        lo, fr = _quartile_sql(k)
+        vlo = f"min(CASE WHEN cw >= {lo} THEN c END)"
+        vhi = f"min(CASE WHEN cw >= {lo} + 1 THEN c END)"
+        f4 = f"max({fr})"
+        aggs.append(
+            F.expr(
+                f"CAST(CASE WHEN {f4} = 0 THEN 4 * {vlo} "
+                f"ELSE 4 * {vlo} + {f4} * ({vhi} - {vlo}) END AS BIGINT)"
+            ).alias(f"p{k * 25}_ms_x4")
+        )
+    return cum.agg(*aggs)

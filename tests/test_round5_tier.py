@@ -624,3 +624,68 @@ def test_embedding_norm_audit_matches_python(spark, sf_small):
     assert row.median_norm_micro_x2 == round(2 * med)
     assert row.mad_norm_micro_x4 == round(4 * mad)
     assert row.n_outliers == out
+
+
+def _executed(spark, name, sf):
+    return (
+        QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_session_automaton_pays_one_user_exchange(spark, sf_small):
+    """Arbitrary-length pattern, ONE data-sized exchange: every window of
+    the automaton partitions by user_id alone, so the plan carries exactly
+    one user-keyed hash exchange (plus the single-partition final
+    summary)."""
+    import re
+
+    plan = _executed(spark, "session_pattern_match", sf_small)
+    user_exch = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exch) == 1, plan.count("Exchange")
+
+
+def test_shard_plan_shares_one_exchange_between_window_and_agg(spark, sf_small):
+    """The position window and the per-shard aggregate reuse the same
+    shard-keyed partitioning — exactly one hash exchange in the plan."""
+    import re
+
+    plan = _executed(spark, "training_shard_plan", sf_small)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_transition_matrix_single_data_sized_exchange(spark, sf_small):
+    """Only the lead window's user_id exchange moves event-sized data; the
+    other exchanges key the <=25-cell aggregate."""
+    import re
+
+    plan = _executed(spark, "event_transition_matrix", sf_small)
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+
+
+def test_latency_quartiles_match_statistics_quantiles(spark, sf_small):
+    """The fixed-point histogram quantiles must equal Python's
+    inclusive-method (R-7) quantiles over the recomputed latencies."""
+    import statistics
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events").collect()
+    tv: dict[int, object] = {}
+    tp: dict[int, object] = {}
+    for r in ev:
+        if r.event_type == "view":
+            if r.user_id not in tv or r.ts < tv[r.user_id]:
+                tv[r.user_id] = r.ts
+        elif r.event_type == "purchase":
+            if r.user_id not in tp or r.ts < tp[r.user_id]:
+                tp[r.user_id] = r.ts
+    lats = [
+        int(tp[u].timestamp() * 1000) - int(tv[u].timestamp() * 1000)
+        for u in tv
+        if u in tp and tp[u] >= tv[u]
+    ]
+    q = statistics.quantiles(lats, n=4, method="inclusive")
+    row = QUERIES["conversion_latency_quartiles"](spark, sf_small).collect()[0]
+    assert row.n_pairs == len(lats)
+    assert row.p25_ms_x4 == round(4 * q[0])
+    assert row.p50_ms_x4 == round(4 * q[1])
+    assert row.p75_ms_x4 == round(4 * q[2])

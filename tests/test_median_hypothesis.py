@@ -83,3 +83,44 @@ def test_aggregate_skyline_equals_bruteforce_pareto(spark, pts):
         )
     }
     assert got == brute
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(values)
+def test_histogram_quartiles_match_statistics_inclusive(spark, vals):
+    """The x4 fixed-point histogram-rank quantile device (the
+    conversion-latency query's core) must equal Python's inclusive (R-7)
+    quantiles on arbitrary integer multisets."""
+    import statistics
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    hist = df.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cw", F.sum("n").over(wcum)).withColumn(
+        "tot", F.sum("n").over(Window.partitionBy())
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        lo = f"(((tot - 1) * {k}) div 4 + 1)"
+        fr = f"(((tot - 1) * {k}) % 4)"
+        vlo = f"min(CASE WHEN cw >= {lo} THEN c END)"
+        vhi = f"min(CASE WHEN cw >= {lo} + 1 THEN c END)"
+        aggs.append(
+            F.expr(
+                f"CAST(CASE WHEN max({fr}) = 0 THEN 4 * {vlo} "
+                f"ELSE 4 * {vlo} + max({fr}) * ({vhi} - {vlo}) END AS BIGINT)"
+            ).alias(f"q{k}")
+        )
+    row = cum.agg(*aggs).collect()[0]
+    if len(vals) >= 2:
+        want = statistics.quantiles(vals, n=4, method="inclusive")
+        for k in (1, 2, 3):
+            assert row[f"q{k}"] == round(4 * want[k - 1]), (vals, k)
+    else:
+        # single value: every quartile is that value
+        for k in (1, 2, 3):
+            assert row[f"q{k}"] == 4 * vals[0]

@@ -149,6 +149,7 @@ NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
     "range_partition_plan",  # new in r5 (post-rotation); local parity both SFs
     "embedding_norm_outliers",  # new in r5 (post-rotation); local parity both SFs
     "conversion_latency_quartiles",  # new in r5 (post-rotation); local parity both SFs
+    "basket_pair_lift",  # new in r5 (post-rotation); local parity both SFs
 ]
 
 

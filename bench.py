@@ -145,6 +145,7 @@ HEADLINE = [
     "range_partition_plan",
     "embedding_norm_outliers",
     "conversion_latency_quartiles",
+    "basket_pair_lift",
 ]
 
 

@@ -1073,3 +1073,95 @@ def q_conversion_latency_quartiles(spark, sf_dir):
             ).alias(f"p{k * 25}_ms_x4")
         )
     return cum.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# market-basket co-occurrence: support + lift for part pairs within orders
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 3
+_BASKET_TOP = 25
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_pair
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+top AS (
+  SELECT pa, pb, n_pair FROM pairs WHERE n_pair >= {_BASKET_MIN_PAIR}
+  ORDER BY n_pair DESC, pa, pb LIMIT {_BASKET_TOP}
+),
+ic AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+nb AS (SELECT count(DISTINCT ok) AS n_orders FROM items)
+SELECT t.pa, t.pb, t.n_pair,
+  round(CAST(t.n_pair AS DOUBLE) / CAST(nb.n_orders AS DOUBLE), 6)
+    AS support,
+  round((CAST(t.n_pair AS DOUBLE) * CAST(nb.n_orders AS DOUBLE))
+        / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 6) AS lift
+FROM top t JOIN ic a ON t.pa = a.pk JOIN ic b ON t.pb = b.pk
+CROSS JOIN nb
+"""
+
+
+@register("basket_pair_lift", _BASKET_ORACLE)
+def q_basket_pair_lift(spark, sf_dir):
+    """Market-basket analysis: the top co-occurring part pairs within
+    orders, with support and lift — the association-rule primitive
+    (lift > 1: the pair co-occurs more than independence predicts; a
+    high-count, lift≈1 pair is just two popular parts).
+
+    Scale shape: the quadratic stage is bounded PER BASKET (the within-
+    order self-join generates C(k,2) pairs from a k-item order — k ≤ 13
+    here, and real baskets are similarly bounded; an unbounded-group
+    guard is one ``count ≤ cap`` filter away, same device as the LSH
+    bucket caps), keyed on the order — one co-partitioned exchange, never
+    an all-pairs join across orders. Item supports and the basket count
+    are map-side-combined aggregates; the 25 survivors of the
+    TakeOrderedAndProject broadcast onto the item-count table; ratios
+    divide once at the end in the same op order both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    top = (
+        pairs.where(F.col("n_pair") >= _BASKET_MIN_PAIR)
+        .orderBy(F.desc("n_pair"), "pa", "pb")
+        .limit(_BASKET_TOP)
+    )
+    ic = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    nb = items.agg(F.countDistinct("ok").alias("n_orders"))
+    ia = ic.select(F.col("pk").alias("pa"), F.col("c").alias("c_a"))
+    ib = ic.select(F.col("pk").alias("pb"), F.col("c").alias("c_b"))
+    return (
+        F.broadcast(top)
+        .join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -689,3 +689,31 @@ def test_latency_quartiles_match_statistics_quantiles(spark, sf_small):
     assert row.p25_ms_x4 == round(4 * q[0])
     assert row.p50_ms_x4 == round(4 * q[1])
     assert row.p75_ms_x4 == round(4 * q[2])
+
+
+def test_basket_lift_matches_python_recount(spark, sf_small):
+    from itertools import combinations
+    from py_datalake_move_files_spark.catalog import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair_n: dict[tuple, int] = {}
+    item_n: dict[int, int] = {}
+    for items in baskets.values():
+        for p in items:
+            item_n[p] = item_n.get(p, 0) + 1
+        for x, y in combinations(sorted(items), 2):
+            pair_n[(x, y)] = pair_n.get((x, y), 0) + 1
+    n_orders = len(baskets)
+    rows = QUERIES["basket_pair_lift"](spark, sf_small).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.n_pair == pair_n[(r.pa, r.pb)]
+        assert r.support == round(r.n_pair / n_orders, 6)
+        assert r.lift == round(
+            r.n_pair * n_orders / (item_n[r.pa] * item_n[r.pb]), 6
+        )

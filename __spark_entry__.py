@@ -21,26 +21,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-5 rotation
-#: completes the evidence burn-down: rounds 1-4 accumulated driver-green
-#: rows for 105 distinct queries (the ledger CORRECTNESS_CUMULATIVE.json,
-#: regenerated from the per-round artifacts by tools/make_cumulative.py, is
-#: the source of truth — no more hand-kept counts after r4's off-by-one).
-#: This window keeps 7 anchors (one per major §2 family, all green in r4)
-#: and fills the other 43 slots with EVERY query that has never received a
-#: driver-side CORRECTNESS row: the r4 post-rotation tier (PQ / IVF+PQ /
-#: SemDeDup / quality-classifier / corpus curation / CDC), the redundant
-#: scalar-suite variants, and multimodal_frame_sample (orphaned from the r4
-#: list by the off-by-one; restored here). After this round every query
-#: registered through r4 owns a cumulative driver row. Queries ADDED in
-#: round 5 land after the window in NEVER_DRIVER_CHECKED_AFTER_R5 and
-#: rotate in next round; until then they are covered by the local DuckDB
-#: parity mirror (tests/test_oracle_parity.py runs EVERY registered query
-#: at BOTH sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts
-#: the three lists exactly tile the registry, so a query can never again
-#: silently drop out of the accounting.
+#: The driver hash-checks the FIRST 50 registered queries. Round-6 rotation
+#: finishes the burn-down: rounds 1-5 accumulated driver-green rows for 148
+#: distinct queries (ledger CORRECTNESS_CUMULATIVE.json, regenerated from
+#: the per-round artifacts by tools/make_cumulative.py — the single source
+#: of truth since r4's off-by-one). This window keeps 7 anchors (one per
+#: major §2 family, all cumulative-green) and fills the other 43 slots with
+#: EVERY query that has never received a driver-side CORRECTNESS row — the
+#: complete round-5 addition set (kNN-graph census, CMS/HLL/Bloom sketches,
+#: BM25/RRF retrieval, behavioral tier, pHash dedup, SQ ANN, lake layout).
+#: After this round every query registered through r5 owns a cumulative
+#: driver row (191/191). Queries ADDED in round 6 land after the window in
+#: QUEUED_FOR_NEXT_WINDOW and rotate in next round; until then they are
+#: covered by the local DuckDB parity mirror (tests/test_oracle_parity.py
+#: runs EVERY registered query at BOTH sf0.001 and sf0.01).
+#: tests/test_rotation_accounting.py asserts the three lists exactly tile
+#: the registry, so a query can never silently drop out of the accounting.
 CURATED_FIRST = [
-    # anchors — re-verify one representative per §2 family (all r4-green)
+    # anchors — re-verify one representative per §2 family (all green)
     "manifest_archive_plan",
     "q1_pricing_summary",
     "sessionize_events",
@@ -48,109 +46,63 @@ CURATED_FIRST = [
     "dedup_minhash_lsh",
     "ann_ivf_topk",
     "corpus_curation_pipeline",
-    # multimodal frame sampling — orphaned by the r4 bookkeeping slip; its
-    # only driver contact ever was r1's `err: no_oracle` (it has had an
-    # oracle since and passes local parity at both SFs)
-    "multimodal_frame_sample",
-    # window / scalar-suite variants — never driver-checked
-    "window_lead_gap",
-    "window_rank_suite",
-    "sliding_window_counts",
-    "array_funcs_suite",
-    "null_handling_suite",
-    "stats_corr_quantity_price",
-    "approx_percentile_prices",
-    # text / corpus tier — never driver-checked
-    "text_normalize",
-    "char_entropy_stats",
-    "boilerplate_char_windows",
-    "quality_classifier_scores",
-    "unigram_logfreq_scores",
-    "vocab_oov_rate",
-    "url_canonical_dedup",
-    "web_corpus_pipeline",
-    "document_chunks",
-    "length_bucket_padding",
-    "lang_temperature_resample",
-    "dataset_split_counts",
-    "stratified_split_counts",
-    "deterministic_group_sample",
-    "split_leakage_audit",
-    "data_quality_audit",
-    "key_skew_profile",
-    # dedup tier — never driver-checked
-    "incremental_dedup_batch",
-    "cluster_canonical_docs",
-    "decontamination_overlap",
-    "lsh_quality_eval",
-    "semantic_dedup_summary",
-    # ANN / embedding tier — never driver-checked (the whole PQ family)
-    "ann_recall_ivf",
-    "ann_recall_ivf_refined",
-    "kmeans_cluster_profile",
-    "embedding_quantization",
-    "pq_code_histogram",
-    "ann_pq_topk",
-    "ann_recall_pq",
-    "ann_ivfpq_topk",
-    "ann_recall_ivfpq",
-    "hard_negative_mining",
-    # delta / temporal tier — never driver-checked
-    "scd2_order_history",
-    "cdc_upsert_apply",
-    "ewma_user_values",
+    # retrieval / dedup tier — added r5, never driver-checked
+    "bm25_doc_retrieval",
+    "hybrid_rrf_retrieval",
+    "containment_dup_pairs",
+    "repeated_ngram_spans",
+    "duplicated_span_coverage",
+    "doc_novelty_scores",
+    "cluster_safe_split",
+    "image_phash_dedup",
+    "bloom_decontamination",
+    # language / corpus tier — added r5, never driver-checked
+    "bigram_lm_scores",
+    "lang_relative_quality_gate",
+    "lang_confusion_matrix",
+    "lang_kappa_score",
+    "lang_balanced_sample",
+    "weighted_sample_docs",
+    "mixture_epoch_plan",
+    "pmi_collocations",
+    "quality_percentile_ranks",
+    "source_overlap_matrix",
+    # ANN / embedding tier — added r5, never driver-checked
+    "ann_lsh_multiprobe",
+    "ann_sq_topk",
+    "ann_recall_sq",
+    "ivf_assignment_drift",
+    "knn_graph_edges",
+    "knn_label_agreement",
+    "knn_density_scores",
+    "knn_triangle_count",
+    "label_centroid_similarity",
+    "rp_distance_preservation",
+    "embedding_norm_outliers",
+    # sketch tier — added r5, never driver-checked
+    "cms_token_frequencies",
+    "cms_join_size_estimate",
+    "hll_overlap_estimate",
+    "value_drift_psi",
+    # behavioral analytics tier — added r5, never driver-checked
+    "event_transition_matrix",
+    "session_pattern_match",
+    "pareto_quality_frontier",
+    "mad_outlier_events",
+    "hourly_autocorrelation",
+    "conversion_latency_quartiles",
+    "basket_pair_lift",
+    # lake-layout tier — added r5, never driver-checked
+    "range_partition_plan",
+    "training_shard_plan",
 ]
 
-#: Queries registered DURING round 5 (after this window was fixed). They
+#: Queries registered DURING round 6 (after this window was fixed). They
 #: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-6 window. tests/test_rotation_accounting.py enforces
+#: into the round-7 window. tests/test_rotation_accounting.py enforces
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry.
-NEVER_DRIVER_CHECKED_AFTER_R5: list[str] = [
-    "bm25_doc_retrieval",  # new in r5 (post-rotation); local parity both SFs
-    "containment_dup_pairs",  # new in r5 (post-rotation); local parity both SFs
-    "repeated_ngram_spans",  # new in r5 (post-rotation); local parity both SFs
-    "cluster_safe_split",  # new in r5 (post-rotation); local parity both SFs
-    "bigram_lm_scores",  # new in r5 (post-rotation); local parity both SFs
-    "ivf_assignment_drift",  # new in r5 (post-rotation); local parity both SFs
-    "ann_lsh_multiprobe",  # new in r5 (post-rotation); local parity both SFs
-    "bloom_decontamination",  # new in r5 (post-rotation); local parity both SFs
-    "knn_graph_edges",  # new in r5 (post-rotation); local parity both SFs
-    "knn_label_agreement",  # new in r5 (post-rotation); local parity both SFs
-    "weighted_sample_docs",  # new in r5 (post-rotation); local parity both SFs
-    "source_overlap_matrix",  # new in r5 (post-rotation); local parity both SFs
-    "image_phash_dedup",  # new in r5 (post-rotation); local parity both SFs
-    "lang_confusion_matrix",  # new in r5 (post-rotation); local parity both SFs
-    "knn_density_scores",  # new in r5 (post-rotation); local parity both SFs
-    "duplicated_span_coverage",  # new in r5 (post-rotation); local parity both SFs
-    "label_centroid_similarity",  # new in r5 (post-rotation); local parity both SFs
-    "lang_balanced_sample",  # new in r5 (post-rotation); local parity both SFs
-    "ann_sq_topk",  # new in r5 (post-rotation); local parity both SFs
-    "ann_recall_sq",  # new in r5 (post-rotation); local parity both SFs
-    "lang_relative_quality_gate",  # new in r5 (post-rotation); local parity both SFs
-    "cms_token_frequencies",  # new in r5 (post-rotation); local parity both SFs
-    "mixture_epoch_plan",  # new in r5 (post-rotation); local parity both SFs
-    "rp_distance_preservation",  # new in r5 (post-rotation); local parity both SFs
-    "event_transition_matrix",  # new in r5 (post-rotation); local parity both SFs
-    "pareto_quality_frontier",  # new in r5 (post-rotation); local parity both SFs
-    "mad_outlier_events",  # new in r5 (post-rotation); local parity both SFs
-    "training_shard_plan",  # new in r5 (post-rotation); local parity both SFs
-    "pmi_collocations",  # new in r5 (post-rotation); local parity both SFs
-    "knn_triangle_count",  # new in r5 (post-rotation); local parity both SFs
-    "hybrid_rrf_retrieval",  # new in r5 (post-rotation); local parity both SFs
-    "quality_percentile_ranks",  # new in r5 (post-rotation); local parity both SFs
-    "cms_join_size_estimate",  # new in r5 (post-rotation); local parity both SFs
-    "hll_overlap_estimate",  # new in r5 (post-rotation); local parity both SFs
-    "value_drift_psi",  # new in r5 (post-rotation); local parity both SFs
-    "doc_novelty_scores",  # new in r5 (post-rotation); local parity both SFs
-    "session_pattern_match",  # new in r5 (post-rotation); local parity both SFs
-    "lang_kappa_score",  # new in r5 (post-rotation); local parity both SFs
-    "hourly_autocorrelation",  # new in r5 (post-rotation); local parity both SFs
-    "range_partition_plan",  # new in r5 (post-rotation); local parity both SFs
-    "embedding_norm_outliers",  # new in r5 (post-rotation); local parity both SFs
-    "conversion_latency_quartiles",  # new in r5 (post-rotation); local parity both SFs
-    "basket_pair_lift",  # new in r5 (post-rotation); local parity both SFs
-]
+QUEUED_FOR_NEXT_WINDOW: list[str] = []
 
 
 def _cumulative_green() -> set[str]:

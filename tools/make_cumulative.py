@@ -19,13 +19,22 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def build() -> dict[str, int]:
+def build(max_round: int | None = None) -> dict[str, int]:
+    """Fold CORRECTNESS_r*.json into {query: first green round}.
+
+    ``max_round`` bounds which artifacts are consumed — the rotation guard
+    passes the committed ledger's own max round so a driver artifact written
+    AFTER the builder's last commit (the in-flight round) can't fail the
+    freshness check (VERDICT r5 "What's wrong" #1).
+    """
     first_green: dict[str, int] = {}
     for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         for name, row in json.loads(p.read_text()).items():
             green = (
                 row.get("rows_match")

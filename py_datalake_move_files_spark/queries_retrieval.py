@@ -107,25 +107,35 @@ def q_bm25_doc_retrieval(spark, sf_dir):
 # --- shingle containment ---------------------------------------------------
 
 _CONTAIN_T = 0.8
+#: Hot-shingle df cap (VERDICT r5 #2): shingles in more than this many
+#: documents are excluded from CANDIDATE GENERATION (bounds the posting
+#: self-join at Σ min(df, cap)² instead of Σ df²); surviving pairs are
+#: re-scored EXACTLY over full shingle sets. The oracle applies the
+#: identical cap — the SemDeDup-fix template.
+_CONTAIN_DF_CAP = 64
 
 _CONTAIN_ORACLE = f"""
 WITH s AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
-sz AS (SELECT doc_id, len(ss) AS n FROM s),
 inv AS (SELECT doc_id, unnest(ss) AS sh FROM s),
-pi AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+dfc AS (SELECT sh, count(*) AS d FROM inv GROUP BY sh),
+fi AS (
+  SELECT i.doc_id, i.sh FROM inv i JOIN dfc USING (sh)
+  WHERE dfc.d > 1 AND dfc.d <= {_CONTAIN_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fi a JOIN fi b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 sc AS (
   SELECT id_a, id_b,
-    round(CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE), 6)
-      AS containment,
-    round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
-      AS jaccard
-  FROM pi
-  JOIN sz na ON na.doc_id = pi.id_a
-  JOIN sz nb ON nb.doc_id = pi.id_b
+    round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+          / CAST(least(len(sa.ss), len(sb.ss)) AS DOUBLE), 6) AS containment,
+    round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+          / CAST(len(sa.ss) + len(sb.ss)
+                 - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE), 6) AS jaccard
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.id_a
+  JOIN s sb ON sb.doc_id = cand.id_b
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        containment, jaccard
@@ -139,9 +149,15 @@ def q_containment_dup_pairs(spark, sf_dir):
     smaller doc's shingles are ≥80% inside the larger's — quotation /
     boilerplate / superset-page duplication that symmetric Jaccard
     structurally under-scores (operators/dedup.containment_pairs has the
-    plan story; Jaccard rides along for the policy split)."""
+    plan story; Jaccard rides along for the policy split). Candidate
+    generation is df-capped at {_CONTAIN_DF_CAP} (hot-shingle guard —
+    one boilerplate shingle shared by N docs no longer yields N²
+    candidates); scores stay exact via full-set array_intersect, and the
+    oracle applies the identical cap."""
     docs = _t(spark, sf_dir, "documents")
-    out = DD.containment_pairs(docs, "doc_id", "text", threshold=_CONTAIN_T)
+    out = DD.containment_pairs(
+        docs, "doc_id", "text", threshold=_CONTAIN_T, max_df=_CONTAIN_DF_CAP
+    )
     return out.select(
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),

@@ -203,6 +203,61 @@ def test_containment_pairs_threshold_excludes_partial(spark):
     assert out[0]["jaccard"] == 0.25  # 1 / (2 + 3 - 1)
 
 
+def test_containment_pairs_max_df_bounds_hot_shingle_candidates(spark):
+    """Skewed fixture (VERDICT r5 #2): ONE boilerplate shingle shared by
+    every document. Uncapped, the posting self-join yields N·(N-1)/2
+    candidate pairs from that shingle alone; with ``max_df`` the hot
+    shingle is excluded from candidate generation, so hot-only pairs
+    vanish while genuinely contained pairs keep EXACT full-set scores."""
+    from py_datalake_move_files_spark.operators.dedup import containment_pairs
+
+    n = 6
+    # every doc ends in the boilerplate trigram "x y z" (df = n) but is
+    # otherwise unique -> each boilerplate pair shares ONLY the hot shingle
+    boiler = [(i, f"u{i} v{i} w{i} x y z") for i in range(n)]
+    # plus a true containment pair sharing 3 RARE shingles (df = 2 <= cap)
+    small = (100, "a b c d e")           # shingles abc bcd cde
+    big = (101, "a b c d e f g h")       # + def efg fgh; contains all 3
+    df = spark.createDataFrame(
+        boiler + [small, big], "doc_id long, text string"
+    )
+
+    capped = containment_pairs(df, "doc_id", threshold=0.2, max_df=3)
+    rows = {(r["id_a"], r["id_b"]): r for r in capped.collect()}
+    # the hot-only boilerplate pairs are gone; the real pair survives with
+    # the exact uncapped score (re-scored over FULL shingle sets)
+    assert set(rows) == {(100, 101)}
+    assert rows[(100, 101)]["containment"] == 1.0
+    assert rows[(100, 101)]["jaccard"] == 0.5  # 3 / (3 + 6 - 3)
+
+    # the uncapped path DOES emit the n*(n-1)/2 hot-only pairs at this
+    # threshold (containment 1/4 >= 0.2) — the quadratic blowup the cap
+    # removes from candidate generation
+    uncapped = containment_pairs(df, "doc_id", threshold=0.2)
+    assert uncapped.count() == n * (n - 1) // 2 + 1
+
+    # candidate-count bound, computed from the same df-cap device the
+    # operator uses: with the cap, only the 3 df=2 shingles generate
+    # candidates -> exactly 1 distinct pair (vs 16 uncapped)
+    from collections import Counter
+
+    shingle_sets = {
+        i: {" ".join(t.split()[j : j + 3]) for j in range(len(t.split()) - 2)}
+        for i, t in boiler + [small, big]
+    }
+    dfreq = Counter(s for ss in shingle_sets.values() for s in ss)
+    cand_capped = {
+        (a, b)
+        for a in shingle_sets
+        for b in shingle_sets
+        if a < b
+        and shingle_sets[a]
+        & shingle_sets[b]
+        & {s for s, d in dfreq.items() if 1 < d <= 3}
+    }
+    assert cand_capped == {(100, 101)}
+
+
 def test_bigram_lm_scores_oov_and_buckets(spark):
     """Hand-computed: model 'a b b c' has bigrams {a b:1, b b:1, b c:1};
     scoring doc 'a b x y' has bigrams [a b, b x, x y] -> one seen (count 1,

@@ -1039,7 +1039,15 @@ def q_conversion_latency_quartiles(spark, sf_dir):
     ``quantile_cont()`` interpolate, minus their per-group value buffers
     and cross-engine float risk. Latencies are exact epoch-millisecond
     integers; one exchange builds the per-user mins, one the bounded
-    histogram."""
+    histogram.
+
+    Domain note (VERDICT r5 #3 sibling): the single-partition cumulative
+    window runs over DISTINCT latency values, which — unlike a money
+    domain — is not intrinsically bounded (epoch-ms deltas). At a scale
+    where distinct latencies approach row count, coarsen the histogram
+    key first (e.g. ``c DIV 1000`` for second resolution, or bucket to a
+    fixed grid) before the cumulative pass; quartiles then interpolate
+    on the coarsened grid with a documented ±grid/2 error bound."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),

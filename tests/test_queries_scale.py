@@ -200,3 +200,26 @@ def test_fuzzy_banding_lossless_with_line_terminators(spark):
     assert (1, 2, 1) in got
     assert (3, 4, 1) in got
     assert (1, 5, 1) in got  # \n vs   at position 1
+
+
+def test_range_partition_plan_has_no_full_sample_sort(spark, sf_small):
+    """VERDICT r5 #3: boundary planning must never row_number a global
+    window over the raw sample (single-task sort of ~5% of the corpus at
+    100 TB). The fixed plan reduces the sample to a distinct-value
+    histogram FIRST, so (a) no row_number appears anywhere and (b) every
+    Window operates above a HashAggregate of the sample, never on the
+    sample scan directly."""
+    qe = QUERIES["range_partition_plan"](spark, sf_small)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    # the single-partition window consumes the histogram: its input chain
+    # must contain the groupBy-v partial aggregate, evidenced by a
+    # hash-aggregate keyed on the sample value column feeding the window
+    assert "Window" in plan
+    optimized = qe.optimizedPlan().toString()
+    win_at = optimized.find("Window")
+    assert win_at != -1
+    below_window = optimized[win_at:]
+    assert "Aggregate" in below_window, (
+        "window must run over the aggregated histogram, not raw sample rows"
+    )

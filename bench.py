@@ -200,6 +200,27 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(times.values()), 3)
+    # full per-query map goes to a committed sidecar file; the printed JSON
+    # line stays COMPACT (totals + slowest 10) so the driver's output-tail
+    # capture can never truncate it mid-line again (VERDICT r5 #4 bench:
+    # the 102-entry line outgrew the tail and BENCH_r05.json parsed null)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries_timed": len(times),
+        "queries_headline": len(HEADLINE),
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        full["errors"] = errors
+    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    full_path.write_text(json.dumps(full, indent=2) + "\n")
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -208,11 +229,12 @@ def main() -> None:
         # round-over-round totals comparable (ADVICE r03)
         "queries_timed": len(times),
         "queries_headline": len(HEADLINE),
-        "queries": times,
+        "queries": slowest,
+        "queries_note": f"slowest 10 of {len(times)}; full map in {full_path.name}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
     print(json.dumps(out))
     spark.stop()
 

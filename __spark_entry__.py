@@ -102,7 +102,14 @@ CURATED_FIRST = [
 #: into the round-7 window. tests/test_rotation_accounting.py enforces
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry.
-QUEUED_FOR_NEXT_WINDOW: list[str] = []
+QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    "retention_cohorts",  # new in r6; local parity both SFs
+    "yoy_monthly_growth",  # new in r6; local parity both SFs
+    "zipf_slope",  # new in r6; local parity both SFs
+    "tfidf_doc_pairs",  # new in r6; local parity both SFs
+    "embedding_dim_correlations",  # new in r6; local parity both SFs
+    "doc_length_by_lang",  # new in r6; local parity both SFs
+]
 
 
 def _cumulative_green() -> set[str]:

@@ -146,6 +146,13 @@ HEADLINE = [
     "embedding_norm_outliers",
     "conversion_latency_quartiles",
     "basket_pair_lift",
+    # r6: warehouse/product analytics + corpus-health audits
+    "retention_cohorts",
+    "yoy_monthly_growth",
+    "zipf_slope",
+    "tfidf_doc_pairs",
+    "embedding_dim_correlations",
+    "doc_length_by_lang",
 ]
 
 

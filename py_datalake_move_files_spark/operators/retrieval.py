@@ -102,3 +102,92 @@ def bm25_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         F.col(id_col).cast("long"), "score", F.col("rnk").cast("int")
     )
+
+
+def tfidf_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 64,
+    threshold: float = 0.5,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity ≥ threshold — the LEXICAL cousin
+    of SemDeDup: near-duplicate and templated-page detection weighted so
+    shared RARE terms count for more than shared stopwords, which plain
+    Jaccard treats equally.
+
+    Vectors live over the mid-frequency vocabulary only
+    (``min_df <= df <= max_df``): singleton terms can't link pairs, and
+    ultra-hot terms are both semantically useless (idf→0) and the Σ df²
+    blowup of any inverted-index self-join — the same hot-key guard as
+    containment_pairs' ``max_df``, applied here to the VECTOR SPACE
+    itself so scores and candidates agree by construction (norms are
+    computed over the same capped vocabulary the pair dot-products use).
+
+    Cross-engine exactness: weights are INTEGER fixed-point —
+    ``w = tf · round(ln(N/df)·idf_scale)`` — so per-pair dot products
+    and per-doc squared norms are exact BIGINT sums (order-free); the
+    only double is the final ``dot / (sqrt(na)·sqrt(nb))``, computed
+    with identical operation order on both engines and rounded to 6 dp.
+    Overflow headroom at idf_scale=1000: w ≤ tf·~20k, w² ≤ ~4e14·tf²,
+    safely inside int64 for corpus-realistic tf.
+
+    100 TB plan shape: one exchange builds (doc, term, tf); df rides a
+    window over the SAME term key (co-partitioned, no extra exchange);
+    the pair stage shuffles (doc, term, w) postings bounded by
+    Σ min(df, max_df)²; norms join back on the id key (plain join — a
+    per-doc side is corpus-sized, never broadcast)."""
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).alias("nd")
+    wt = Window.partitionBy("term")
+    weighted = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                    * idf_scale
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    dots = (
+        weighted.alias("a")
+        .join(weighted.alias("b"), "term")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc", "id_a").withColumnRenamed("n2", "na"), "id_a")
+        .join(norms.withColumnRenamed("doc", "id_b").withColumnRenamed("n2", "nb"), "id_b")
+        .withColumn(
+            "tfidf_cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ),
+        )
+        .where(F.col("tfidf_cosine") >= threshold)
+        .select("id_a", "id_b", "tfidf_cosine")
+    )

@@ -1308,3 +1308,117 @@ def knn_graph(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def dim_correlations(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    top: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pearson correlation audit across embedding DIMENSIONS — the
+    representation-health check a pipeline runs before trusting a new
+    encoder: highly correlated dimension pairs mean redundant capacity
+    (the effective dimensionality is lower than ``dim``), and it is the
+    planning input for dimension-dropping compression. Returns the
+    ``top`` pairs by |corr| as (dim_i, dim_j, corr, rnk), 1-based dims,
+    ties to the lexicographically first pair.
+
+    Exactness device: elements are fixed-point encoded
+    ``v = round(x · scale)`` (half away from zero — Spark round, DuckDB
+    round, and the numpy kernel all agree), so every moment —
+    Σv, Σv², Σv_i·v_j — is an exact BIGINT and immune to summation
+    order; the only doubles are the final correlation ratio, computed
+    with identical operation order on both engines and rounded to 6 dp.
+    Overflow headroom: |v| ≤ scale for unit-normalized embeddings, so
+    Σv² ≤ scale²·N — int64-safe to N ≈ 9e6 rows per partial at
+    scale=1e6; beyond that, shard the aggregate hierarchically or drop
+    scale one decade.
+
+    100 TB plan: the d×d Gram accumulation is a classic mergeable
+    aggregate — the Arrow-batched numpy kernel (``X.T @ X`` on int64)
+    emits ONE d(d−1)/2-row partial per batch, partials combine
+    map-side, and the final exchange carries d² cells regardless of
+    corpus size. Per-dimension moments ride an ordinary
+    posexplode + groupBy (map-side combined, 64 final rows); the
+    assembly join is metadata-sized."""
+    d = dim
+
+    def gram_partials(batches):
+        # site-package imports INSIDE the closure: executors outside the
+        # repo dir must never resolve names through this module's globals
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf["__v"].to_numpy()
+            x64 = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            y = x64 * float(scale)
+            v = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            g = v.T @ v  # exact int64 Gram for this batch
+            iu, ju = np.triu_indices(d, k=1)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "s": g[iu, ju]}
+            )
+
+    base = ensure_parallelism(df).select(F.col(vec_col).alias("__v"))
+    pair_sums = (
+        base.mapInPandas(gram_partials, schema="i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("sxy"))
+    )
+
+    fp = base.select(
+        F.posexplode("__v").alias("__i0", "__x")
+    ).select(
+        (F.col("__i0") + 1).alias("i"),
+        F.round(F.col("__x").cast("double") * scale)
+        .cast("long")
+        .alias("v"),
+    )
+    moments = fp.groupBy("i").agg(
+        F.sum("v").alias("sx"), F.sum(F.col("v") * F.col("v")).alias("sxx")
+    )
+    n1 = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    ma = moments.select(
+        F.col("i"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    mb = moments.select(
+        F.col("i").alias("j"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    corr = (
+        pair_sums.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.round(
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sxa").cast("double") * F.col("sxb").cast("double")
+                )
+                / (
+                    F.sqrt(
+                        F.col("n").cast("double") * F.col("sxxa").cast("double")
+                        - F.col("sxa").cast("double") * F.col("sxa").cast("double")
+                    )
+                    * F.sqrt(
+                        F.col("n").cast("double") * F.col("sxxb").cast("double")
+                        - F.col("sxb").cast("double") * F.col("sxb").cast("double")
+                    )
+                ),
+                6,
+            ).alias("corr"),
+        )
+    )
+    topped = corr.orderBy(
+        F.abs(F.col("corr")).desc(), F.col("dim_i").asc(), F.col("dim_j").asc()
+    ).limit(top)
+    w = Window.orderBy(
+        F.abs(F.col("corr")).desc(), F.col("dim_i").asc(), F.col("dim_j").asc()
+    )
+    return topped.withColumn("rnk", F.row_number().over(w).cast("int"))

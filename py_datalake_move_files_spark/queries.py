@@ -2191,6 +2191,7 @@ from py_datalake_move_files_spark import queries_tpch  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_scale  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_retrieval  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_knn  # noqa: E402,F401
+from py_datalake_move_files_spark import queries_insights  # noqa: E402,F401
 
 
 def _dd_audio_oracle() -> str:

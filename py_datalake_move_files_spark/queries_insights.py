@@ -1,0 +1,427 @@
+"""Round-6 tier: warehouse/product analytics + corpus-health audits.
+
+Six queries widening the engine past round 5:
+
+- ``retention_cohorts`` — the classic cohort-retention matrix over
+  ``events`` (first-seen month × activity-month offset), the product
+  analytics table every warehouse serves.
+- ``yoy_monthly_growth`` — year-over-year monthly revenue growth over
+  ``orders`` via a month-key self-join (no 12-row lag assumption: missing
+  months can't shift the comparison).
+- ``zipf_slope`` — OLS fit of ln(frequency) on ln(rank) over the top
+  tokens: THE one-number corpus-health check (natural language tracks
+  slope ≈ −1; templated/synthetic corpora don't).
+- ``tfidf_doc_pairs`` — all-pairs TF-IDF cosine ≥ threshold over the
+  mid-df vocabulary: the lexical cousin of SemDeDup
+  (operators/retrieval.tfidf_pairs has the plan story).
+- ``embedding_dim_correlations`` — top-|Pearson| dimension pairs of the
+  embedding matrix via an exact int64 Gram accumulation
+  (operators/similarity.dim_correlations).
+- ``doc_length_by_lang`` — exact per-language median/p90 token counts via
+  the GROUPED bounded-histogram rank device: the cumulative window is
+  partitioned BY LANGUAGE, so unlike the global variants it distributes
+  across groups — no single-partition stage at any corpus size (token
+  counts are the bounded domain).
+
+Cross-engine exactness: counts/ranks are integer; TF-IDF weights and
+Gram moments are fixed-point BIGINTs (order-free sums); the Zipf
+regression folds its ln() sums LEFT-TO-RIGHT over rank-ordered arrays on
+both engines (F.aggregate ≡ list_reduce), so every double is
+bit-reproducible; ratios round to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators import retrieval as RET
+from py_datalake_move_files_spark.operators import similarity as SIM
+from py_datalake_move_files_spark.oracle_frags import EMB_DIM
+from py_datalake_move_files_spark.queries import _t, register
+
+# --------------------------------------------------------------------------
+# cohort retention matrix
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+firstd AS (SELECT user_id, min(d) AS cd FROM um GROUP BY user_id),
+act AS (SELECT u.user_id, u.d, f.cd FROM um u JOIN firstd f USING (user_id)),
+cs AS (SELECT cd, count(*) AS csize FROM firstd GROUP BY cd),
+r AS (
+  SELECT cd, date_diff('day', cd, d) AS day_offset, count(*) AS n_users
+  FROM act GROUP BY cd, day_offset
+)
+SELECT strftime(r.cd, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users * 1000000 // cs.csize AS BIGINT) AS retention_ppm
+FROM r JOIN cs USING (cd)
+"""
+
+
+@register("retention_cohorts", _RETENTION_ORACLE)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-active DAY, then the
+    share of each cohort active again k days later — the table behind
+    every product-retention dashboard (daily grain because the harness
+    event stream spans one month; the device is grain-agnostic). 100 TB
+    shape: ONE exchange builds the distinct (user, day) activity set;
+    first-day rides the same user key (co-partitioned groupBy); the
+    cohort matrix and sizes are day-keyed aggregates of a few thousand
+    cells; ppm is integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    um = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    firstd = um.groupBy("user_id").agg(F.min("d").alias("cd"))
+    act = um.join(firstd, "user_id")
+    r = act.groupBy(
+        F.col("cd"), F.datediff("d", "cd").cast("int").alias("day_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    cs = firstd.groupBy("cd").agg(F.count(F.lit(1)).alias("csize"))
+    return r.join(cs, "cd").select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.expr("CAST(n_users * 1000000 DIV csize AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# year-over-year monthly revenue growth
+# --------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH mon AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT c.month,
+  CAST(round(c.rd, 2) AS DOUBLE) AS revenue,
+  CAST(round(p.rd, 2) AS DOUBLE) AS prev_year_revenue,
+  round(CAST(c.rd AS DOUBLE) / CAST(p.rd AS DOUBLE) - 1.0, 6) AS yoy_growth
+FROM mon c LEFT JOIN mon p ON c.y = p.y + 1 AND c.mo = p.mo
+"""
+
+
+@register("yoy_monthly_growth", _YOY_ORACLE)
+def q_yoy_monthly_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth — the warehouse staple, built
+    as a (year, month)-key SELF-JOIN of the monthly aggregate rather than
+    lag(12): a lag over month ROWS silently compares wrong months when any
+    month is missing. Revenue sums are exact decimal (rounded in the
+    decimal domain, rule 1); the growth ratio divides the same exact
+    decimals cast to double on both engines (rule 2). The monthly frame is
+    a few hundred rows — the join is metadata-sized at any corpus scale."""
+    o = _t(spark, sf_dir, "orders")
+    mon = o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rd"))
+    c = mon.alias("c")
+    p = mon.alias("p")
+    return c.join(
+        p,
+        (F.col("c.y") == F.col("p.y") + 1) & (F.col("c.mo") == F.col("p.mo")),
+        "left",
+    ).select(
+        F.col("c.month").alias("month"),
+        F.round(F.col("c.rd"), 2).cast("double").alias("revenue"),
+        F.round(F.col("p.rd"), 2).cast("double").alias("prev_year_revenue"),
+        F.round(
+            F.col("c.rd").cast("double") / F.col("p.rd").cast("double") - 1.0, 6
+        ).alias("yoy_growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope of the token frequency distribution
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 200
+
+
+def _zipf_fold_dd(expr_fn: str) -> str:
+    """Left fold of a list in DuckDB — matches F.aggregate's order."""
+    return f"list_reduce({expr_fn}, (zfa, zfb) -> zfa + zfb)"
+
+
+_ZIPF_ORACLE = f"""
+WITH tk AS (
+  SELECT unnest(list_filter(string_split(text, ' '), zt -> zt <> '')) AS t
+  FROM documents
+),
+tc AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+top AS (SELECT t, c FROM tc ORDER BY c DESC, t ASC LIMIT {ZIPF_TOP}),
+arr AS (SELECT list(c ORDER BY c DESC, t ASC) AS cnts FROM top),
+st AS (
+  SELECT CAST(len(cnts) AS BIGINT) AS n_top,
+    {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(zi AS DOUBLE)))")} AS sx,
+    {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(cnts[zi] AS DOUBLE)))")} AS sy,
+    {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(zi AS DOUBLE)) * ln(CAST(zi AS DOUBLE)))")} AS sxx,
+    {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(zi AS DOUBLE)) * ln(CAST(cnts[zi] AS DOUBLE)))")} AS sxy
+  FROM arr
+)
+SELECT n_top,
+  round((CAST(n_top AS DOUBLE) * sxy - sx * sy)
+        / (CAST(n_top AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+  round((sy - ((CAST(n_top AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_top AS DOUBLE) * sxx - sx * sx)) * sx)
+        / CAST(n_top AS DOUBLE), 6) AS zipf_intercept
+FROM st
+"""
+
+
+@register("zipf_slope", _ZIPF_ORACLE)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf fit over the top-{ZIPF_TOP} token frequencies: OLS slope and
+    intercept of ln(freq) on ln(rank). Natural corpora track slope ≈ −1;
+    a flat or cliff-shaped fit flags templated/synthetic/boilerplate data
+    before any model sees it.
+
+    Plan + exactness: token counts are one map-side-combined exchange;
+    the top cut plans as TakeOrderedAndProject (never a full sort); the
+    regression runs over ONE rank-sorted array on a single row, with
+    every ln() sum folded LEFT-TO-RIGHT (F.aggregate ≡ DuckDB
+    list_reduce) so the doubles are bit-identical cross-engine — a
+    grouped SUM of doubles would be partition-order-dependent."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.explode(F.expr("filter(split(text, ' '), zt -> zt <> '')")).alias("t")
+    )
+    tc = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = tc.orderBy(F.col("c").desc(), F.col("t").asc()).limit(ZIPF_TOP)
+    arr = top.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-c AS nc, t))), "
+            "zs -> -zs.nc)"
+        ).alias("cnts")
+    )
+    fold = (
+        lambda body: f"aggregate(sequence(1, size(cnts)), CAST(0.0 AS DOUBLE), "
+        f"(zfa, zi) -> zfa + ({body}))"
+    )
+    st = arr.select(
+        F.expr("CAST(size(cnts) AS BIGINT)").alias("n_top"),
+        F.expr(fold("ln(CAST(zi AS DOUBLE))")).alias("sx"),
+        F.expr(fold("ln(CAST(element_at(cnts, zi) AS DOUBLE))")).alias("sy"),
+        F.expr(
+            fold("ln(CAST(zi AS DOUBLE)) * ln(CAST(zi AS DOUBLE))")
+        ).alias("sxx"),
+        F.expr(
+            fold(
+                "ln(CAST(zi AS DOUBLE)) * ln(CAST(element_at(cnts, zi) AS DOUBLE))"
+            )
+        ).alias("sxy"),
+    )
+    slope = (
+        "(CAST(n_top AS DOUBLE) * sxy - sx * sy) "
+        "/ (CAST(n_top AS DOUBLE) * sxx - sx * sx)"
+    )
+    return st.select(
+        "n_top",
+        F.expr(f"round({slope}, 6)").alias("zipf_slope"),
+        F.expr(
+            f"round((sy - ({slope}) * sx) / CAST(n_top AS DOUBLE), 6)"
+        ).alias("zipf_intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# all-pairs TF-IDF cosine (lexical SemDeDup)
+# --------------------------------------------------------------------------
+
+TFIDF_MIN_DF = 2
+TFIDF_MAX_DF = 64
+TFIDF_T = 0.5
+TFIDF_SCALE = 1000
+
+_TFIDF_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id AS doc,
+    unnest(list_filter(string_split(text, ' '), tt -> tt <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM tk GROUP BY doc, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+w AS (
+  SELECT tf.doc, tf.term,
+    tf.tf * CAST(round(ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE))
+                       * {TFIDF_SCALE}) AS BIGINT) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+  WHERE dfq.df >= {TFIDF_MIN_DF} AND dfq.df <= {TFIDF_MAX_DF}
+),
+nrm AS (SELECT doc, sum(w * w) AS n2 FROM w GROUP BY doc),
+dots AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+sc AS (
+  SELECT id_a, id_b,
+    round(CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+          6) AS tfidf_cosine
+  FROM dots
+  JOIN nrm na ON na.doc = dots.id_a
+  JOIN nrm nb ON nb.doc = dots.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       tfidf_cosine
+FROM sc WHERE tfidf_cosine >= {TFIDF_T}
+"""
+
+
+@register("tfidf_doc_pairs", _TFIDF_ORACLE)
+def q_tfidf_doc_pairs(spark, sf_dir):
+    """All-pairs TF-IDF cosine ≥ {TFIDF_T} over the mid-df vocabulary —
+    rare-term-weighted near-dup detection (operators/retrieval.tfidf_pairs
+    carries the plan + fixed-point exactness story; the df window
+    [{TFIDF_MIN_DF}, {TFIDF_MAX_DF}] is the same hot-key guard as
+    containment's max_df, applied to the vector space itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = RET.tfidf_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        min_df=TFIDF_MIN_DF,
+        max_df=TFIDF_MAX_DF,
+        threshold=TFIDF_T,
+        idf_scale=TFIDF_SCALE,
+    )
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "tfidf_cosine"
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding dimension correlation audit
+# --------------------------------------------------------------------------
+
+DIMCORR_TOP = 20
+DIMCORR_SCALE = 1_000_000
+
+_DIMCORR_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, i,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * {DIMCORR_SCALE}) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+),
+mom AS (SELECT i, sum(v) AS sx, sum(v * v) AS sxx FROM x GROUP BY i),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+ps AS (
+  SELECT a.i AS dim_i, b.i AS dim_j, sum(a.v * b.v) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY a.i, b.i
+),
+cr AS (
+  SELECT dim_i, dim_j,
+    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(ma.sxx AS DOUBLE)
+                  - CAST(ma.sx AS DOUBLE) * CAST(ma.sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(mb.sxx AS DOUBLE)
+                    - CAST(mb.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))),
+          6) AS corr
+  FROM ps
+  JOIN mom ma ON ma.i = ps.dim_i
+  JOIN mom mb ON mb.i = ps.dim_j
+  CROSS JOIN nn
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    ORDER BY abs(corr) DESC, dim_i ASC, dim_j ASC) AS rn
+  FROM cr
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j, corr,
+       CAST(rn AS INT) AS rnk
+FROM rk WHERE rn <= {DIMCORR_TOP}
+"""
+
+
+@register("embedding_dim_correlations", _DIMCORR_ORACLE)
+def q_embedding_dim_correlations(spark, sf_dir):
+    """Top-{DIMCORR_TOP} most-correlated embedding dimension pairs — the
+    redundancy audit of the representation itself
+    (operators/similarity.dim_correlations: exact int64 Gram via an
+    Arrow-batched numpy kernel whose d²-cell partials combine map-side —
+    the exchange is O(d²) regardless of corpus size)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.dim_correlations(
+        emb, "embedding", dim=EMB_DIM, top=DIMCORR_TOP, scale=DIMCORR_SCALE
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped exact quantiles: per-language token-length median / p90
+# --------------------------------------------------------------------------
+
+_LENLANG_ORACLE = """
+WITH lens AS (
+  SELECT lang,
+    CAST(len(list_filter(string_split(text, ' '), lt -> lt <> '')) AS BIGINT)
+      AS n_tok
+  FROM documents
+),
+hist AS (SELECT lang, n_tok, count(*) AS hn FROM lens GROUP BY lang, n_tok),
+cum AS (
+  SELECT lang, n_tok, hn,
+    sum(hn) OVER (PARTITION BY lang ORDER BY n_tok
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(hn) OVER (PARTITION BY lang) AS tot
+  FROM hist
+)
+SELECT lang, CAST(max(tot) AS BIGINT) AS n_docs,
+  CAST(min(CASE WHEN cw >= (tot + 1) // 2 THEN n_tok END)
+       + min(CASE WHEN cw >= (tot + 2) // 2 THEN n_tok END) AS BIGINT)
+    AS median_tokens_x2,
+  CAST(min(CASE WHEN cw >= (tot * 9 + 9) // 10 THEN n_tok END) AS BIGINT)
+    AS p90_tokens
+FROM cum GROUP BY lang
+"""
+
+
+@register("doc_length_by_lang", _LENLANG_ORACLE)
+def q_doc_length_by_lang(spark, sf_dir):
+    """Exact per-language median (×2 fixed point) and p90 of document
+    token counts — the length-profile table a mixture planner reads per
+    language. This is the GROUPED form of the bounded-histogram rank
+    device: the cumulative window partitions BY LANGUAGE, so the stage
+    distributes across groups (no single-partition window anywhere) and
+    each group's histogram is bounded by the token-count domain, not by
+    its row count."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), lt -> lt <> '')) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    hist = lens.groupBy("lang", "n_tok").agg(F.count(F.lit(1)).alias("hn"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cw", F.sum("hn").over(wcum)).withColumn(
+        "tot", F.sum("hn").over(Window.partitionBy("lang"))
+    )
+    return cum.groupBy("lang").agg(
+        F.max("tot").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(min(CASE WHEN cw >= (tot + 1) DIV 2 THEN n_tok END)"
+            " + min(CASE WHEN cw >= (tot + 2) DIV 2 THEN n_tok END) AS BIGINT)"
+        ).alias("median_tokens_x2"),
+        F.expr(
+            "CAST(min(CASE WHEN cw >= (tot * 9 + 9) DIV 10 THEN n_tok END)"
+            " AS BIGINT)"
+        ).alias("p90_tokens"),
+    )

@@ -109,6 +109,9 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "tfidf_doc_pairs",  # new in r6; local parity both SFs
     "embedding_dim_correlations",  # new in r6; local parity both SFs
     "doc_length_by_lang",  # new in r6; local parity both SFs
+    "kcenter_coreset",  # new in r6; local parity both SFs
+    "length_ks_matrix",  # new in r6; local parity both SFs
+    "source_lang_chi2",  # new in r6; local parity both SFs
 ]
 
 

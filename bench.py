@@ -153,6 +153,9 @@ HEADLINE = [
     "tfidf_doc_pairs",
     "embedding_dim_correlations",
     "doc_length_by_lang",
+    "kcenter_coreset",
+    "length_ks_matrix",
+    "source_lang_chi2",
 ]
 
 

@@ -1422,3 +1422,63 @@ def dim_correlations(
         F.abs(F.col("corr")).desc(), F.col("dim_i").asc(), F.col("dim_j").asc()
     )
     return topped.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    *,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> list[tuple[int, int, int]]:
+    """Greedy k-center (Gonzalez' 2-approximation) — the DIVERSITY
+    sampling / coreset primitive: iteratively pick the point farthest
+    from everything chosen so far. The selection-gap sequence is the
+    coverage-radius curve a curation pipeline reads to size a coreset.
+
+    Returns [(rank 1-based, center_id, gap_fp)]: ``gap_fp`` is the
+    fixed-point squared L2 distance (×scale, BIGINT) from the chosen
+    point to the previously-chosen set (0 for the seed, which is the
+    lowest id — deterministic, no RNG).
+
+    Inherently sequential (k driver round-trips of ONE row each, like
+    ivf_centroids/kmeans_refine); the corpus-side work stays fully
+    distributed: per iteration one map-only projection computes
+    min-distance-to-centers via a SINGLE nested HOF over a k×dim
+    literal array (bytecode stays tiny regardless of k — the PQ 64 KB
+    codegen lesson) and one TakeOrdered(1) picks the argmax. Distances
+    are ``round(Σ(a−b)²·scale)`` BIGINTs folded LEFT-TO-RIGHT, so
+    argmax ties and the whole selection sequence are bit-reproducible
+    cross-engine (the DuckDB oracle unrolls the same chain)."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    base = base.localCheckpoint(eager=True)
+
+    seed = base.orderBy("__id").limit(1).collect()[0]
+    centers: list[tuple[int, list[float], int]] = [(seed["__id"], list(seed["__v"]), 0)]
+
+    def centers_lit_sql() -> str:
+        rows = []
+        for _, vec, _ in centers:
+            rows.append("array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")")
+        return "array(" + ", ".join(rows) + ")"
+
+    for _ in range(1, k):
+        u = _u()
+        dmin = (
+            f"array_min(transform({centers_lit_sql()}, kc{u} -> "
+            f"CAST(round(aggregate(zip_with(__v, kc{u}, "
+            f"(kx{u}, ky{u}) -> (CAST(kx{u} AS DOUBLE) - ky{u}) * "
+            f"(CAST(kx{u} AS DOUBLE) - ky{u})), CAST(0.0 AS DOUBLE), "
+            f"(ka{u}, kt{u}) -> ka{u} + kt{u}) * {scale}) AS BIGINT)))"
+        )
+        nxt = (
+            base.select("__id", "__v", F.expr(dmin).alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((nxt["__id"], list(nxt["__v"]), nxt["__d"]))
+    return [(i + 1, cid, gap) for i, (cid, _, gap) in enumerate(centers)]

@@ -1,6 +1,11 @@
 """Round-6 tier: warehouse/product analytics + corpus-health audits.
 
-Six queries widening the engine past round 5:
+Nine queries widening the engine past round 5 (the last three below are
+``kcenter_coreset`` — greedy diversity coreset with a bit-reproducible
+selection sequence, ``length_ks_matrix`` — exact two-sample KS distance
+between every pair of sources' length distributions, and
+``source_lang_chi2`` — chi-square independence of the source×language
+mix, all documented at their definitions):
 
 - ``retention_cohorts`` — the classic cohort-retention matrix over
   ``events`` (first-seen month × activity-month offset), the product
@@ -424,4 +429,265 @@ def q_doc_length_by_lang(spark, sf_dir):
             "CAST(min(CASE WHEN cw >= (tot * 9 + 9) DIV 10 THEN n_tok END)"
             " AS BIGINT)"
         ).alias("p90_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# greedy k-center coreset (diversity sampling)
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8
+_KC_SCALE = 1_000_000
+
+
+def _dd_sqdist_fp(a: str, b: str) -> str:
+    """Fixed-point squared L2 — the same left fold as the Spark HOF in
+    operators/similarity.kcenter_greedy (0-init fold ≡ DuckDB's no-init
+    list_reduce because 0.0 + x == x in IEEE)."""
+    diff = f"(CAST({a}[ki] AS DOUBLE) - CAST({b}[ki] AS DOUBLE))"
+    return (
+        f"CAST(round(list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"ki -> {diff} * {diff}), (kr, kt) -> kr + kt) * {_KC_SCALE}) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    # the center vector rides a one-row CROSS JOIN (DuckDB rejects scalar
+    # subqueries inside lambda bodies)
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c0 AS (SELECT vec_id, embedding, CAST(0 AS BIGINT) AS gap "
+        "FROM e ORDER BY vec_id ASC LIMIT 1)",
+        f"d0 AS (SELECT e.vec_id, e.embedding, "
+        f"{_dd_sqdist_fp('e.embedding', 'cc.embedding')} AS dmin "
+        f"FROM e CROSS JOIN c0 cc)",
+    ]
+    for i in range(1, KCENTER_K):
+        prev_d = f"d{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, embedding, dmin AS gap FROM {prev_d} "
+            f"ORDER BY dmin DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < KCENTER_K - 1:
+            dist = _dd_sqdist_fp("p.embedding", "cc.embedding")
+            ctes.append(
+                f"d{i} AS (SELECT p.vec_id, p.embedding, "
+                f"least(p.dmin, {dist}) AS dmin "
+                f"FROM {prev_d} p CROSS JOIN c{i} cc)"
+            )
+    selects = [
+        f"SELECT {i + 1} AS rnk, CAST(vec_id AS BIGINT) AS center_id, "
+        f"gap AS gap_fp FROM c{i}"
+        for i in range(KCENTER_K)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("kcenter_coreset", _kcenter_oracle())
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center over the embedding corpus: the {KCENTER_K} most
+    mutually-distant vectors plus the selection-gap curve — the diversity
+    coreset a curation pipeline uses for representative sampling and for
+    sizing dedup radii (operators/similarity.kcenter_greedy: k one-row
+    driver round-trips, corpus work fully distributed, fixed-point
+    distances so the greedy sequence is bit-reproducible — the oracle
+    unrolls the identical chain as {KCENTER_K} chained CTEs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = SIM.kcenter_greedy(
+        emb, k=KCENTER_K, vec_col="embedding", id_col="vec_id",
+        scale=_KC_SCALE,
+    )
+    return spark.createDataFrame(
+        [(r, int(c), int(g)) for r, c, g in rows],
+        "rnk int, center_id long, gap_fp long",
+    )
+
+
+# --------------------------------------------------------------------------
+# two-sample KS distance matrix between per-source length distributions
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH lens AS (
+  SELECT source,
+    CAST(len(list_filter(string_split(text, ' '), kt -> kt <> '')) AS BIGINT)
+      AS v
+  FROM documents
+),
+hist AS (SELECT source, v, count(*) AS hn FROM lens GROUP BY source, v),
+grid AS (SELECT DISTINCT v FROM lens),
+tot AS (SELECT source, count(*) AS n FROM lens GROUP BY source),
+full_grid AS (SELECT t.source, g.v, t.n FROM grid g CROSS JOIN tot t),
+cdf AS (
+  SELECT f.source, f.v, f.n,
+    sum(coalesce(h.hn, 0)) OVER (
+      PARTITION BY f.source ORDER BY f.v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM full_grid f LEFT JOIN hist h ON h.source = f.source AND h.v = f.v
+),
+diffs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+    abs(CAST(a.cw AS DOUBLE) / CAST(a.n AS DOUBLE)
+        - CAST(b.cw AS DOUBLE) / CAST(b.n AS DOUBLE)) AS d
+  FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, round(max(d), 6) AS ks_stat
+FROM diffs GROUP BY source_a, source_b, n_a, n_b
+"""
+
+
+@register("length_ks_matrix", _KS_ORACLE)
+def q_length_ks_matrix(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distance between every pair of
+    sources' token-length distributions — the distribution-drift audit
+    that tells a mixture planner which sources are interchangeable and
+    which need their own length curriculum. No sampling, no sorting of
+    raw rows: per-source histograms (bounded by the length domain) are
+    aligned on the shared value grid, CDFs come from a per-source
+    cumulative window (distributed across sources), and the sup-distance
+    is a max over exact same-op-order division results — deterministic
+    cross-engine without any fixed-point scaling."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), kt -> kt <> '')) AS BIGINT)"
+        ).alias("v"),
+    )
+    hist = lens.groupBy("source", "v").agg(F.count(F.lit(1)).alias("hn"))
+    grid = lens.select("v").distinct()
+    tot = lens.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    full_grid = grid.crossJoin(F.broadcast(tot))
+    cdf = (
+        full_grid.join(hist, ["source", "v"], "left")
+        .withColumn(
+            "cw",
+            F.sum(F.coalesce(F.col("hn"), F.lit(0))).over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("source", "v", "n", "cw")
+    )
+    a = cdf.select(
+        F.col("source").alias("source_a"),
+        "v",
+        F.col("n").alias("n_a"),
+        F.col("cw").alias("cw_a"),
+    )
+    b = cdf.select(
+        F.col("source").alias("source_b"),
+        "v",
+        F.col("n").alias("n_b"),
+        F.col("cw").alias("cw_b"),
+    )
+    diffs = (
+        a.join(b, "v")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cw_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cw_b").cast("double") / F.col("n_b").cast("double")
+            ).alias("d"),
+        )
+    )
+    return diffs.groupBy("source_a", "source_b", "n_a", "n_b").agg(
+        F.round(F.max("d"), 6).alias("ks_stat")
+    )
+
+
+# --------------------------------------------------------------------------
+# chi-square independence audit: source × language
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY source, lang
+),
+rt AS (SELECT source, sum(obs) AS r FROM cells GROUP BY source),
+ct AS (SELECT lang, sum(obs) AS c FROM cells GROUP BY lang),
+nn AS (SELECT sum(obs) AS n FROM cells),
+terms AS (
+  SELECT cells.source, cells.lang,
+    (CAST(obs AS DOUBLE)
+     - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(obs AS DOUBLE)
+       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+  FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nn
+),
+folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+    list_reduce(list(term ORDER BY source, lang), (ca, cb) -> ca + cb)
+      AS chi2
+  FROM terms
+),
+dims AS (
+  SELECT CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+              AS BIGINT) AS dof
+  FROM cells
+)
+SELECT n_cells, dof, round(chi2, 6) AS chi2 FROM folded CROSS JOIN dims
+"""
+
+
+@register("source_lang_chi2", _CHI2_ORACLE)
+def q_source_lang_chi2(spark, sf_dir):
+    """Chi-square independence of the source × language contingency table
+    — the mix audit that flags a source whose language profile diverges
+    from the corpus (scraper drift, mislabeled feeds). Marginals are
+    exact integers off the few-hundred-cell aggregate; the per-cell
+    (obs−exp)²/exp terms are mirrored op-for-op, and the final Σ folds
+    LEFT-TO-RIGHT over the (source, lang)-sorted term list on both
+    engines — never a partition-order-dependent double SUM."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rt = cells.groupBy("source").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("lang").agg(F.sum("obs").alias("c"))
+    nn = cells.agg(F.sum("obs").alias("n"))
+    exp = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "lang",
+            (
+                (F.col("obs").cast("double") - exp)
+                * (F.col("obs").cast("double") - exp)
+                / exp
+            ).alias("term"),
+        )
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(source, lang, term))), cs -> cs.term), "
+            "CAST(0.0 AS DOUBLE), (ca, cb) -> ca + cb)"
+        ).alias("chi2"),
+    )
+    dims = cells.agg(
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        )
+        .cast("long")
+        .alias("dof")
+    )
+    return folded.crossJoin(F.broadcast(dims)).select(
+        "n_cells", "dof", F.round("chi2", 6).alias("chi2")
     )

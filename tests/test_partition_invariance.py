@@ -51,6 +51,17 @@ QUERIES_UNDER_TEST = [
     "knn_graph_edges",
     "weighted_sample_docs",
     "source_overlap_matrix",
+    # r6 tier: left-folded Zipf regression, fixed-point TF-IDF weights,
+    # int64 Gram accumulated across ARBITRARY Arrow batch boundaries
+    # (the mapInPandas partial shape is exactly what partitioning
+    # changes), fixed-point k-center greedy, sorted-fold chi2, and the
+    # KS sup over exact division results
+    "zipf_slope",
+    "tfidf_doc_pairs",
+    "embedding_dim_correlations",
+    "kcenter_coreset",
+    "source_lang_chi2",
+    "length_ks_matrix",
 ]
 
 

@@ -537,3 +537,74 @@ def foreach_batch_hll_ingest(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+
+
+def foreach_batch_retention_ingest(
+    event_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    state_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Streaming cohort-retention ingest — the continuous twin of the
+    batch ``retention_cohorts`` query: the state is the DISTINCT
+    (user, active-day) set, grown append-only with an anti-join dedup,
+    so a dashboard recomputes the cohort matrix from state at any time
+    via :func:`retention_matrix_from_state`.
+
+    Idempotence contract: each batch appends only the (user, day) pairs
+    NOT already present (left anti join against state), so a replayed
+    batch appends nothing and the state remains exactly the distinct
+    activity set regardless of delivery count — the same append-only
+    CRDT shape as the transition/reservoir ingests, with the dedup moved
+    into the join because retention counts each (user, day) ONCE ever,
+    not once per batch. State size is the true distinct activity set
+    (what the batch query's first exchange materializes anyway); the
+    anti join is key-partitioned on the pair.
+
+    Batch ≡ stream (pinned in tests/test_insights): after any prefix of
+    batches, retention_matrix_from_state(state) equals the batch
+    retention_cohorts device over the union of those batches' events."""
+    from pyspark.errors import AnalysisException
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pairs = batch_df.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        ).distinct()
+        try:
+            seen = spark.read.parquet(state_path).select("user_id", "d")
+            fresh = pairs.join(seen, ["user_id", "d"], "left_anti")
+        except AnalysisException:  # first batch: no state yet
+            fresh = pairs
+        fresh.write.mode("append").parquet(state_path)
+
+    return (
+        event_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+
+
+def retention_matrix_from_state(spark, state_path: str) -> DataFrame:
+    """Cohort matrix off the streaming activity-set state — identical
+    device (and output schema) to the batch ``retention_cohorts`` query,
+    reading the materialized distinct (user, day) set instead of raw
+    events."""
+    um = spark.read.parquet(state_path).select("user_id", "d").distinct()
+    firstd = um.groupBy("user_id").agg(F.min("d").alias("cd"))
+    act = um.join(firstd, "user_id")
+    r = act.groupBy(
+        F.col("cd"), F.datediff("d", "cd").cast("int").alias("day_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    cs = firstd.groupBy("cd").agg(F.count(F.lit(1)).alias("csize"))
+    return r.join(cs, "cd").select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.expr("CAST(n_users * 1000000 DIV csize AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )

@@ -137,9 +137,13 @@ def tfidf_pairs(
 
     100 TB plan shape: one exchange builds (doc, term, tf); df rides a
     window over the SAME term key (co-partitioned, no extra exchange);
-    the pair stage shuffles (doc, term, w) postings bounded by
-    Σ min(df, max_df)²; norms join back on the id key (plain join — a
-    per-doc side is corpus-sized, never broadcast)."""
+    the weighted postings table (doc, term, w — three scalar columns) is
+    materialized ONCE via localCheckpoint because four consumers read it
+    (both pair-join sides + both norm sides) and Catalyst does not reuse
+    the exchange across the aliased subtrees (measured 30 → 6 exchanges);
+    the pair stage shuffles postings bounded by Σ min(df, max_df)²; norms
+    join back on the id key (plain join — a per-doc side is corpus-sized,
+    never broadcast)."""
     from pyspark.sql import Window
 
     toks = ensure_parallelism(docs).select(
@@ -167,6 +171,7 @@ def tfidf_pairs(
             ).alias("w"),
         )
     )
+    weighted = weighted.localCheckpoint(eager=True)
     norms = weighted.groupBy("doc").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")
     )

@@ -508,11 +508,14 @@ def containment_pairs(
     by N documents. ``max_df`` is the hot-shingle guard for that case
     (VERDICT r5 #2): shingles with document frequency > max_df are
     excluded from CANDIDATE GENERATION (the Σ df² stage is then bounded
-    by Σ min(df, max_df)²), and the surviving candidate pairs are scored
-    EXACTLY over their full shingle sets via ``array_intersect`` — scores
-    are never approximated, only pairs whose overlap is *entirely*
-    ultra-hot shingles (pure boilerplate ∩ boilerplate) can be missed,
-    and those are the pairs a containment dedup must NOT merge anyway.
+    by Σ min(df, max_df)²), and scores stay EXACT via an intersection
+    split — df>1 shingles partition into capped and hot, so
+    ``inter = inter_capped (the pair groupBy count) + inter_hot
+    (array_intersect of each doc's HOT shingles only — tiny arrays,
+    never the full sets)``. Scores are never approximated; only pairs
+    whose overlap is *entirely* ultra-hot shingles (pure boilerplate ∩
+    boilerplate) can be missed, and those are the pairs a containment
+    dedup must NOT merge anyway.
     Alternatively pass ``candidates`` (id_a, id_b) from a sketch (LSH
     banding, AllPairs prefix) — O(candidates), same scoring branch. NOTE
     a containment-recall caveat the symmetric case doesn't have: MinHash
@@ -570,25 +573,92 @@ def containment_pairs(
     inv = inv.withColumn("__df", F.count(F.lit(1)).over(ws))
 
     if max_df is not None:
-        # hot-shingle guard: candidate pairs only from 1 < df <= max_df
-        # shingles (bounds the posting self-join), then EXACT re-score
-        cand = (
-            inv.where((F.col("__df") > 1) & (F.col("__df") <= max_df))
-            .drop("__df")
-            .alias("a")
-            .join(
-                inv.where(
-                    (F.col("__df") > 1) & (F.col("__df") <= max_df)
-                )
-                .drop("__df")
-                .alias("b"),
-                "shingle",
-            )
-            .where(F.col("a.doc") < F.col("b.doc"))
-            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-            .distinct()
+        # hot-shingle guard with an EXACT intersection split: shingles with
+        # df > 1 partition into capped (2..max_df) and hot (> max_df), so
+        # inter = inter_capped + inter_hot. Candidate pairs and their
+        # capped-intersection counts come from ONE groupBy over the capped
+        # posting self-join (bounded at Σ min(df, max_df)², no distinct);
+        # the hot contribution is an array_intersect over each doc's HOT
+        # shingles only (tiny arrays — never the full shingle sets), joined
+        # per surviving pair. Pairs whose entire overlap is hot shingles
+        # are the documented recall trade (pure boilerplate ∩ boilerplate).
+        inv = inv.localCheckpoint(eager=True)
+        capped = inv.where(
+            (F.col("__df") > 1) & (F.col("__df") <= max_df)
+        ).drop("__df")
+        hot_sets = (
+            inv.where(F.col("__df") > max_df)
+            .groupBy("doc")
+            .agg(F.collect_set("shingle").alias("hs"))
         )
-        return _score_candidates(cand)
+        pair_ic = (
+            capped.alias("a")
+            .join(capped.alias("b"), "shingle")
+            .where(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
+        n_docs = sh.count()
+        sizes = sh.select("doc", F.size("shingle_set").alias("n_sh"))
+        hot_inter = F.when(
+            F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+            F.size(F.array_intersect(F.col("ha"), F.col("hb"))),
+        ).otherwise(F.lit(0))
+        return (
+            pair_ic.join(
+                hot_sets.select(
+                    F.col("doc").alias("id_a"), F.col("hs").alias("ha")
+                ),
+                "id_a",
+                "left",
+            )
+            .join(
+                hot_sets.select(
+                    F.col("doc").alias("id_b"), F.col("hs").alias("hb")
+                ),
+                "id_b",
+                "left",
+            )
+            .withColumn("inter", F.col("ic") + hot_inter)
+            .join(
+                _maybe_broadcast(
+                    sizes.withColumnRenamed("doc", "id_a").withColumnRenamed(
+                        "n_sh", "n_a"
+                    ),
+                    n_docs,
+                ),
+                "id_a",
+            )
+            .join(
+                _maybe_broadcast(
+                    sizes.withColumnRenamed("doc", "id_b").withColumnRenamed(
+                        "n_sh", "n_b"
+                    ),
+                    n_docs,
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "containment",
+                F.round(
+                    F.col("inter").cast("double")
+                    / F.least("n_a", "n_b").cast("double"),
+                    6,
+                ),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.col("inter")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment", "jaccard")
+        )
 
     # uncapped exact path: posting-list intersection counts. sh is already
     # materialized (localCheckpoint above), so the doc count is metadata-cheap

@@ -122,20 +122,34 @@ fi AS (
   SELECT i.doc_id, i.sh FROM inv i JOIN dfc USING (sh)
   WHERE dfc.d > 1 AND dfc.d <= {_CONTAIN_DF_CAP}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM fi a JOIN fi b ON a.sh = b.sh AND a.doc_id < b.doc_id
+hot AS (
+  SELECT i.doc_id, i.sh FROM inv i JOIN dfc USING (sh)
+  WHERE dfc.d > {_CONTAIN_DF_CAP}
 ),
+hs AS (SELECT doc_id, list(sh) AS hsh FROM hot GROUP BY doc_id),
+pi AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+  FROM fi a JOIN fi b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+wi AS (
+  SELECT id_a, id_b,
+    ic + (CASE WHEN ha.hsh IS NOT NULL AND hb.hsh IS NOT NULL
+               THEN len(list_intersect(ha.hsh, hb.hsh)) ELSE 0 END) AS inter
+  FROM pi
+  LEFT JOIN hs ha ON ha.doc_id = pi.id_a
+  LEFT JOIN hs hb ON hb.doc_id = pi.id_b
+),
+sz AS (SELECT doc_id, len(ss) AS n FROM s),
 sc AS (
   SELECT id_a, id_b,
-    round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-          / CAST(least(len(sa.ss), len(sb.ss)) AS DOUBLE), 6) AS containment,
-    round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-          / CAST(len(sa.ss) + len(sb.ss)
-                 - len(list_intersect(sa.ss, sb.ss)) AS DOUBLE), 6) AS jaccard
-  FROM cand
-  JOIN s sa ON sa.doc_id = cand.id_a
-  JOIN s sb ON sb.doc_id = cand.id_b
+    round(CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE), 6)
+      AS containment,
+    round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
+      AS jaccard
+  FROM wi
+  JOIN sz na ON na.doc_id = wi.id_a
+  JOIN sz nb ON nb.doc_id = wi.id_b
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        containment, jaccard

@@ -112,6 +112,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "kcenter_coreset",  # new in r6; local parity both SFs
     "length_ks_matrix",  # new in r6; local parity both SFs
     "source_lang_chi2",  # new in r6; local parity both SFs
+    "token_packing_plan",  # new in r6; local parity both SFs
 ]
 
 

@@ -156,6 +156,7 @@ HEADLINE = [
     "kcenter_coreset",
     "length_ks_matrix",
     "source_lang_chi2",
+    "token_packing_plan",
 ]
 
 

@@ -691,3 +691,95 @@ def q_source_lang_chi2(spark, sf_dir):
     return folded.crossJoin(F.broadcast(dims)).select(
         "n_cells", "dof", F.round("chi2", 6).alias("chi2")
     )
+
+
+# --------------------------------------------------------------------------
+# token packing plan (concat-and-chunk into fixed context windows)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 256
+PACK_SHARDS = 16
+
+
+def _pack_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    hv = hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), pt -> pt <> '')) AS BIGINT)
+      AS n_tok,
+    CAST(({hv}) % {PACK_SHARDS} AS INT) AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+seq AS (
+  SELECT shard, n_tok,
+    sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tok AS cum_prev
+  FROM lens
+),
+binned AS (
+  SELECT shard, n_tok, cum_prev // {PACK_BUDGET} AS bin_id FROM seq
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+  CAST(count(DISTINCT bin_id) AS BIGINT) AS n_started_bins,
+  CAST(sum(n_tok) * 1000000 // ((max(bin_id) + 1) * {PACK_BUDGET})
+       AS BIGINT) AS fill_ppm
+FROM binned GROUP BY shard
+"""
+
+
+@register("token_packing_plan", _pack_oracle())
+def q_token_packing_plan(spark, sf_dir):
+    """Concat-and-chunk packing plan — the GPT-style pretraining batcher:
+    documents are concatenated in a deterministic md5-shuffled order and
+    cut into fixed {PACK_BUDGET}-token context windows; a document's bin
+    is ``exclusive_cumsum(tokens) DIV budget`` (documents straddle window
+    boundaries — exactly the concat-then-chunk model, where nothing is
+    padded and fill is ~100% except each shard's final window). Reports
+    per-shard doc/token/bin counts and the integer-ppm fill rate.
+
+    100 TB shape: packing runs INDEPENDENTLY per md5 shard, so the only
+    window is partitioned by shard (distributes across the cluster —
+    shard count scales with corpus size exactly like training_shard_plan);
+    the md5 order inside a shard is the deterministic shuffle the
+    curriculum already needs, and the output is a {PACK_SHARDS}-row
+    summary. All quantities integer-exact."""
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = hex_value_sql("md5(CAST(doc_id AS STRING))", 2)
+    lens = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), pt -> pt <> '')) AS BIGINT)"
+        ).alias("n_tok"),
+        F.expr(f"CAST(({hv}) % {PACK_SHARDS} AS INT)").alias("shard"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = lens.withColumn(
+        "cum_prev", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    binned = seq.select(
+        "shard", "n_tok", F.expr(f"cum_prev DIV {PACK_BUDGET}").alias("bin_id")
+    )
+    return binned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+        F.countDistinct("bin_id").cast("long").alias("n_started_bins"),
+        F.expr(
+            f"CAST(sum(n_tok) * 1000000 DIV ((max(bin_id) + 1) * {PACK_BUDGET})"
+            f" AS BIGINT)"
+        ).alias("fill_ppm"),
+    )

@@ -350,3 +350,58 @@ def test_streaming_retention_ingest_matches_batch_matrix(spark, tmp_path):
     seen = spark.read.parquet(state).select("user_id", "d")
     assert pairs.join(seen, ["user_id", "d"], "left_anti").count() == 0
     assert spark.read.parquet(state).count() == n_before
+
+
+def test_token_packing_plan_matches_python(spark, sf_small):
+    """Concat-and-chunk packing recomputed in plain Python with the same
+    md5 shard/order device."""
+    import hashlib
+
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+    from py_datalake_move_files_spark.queries_insights import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    shards: dict[int, list[tuple[str, int, int]]] = {}
+    for r in docs:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        shard = (int(h[0], 16) * 16 + int(h[1], 16)) % PACK_SHARDS
+        n_tok = len([t for t in r["text"].split(" ") if t])
+        shards.setdefault(shard, []).append((h, r["doc_id"], n_tok))
+    want = {}
+    for shard, rows in shards.items():
+        rows.sort()
+        cum = 0
+        bins = set()
+        last_bin = -1
+        tot = 0
+        for _, _, n in rows:
+            b = cum // PACK_BUDGET
+            bins.add(b)
+            last_bin = max(last_bin, b)
+            cum += n
+            tot += n
+        n_bins = last_bin + 1
+        want[shard] = (
+            len(rows),
+            tot,
+            n_bins,
+            len(bins),
+            tot * 1000000 // (n_bins * PACK_BUDGET),
+        )
+    got = {
+        r["shard"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_bins"],
+            r["n_started_bins"],
+            r["fill_ppm"],
+        )
+        for r in QUERIES["token_packing_plan"](spark, sf_small).collect()
+    }
+    assert got == want

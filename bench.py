@@ -170,6 +170,13 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # test hook: run a comma-separated subset (the output contract — one
+    # compact JSON line + the BENCH_full.json sidecar — is pinned by
+    # tests/test_bench_contract.py without paying the full headline set)
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [n for n in subset.split(",") if n] if subset else HEADLINE
+    )
     spark = get_spark("pdmfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -187,7 +194,7 @@ def main() -> None:
     # per-query crash isolation: one broken query must not cost the timings
     # of the 20 healthy ones (r2: a warm-up crash recorded zero timings)
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         try:
             materialize(QUERIES[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — record and keep benching
@@ -197,7 +204,7 @@ def main() -> None:
     # tenants and single-shot timings showed 2-10× interference spikes; the
     # minimum is the standard steady-state estimator under external noise
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name in errors:
             continue
         best = float("inf")
@@ -220,13 +227,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries_timed": len(times),
-        "queries_headline": len(HEADLINE),
+        "queries_headline": len(headline),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         full["errors"] = errors
-    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    full_path = Path(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            Path(__file__).resolve().parent / "BENCH_full.json",
+        )
+    )
     full_path.write_text(json.dumps(full, indent=2) + "\n")
 
     slowest = dict(
@@ -239,7 +251,7 @@ def main() -> None:
         # a crashed query shrinks the sum silently; the count makes
         # round-over-round totals comparable (ADVICE r03)
         "queries_timed": len(times),
-        "queries_headline": len(HEADLINE),
+        "queries_headline": len(headline),
         "queries": slowest,
         "queries_note": f"slowest 10 of {len(times)}; full map in {full_path.name}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

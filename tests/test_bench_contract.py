@@ -1,0 +1,52 @@
+"""Bench output contract (VERDICT r5 #4): the driver parses ONE JSON line
+from the process tail, so bench.py must (a) print exactly one compact
+JSON object as its final stdout line, small enough that tail capture
+cannot truncate it, and (b) write the full per-query map to the sidecar.
+
+Runs bench.py as a real subprocess (the way the driver does) on a 2-query
+subset at sf0.001 — the contract is the same at any scale."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_one_compact_json_line_and_sidecar(tmp_path):
+    out_sidecar = tmp_path / "bench_full.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_QUERIES="q1_pricing_summary,orders_by_month",
+        SPARK_GRAFT_BENCH_OUT=str(out_sidecar),
+    )
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+        check=True,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, proc.stderr[-500:]
+    summary = json.loads(lines[-1])  # final line IS the summary
+    assert summary["metric"] == "headline_queries_total"
+    assert summary["unit"] == "sec"
+    assert summary["queries_timed"] == 2
+    assert summary["queries_headline"] == 2
+    assert set(summary["queries"]) <= {"q1_pricing_summary", "orders_by_month"}
+    assert summary["value"] > 0
+    assert summary["sf"] == 0.001
+    # compact: the driver's tail capture must never split it mid-line
+    assert len(lines[-1]) < 4096
+
+    full = json.loads(out_sidecar.read_text())
+    assert set(full["queries"]) == {"q1_pricing_summary", "orders_by_month"}
+    assert abs(sum(full["queries"].values()) - full["value"]) < 1e-6

@@ -113,6 +113,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "length_ks_matrix",  # new in r6; local parity both SFs
     "source_lang_chi2",  # new in r6; local parity both SFs
     "token_packing_plan",  # new in r6; local parity both SFs
+    "dau_wau_stickiness",  # new in r6; local parity both SFs
+    "quality_dup_calibration",  # new in r6; local parity both SFs
 ]
 
 

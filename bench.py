@@ -157,6 +157,8 @@ HEADLINE = [
     "length_ks_matrix",
     "source_lang_chi2",
     "token_packing_plan",
+    "dau_wau_stickiness",
+    "quality_dup_calibration",
 ]
 
 

@@ -790,3 +790,158 @@ def q_token_packing_plan(spark, sf_dir):
             f" AS BIGINT)"
         ).alias("fill_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU stickiness
+# --------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+grid AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+wau AS (
+  SELECT g.d, count(DISTINCT u.user_id) AS wau
+  FROM grid g JOIN ud u
+    ON u.d <= g.d AND u.d >= g.d - INTERVAL 6 DAY
+  GROUP BY g.d
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+@register("dau_wau_stickiness", _DAU_ORACLE)
+def q_dau_wau_stickiness(spark, sf_dir):
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio — the engagement triple every product
+    dashboard leads with. The trailing-window distinct count never
+    shuffles raw events per window: the distinct (user, day) activity set
+    is built once (one exchange), and each grid day joins its 7-day
+    activity slice through a BROADCAST of the day grid (bounded by the
+    calendar, not the corpus), with the distinct-user count one
+    key-partitioned aggregate. Stickiness is integer ppm."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    ud = ud.localCheckpoint(eager=True)
+    grid = ud.select("d").distinct().withColumnRenamed("d", "g")
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = (
+        ud.join(
+            F.broadcast(grid),
+            (F.col("d") <= F.col("g"))
+            & (F.datediff("g", "d") <= F.lit(6)),
+        )
+        .groupBy("g")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, dau["d"] == wau["g"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.expr("CAST(dau * 1000000 DIV wau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality-score decile vs exact-dup rate calibration
+# --------------------------------------------------------------------------
+
+
+def _calib_oracle() -> str:
+    from py_datalake_move_files_spark.queries import _QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({_QUALITY_ORACLE.strip()}),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END
+      AS is_dup
+  FROM documents
+),
+hist AS (SELECT quality, count(*) AS hn FROM q GROUP BY quality),
+cum AS (
+  SELECT quality, hn,
+    sum(hn) OVER (ORDER BY quality
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - hn
+      AS below,
+    sum(hn) OVER () AS tot
+  FROM hist
+),
+dmap AS (
+  SELECT quality, least(9, below * 10 // tot) AS decile FROM cum
+),
+joined AS (
+  SELECT dmap.decile, fp.is_dup
+  FROM q JOIN dmap USING (quality) JOIN fp USING (doc_id)
+)
+SELECT CAST(decile AS INT) AS decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+  CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM joined GROUP BY decile
+"""
+
+
+@register("quality_dup_calibration", _calib_oracle())
+def q_quality_dup_calibration(spark, sf_dir):
+    """Calibration curve between the heuristic quality score and exact
+    duplication: per quality DECILE, the ppm of documents whose content
+    digest appears more than once — the cross-check a curation pipeline
+    runs before trusting a quality threshold (low-quality deciles should
+    carry the boilerplate mass; if they don't, the score is miscalibrated
+    for dedup triage).
+
+    Deciles come from the bounded-histogram rank device over DISTINCT
+    quality values (6-dp grid → domain-bounded; every doc with the same
+    score lands in the same decile — no row_number over the corpus); the
+    decile map rides a broadcast back onto the scan, and the dup flag is
+    the digest-window count from dedup_exact's device (32-byte digests,
+    never text, on the exchange)."""
+    from py_datalake_move_files_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    fp = docs.select(
+        "doc_id",
+        F.when(
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary")))
+            )
+            > 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("hn"))
+    wcum = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("below", F.sum("hn").over(wcum) - F.col("hn"))
+        .withColumn("tot", F.sum("hn").over(Window.partitionBy()))
+    )
+    dmap = cum.select(
+        "quality",
+        F.expr("least(9, below * 10 DIV tot)").alias("decile"),
+    )
+    joined = (
+        q.join(F.broadcast(dmap), "quality")
+        .join(fp, "doc_id")
+        .select("decile", "is_dup")
+    )
+    return joined.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.expr("CAST(sum(is_dup) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )

@@ -62,6 +62,11 @@ QUERIES_UNDER_TEST = [
     "kcenter_coreset",
     "source_lang_chi2",
     "length_ks_matrix",
+    # r6 late tier: md5-ordered packing cumsum, calendar-broadcast
+    # distinct windows, histogram-decile map + digest dup flags
+    "token_packing_plan",
+    "dau_wau_stickiness",
+    "quality_dup_calibration",
 ]
 
 

@@ -171,6 +171,11 @@ def tfidf_pairs(
             ).alias("w"),
         )
     )
+    # df == N terms weigh ln(1) = 0 (and df≈N can round to 0): a doc whose
+    # every term is universal would otherwise carry a zero vector and
+    # divide by zero in the cosine — zero-weight postings contribute
+    # nothing to dots or norms, so dropping them is exact
+    weighted = weighted.where(F.col("w") != 0)
     weighted = weighted.localCheckpoint(eager=True)
     norms = weighted.groupBy("doc").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2")

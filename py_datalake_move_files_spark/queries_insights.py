@@ -257,13 +257,14 @@ WITH tk AS (
 tf AS (SELECT doc, term, count(*) AS tf FROM tk GROUP BY doc, term),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
-w AS (
+w0 AS (
   SELECT tf.doc, tf.term,
     tf.tf * CAST(round(ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE))
                        * {TFIDF_SCALE}) AS BIGINT) AS w
   FROM tf JOIN dfq USING (term) CROSS JOIN nd
   WHERE dfq.df >= {TFIDF_MIN_DF} AND dfq.df <= {TFIDF_MAX_DF}
 ),
+w AS (SELECT * FROM w0 WHERE w <> 0),
 nrm AS (SELECT doc, sum(w * w) AS n2 FROM w GROUP BY doc),
 dots AS (
   SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot

@@ -1,11 +1,14 @@
 """Round-6 tier: warehouse/product analytics + corpus-health audits.
 
-Nine queries widening the engine past round 5 (the last three below are
-``kcenter_coreset`` — greedy diversity coreset with a bit-reproducible
-selection sequence, ``length_ks_matrix`` — exact two-sample KS distance
-between every pair of sources' length distributions, and
-``source_lang_chi2`` — chi-square independence of the source×language
-mix, all documented at their definitions):
+Thirteen queries widening the engine past round 5. Documented at their
+definitions below: ``kcenter_coreset`` (greedy diversity coreset with a
+bit-reproducible selection sequence), ``length_ks_matrix`` (exact
+two-sample KS distance between every pair of sources' length
+distributions), ``source_lang_chi2`` (chi-square independence of the
+source×language mix), ``token_packing_plan`` (concat-and-chunk context
+packing), ``dau_wau_stickiness`` (trailing-window active users), and
+``quality_dup_calibration`` (quality-decile vs exact-dup rate). The
+first six:
 
 - ``retention_cohorts`` — the classic cohort-retention matrix over
   ``events`` (first-seen month × activity-month offset), the product

@@ -65,6 +65,21 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-file-mb", type=int, default=128)
     c.add_argument("--format", default="parquet")
 
+    z = sub.add_parser(
+        "optimize",
+        help="rewrite a table z-order-clustered on the given columns",
+    )
+    z.add_argument("--source", required=True)
+    z.add_argument("--target", required=True)
+    z.add_argument(
+        "--by",
+        required=True,
+        help="comma-separated columns to interleave (multi-dim clustering)",
+    )
+    z.add_argument("--bits", type=int, default=8)
+    z.add_argument("--target-file-mb", type=int, default=128)
+    z.add_argument("--format", default="parquet")
+
     q = sub.add_parser(
         "audit", help="data-quality constraint report over a test-table dir"
     )
@@ -221,6 +236,22 @@ def cmd_compact(spark, args) -> int:
     return 0
 
 
+def cmd_optimize(spark, args) -> int:
+    from py_datalake_move_files_spark.plans.maintenance import optimize_zorder
+
+    n = optimize_zorder(
+        spark,
+        args.source,
+        args.target,
+        cols=[c for c in args.by.split(",") if c],
+        bits=args.bits,
+        target_file_mb=args.target_file_mb,
+        fmt=args.format,
+    )
+    print(f"optimized into {n} z-ordered file(s) at {args.target}")
+    return 0
+
+
 def cmd_audit(spark, args) -> int:
     from py_datalake_move_files_spark.queries import QUERIES
 
@@ -289,6 +320,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_vacuum(spark, args)
         if args.cmd == "compact":
             return cmd_compact(spark, args)
+        if args.cmd == "optimize":
+            return cmd_optimize(spark, args)
         if args.cmd == "audit":
             return cmd_audit(spark, args)
         return cmd_move(spark, args)

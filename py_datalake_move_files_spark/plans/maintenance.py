@@ -67,3 +67,69 @@ def compact(
     df = spark.read.format(fmt).load(src_dir)
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_dir)
     return n_files
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    cols: list[str],
+    bits: int = 8,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+    n_files: int | None = None,
+) -> int:
+    """OPTIMIZE ZORDER BY — rewrite a table clustered on the Morton
+    interleave of ``cols`` so parquet min/max stats are tight in EVERY
+    listed dimension at once (the Delta/Iceberg OPTIMIZE intent; single
+    -column sorts only skip on their leading column). Returns the output
+    file count.
+
+    Raw values are first normalized to 2^bits integer ranks via per-column
+    min/max from ONE metadata-cheap aggregate (broadcast back onto the
+    scan) — interleaving raw skewed values would waste high bits
+    (plans/layout.zorder_key's contract). The write is the only shuffle:
+    ``repartitionByRange`` on the z-key places ranges into files,
+    ``sortWithinPartitions`` makes per-file row groups monotone. File
+    count derives from the listing's total bytes, metadata-only, like
+    :func:`compact`."""
+    from py_datalake_move_files_spark.plans.layout import zorder_key
+
+    if n_files is None:
+        total_bytes = (
+            list_files(spark, src_dir)
+            .agg(F.sum("length").alias("b"))
+            .collect()[0]
+            .b
+        ) or 0
+        n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(src_dir)
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    )
+    ranked = df.crossJoin(F.broadcast(stats))
+    rank_cols = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        rank = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
+        )
+        rank_cols.append(F.coalesce(rank, F.lit(0)).alias(f"__zr_{i}"))
+    ranked = ranked.select(*df.columns, *rank_cols)
+    zkey = zorder_key([f"__zr_{i}" for i in range(len(cols))], bits=bits)
+    (
+        ranked.withColumn("__zkey", zkey)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__zr_{i}" for i in range(len(cols))])
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(out_dir)
+    )
+    return n_files

@@ -130,3 +130,33 @@ def test_cli_audit_gate_fails_on_dirty_drop(spark, tmp_path):
     assert r.returncode == 2
     assert "documents_empty_text: 2/" in r.stdout
     assert "FAIL: 2 violation(s)" in r.stderr
+
+
+def test_cli_optimize_zorder(spark, tmp_path):
+    """`optimize` rewrites a table z-order-clustered; row set survives."""
+    from py_datalake_move_files_spark.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = tmp_path / "src"
+    orders.repartition(4).write.parquet(str(src))
+
+    out = tmp_path / "opt"
+    r = _run(
+        [
+            "optimize",
+            "--source",
+            str(src),
+            "--target",
+            str(out),
+            "--by",
+            "o_totalprice,o_custkey",
+            "--target-file-mb",
+            "128",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "z-ordered file(s)" in r.stdout
+    back = spark.read.parquet(str(out))
+    assert back.count() == orders.count()

@@ -48,3 +48,48 @@ def test_compact_small_files(spark, tmp_path):
     n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_out == n_target == 1  # tiny data → single 128MB-target file
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order OPTIMIZE: identical rows back, requested file count, and —
+    the point of the Morton key — per-file value ranges are narrow in
+    BOTH interleaved dimensions (a round-robin layout's per-file range is
+    ~the full domain in every dimension)."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.plans.maintenance import optimize_zorder
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = str(tmp_path / "src")
+    # deliberately scatter the data: round-robin layout, no clustering
+    orders.repartition(8).write.parquet(src)
+    out = str(tmp_path / "zorder")
+    n = optimize_zorder(
+        spark, src, out, cols=["o_totalprice", "o_custkey"], n_files=16
+    )
+    assert n == 16
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert (
+        back.select(F.sum("o_orderkey")).collect()[0][0]
+        == orders.select(F.sum("o_orderkey")).collect()[0][0]
+    )
+
+    def mean_file_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).collect()[0][0]
+
+    for col in ["o_totalprice", "o_custkey"]:
+        full = orders.agg(F.max(col) - F.min(col)).collect()[0][0]
+        scattered = mean_file_span(src, col)
+        clustered = mean_file_span(out, col)
+        # round-robin files each cover ~the whole domain; z-ordered files
+        # must cover a clearly narrower slice in EVERY interleaved dim
+        assert scattered > 0.9 * full, (col, scattered, full)
+        assert clustered < 0.6 * full, (col, clustered, full)

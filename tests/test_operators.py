@@ -415,3 +415,44 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         assert r_multi[qid] >= r_single[qid], qid
     # and somewhere it actually buys recall on this corpus
     assert sum(r_multi.values()) > sum(r_single.values())
+
+
+def test_sizes_broadcast_is_conditional_on_corpus_size(spark, monkeypatch):
+    """VERDICT r5 #8: the per-document sizes side is broadcast only while
+    provably small; above the threshold the SAME results come back through
+    a plain co-partitioned join (per-doc sides grow with the corpus —
+    ~12 GB at 1B docs — and must never be forced broadcast)."""
+    from py_datalake_move_files_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e f g h"),
+            (3, "a b c d x"),
+            (4, "zz yy xx ww vv"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in DD.jaccard_pairs(
+                docs, "doc_id", threshold=0.2
+            ).collect()
+        )
+
+    # unit contract: _maybe_broadcast hints only under the threshold
+    small = spark.createDataFrame([(1, 2)], "doc long, n_sh int")
+    hinted = DD._maybe_broadcast(small, 10)._jdf.queryExecution()
+    unhinted = DD._maybe_broadcast(small, 10**9)._jdf.queryExecution()
+    unknown = DD._maybe_broadcast(small, None)._jdf.queryExecution()
+    assert "ResolvedHint" in hinted.analyzed().toString()
+    assert "ResolvedHint" not in unhinted.analyzed().toString()
+    assert "ResolvedHint" not in unknown.analyzed().toString()
+
+    # whole-operator: identical pairs through both branches
+    via_broadcast = run()
+    monkeypatch.setattr(DD, "BROADCAST_SIZES_MAX_DOCS", 0)
+    via_plain_join = run()
+    assert via_broadcast == via_plain_join and via_broadcast

@@ -115,6 +115,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "token_packing_plan",  # new in r6; local parity both SFs
     "dau_wau_stickiness",  # new in r6; local parity both SFs
     "quality_dup_calibration",  # new in r6; local parity both SFs
+    "knn_components",  # new in r6; local parity both SFs
 ]
 
 

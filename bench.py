@@ -159,6 +159,7 @@ HEADLINE = [
     "token_packing_plan",
     "dau_wau_stickiness",
     "quality_dup_calibration",
+    "knn_components",
 ]
 
 

@@ -122,6 +122,16 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    else:
+        # silent wrong labels are worse than a loud stop: min-label
+        # propagation advances one hop per round, so a graph whose
+        # min-eccentricity exceeds the cap (long chains — e.g. a kNN graph)
+        # would return partially-propagated clusters that LOOK valid
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — raise "
+            f"max_iterations (graph diameter exceeds the cap)"
+        )
 
     # one row per clustered node, lineage already truncated
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -424,3 +424,61 @@ def q_knn_triangle_count(spark, sf_dir):
             F.expr("(3 * t * 1000000) div n_wedges").alias("closure_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# connected components of the kNN graph (cluster census)
+# --------------------------------------------------------------------------
+
+_KNN_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _KNN_PRELUDE[len("WITH ") :].strip()
+    + _KNN_EDGES_CTE
+    + """,
+und AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM edges
+  UNION SELECT neighbor_id, query_id FROM edges
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN und e ON r.dst = e.src
+),
+cc AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(max(vec_id) AS BIGINT) AS max_vec_id
+FROM cc GROUP BY cluster_id
+"""
+)
+
+
+@register("knn_components", _KNN_CC_ORACLE)
+def q_knn_components(spark, sf_dir):
+    """Connected-component census of the kNN graph — the cluster structure
+    underneath the density/label audits: mutually-reachable neighborhoods
+    (one giant component = a healthy embedding manifold; many shards =
+    disconnected modes or an over-tight k). Reuses the audited iterative
+    min-label propagation (operators/clusters.connected_components, the
+    aggregate-then-iterate shape with per-round lineage cuts); a kNN graph
+    can carry long chains, so the iteration cap is raised and
+    NON-convergence now raises instead of returning partially-propagated
+    labels. Oracle = the same recursive transitive-closure CTE as the
+    dedup clusters, over the IVF-derived edge set."""
+    from py_datalake_move_files_spark.operators.clusters import (
+        connected_components,
+    )
+
+    edges = _knn_edges(spark, sf_dir).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    cc = connected_components(edges, max_iterations=100)
+    return cc.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_vec_id"),
+        F.max("node").cast("long").alias("max_vec_id"),
+    )

@@ -116,6 +116,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "dau_wau_stickiness",  # new in r6; local parity both SFs
     "quality_dup_calibration",  # new in r6; local parity both SFs
     "knn_components",  # new in r6; local parity both SFs
+    "lsh_threshold_curve",  # new in r6; local parity both SFs
 ]
 
 

@@ -160,6 +160,7 @@ HEADLINE = [
     "dau_wau_stickiness",
     "quality_dup_calibration",
     "knn_components",
+    "lsh_threshold_curve",
 ]
 
 

@@ -2092,3 +2092,122 @@ def q_lang_kappa_score(spark, sf_dir):
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+# --- LSH banding precision/recall CURVE across thresholds (r6) -------------
+
+_CURVE_FLOOR = 0.3
+_CURVE_PERMILLE = [300, 400, 500, 600, 700, 800, 900]
+
+
+def _lsh_curve_oracle() -> str:
+    from py_datalake_move_files_spark.queries import _minhash_ctes
+
+    ctes, _ = _minhash_ctes()
+    li = "len(list_intersect(da.ss, db.ss))"
+    tms = ", ".join(str(t) for t in _CURVE_PERMILLE)
+    return f"""
+WITH {ctes},
+truth AS (
+  SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {_CURVE_FLOOR}
+),
+scored_cand AS (
+  SELECT cand.id_a, cand.id_b,
+    round({li} / (len(da.ss) + len(db.ss) - {li}), 6) AS j
+  FROM cand
+  JOIN d da ON da.doc_id = cand.id_a
+  JOIN d db ON db.doc_id = cand.id_b
+),
+u AS (
+  SELECT coalesce(t.j, c.j) AS j, c.id_a IS NOT NULL AS in_cand
+  FROM truth t
+  FULL OUTER JOIN scored_cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+th AS (SELECT unnest([{tms}]) AS tm)
+SELECT CAST(tm AS INT) AS threshold_permille,
+  CAST(sum(CASE WHEN j >= tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN in_cand AND j < tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN NOT in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(CASE WHEN sum(CASE WHEN in_cand THEN 1 ELSE 0 END) > 0
+    THEN sum(CASE WHEN in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) * 1000000
+         // sum(CASE WHEN in_cand THEN 1 ELSE 0 END) END AS BIGINT)
+    AS precision_ppm,
+  CAST(CASE WHEN sum(CASE WHEN j >= tm / 1000.0 THEN 1 ELSE 0 END) > 0
+    THEN sum(CASE WHEN in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) * 1000000
+         // sum(CASE WHEN j >= tm / 1000.0 THEN 1 ELSE 0 END) END AS BIGINT)
+    AS recall_ppm
+FROM th CROSS JOIN u
+GROUP BY tm
+"""
+
+
+@register("lsh_threshold_curve", _lsh_curve_oracle())
+def q_lsh_threshold_curve(spark, sf_dir):
+    """The banding TUNING CURVE: precision/recall of the MinHash-LSH
+    candidate set against exact n-gram Jaccard at every threshold from
+    {_CURVE_FLOOR} to 0.9 — one query answers "which threshold can this
+    bands/hashes setting serve?" where lsh_quality_eval answers it for a
+    single point. Both expensive arms (exact pairs ≥ floor via the
+    bounded inverted join; ALL banding candidates scored exactly over
+    full shingle sets) run ONCE; a full-outer join marks side membership
+    and the 7-threshold sweep is a literal explode over that small pair
+    frame — per-threshold counts are one grouped aggregate, never a
+    re-scan. Precision denominator is the candidate count (constant in
+    t), recall denominator the ≥t truth; both integer ppm, NULL when the
+    denominator is empty."""
+    docs = _t(spark, sf_dir, "documents")
+    from py_datalake_move_files_spark.queries import BANDS, MINHASHES
+
+    truth = DD.jaccard_pairs(docs, "doc_id", threshold=_CURVE_FLOOR).select(
+        "id_a", "id_b", F.col("jaccard").alias("jt")
+    )
+    sigs = DD.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
+    cands = DD.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS
+    )
+    scored = DD.jaccard_pairs(
+        docs, "doc_id", threshold=0.0, candidates=cands
+    ).select("id_a", "id_b", F.col("jaccard").alias("jc"))
+    u = truth.join(scored, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("jt", "jc").alias("j"),
+        F.col("jc").isNotNull().alias("in_cand"),
+    )
+    tms = ", ".join(str(t) for t in _CURVE_PERMILLE)
+    sw = u.select(
+        "j", "in_cand", F.explode(F.expr(f"array({tms})")).alias("tm")
+    )
+    hit = F.when(F.col("j") >= F.col("tm") / 1000.0, 1).otherwise(0)
+    tp = F.when(
+        F.col("in_cand") & (F.col("j") >= F.col("tm") / 1000.0), 1
+    ).otherwise(0)
+    fp = F.when(
+        F.col("in_cand") & (F.col("j") < F.col("tm") / 1000.0), 1
+    ).otherwise(0)
+    cand_n = F.when(F.col("in_cand"), 1).otherwise(0)
+    agg = sw.groupBy(F.col("tm").cast("int").alias("threshold_permille")).agg(
+        F.sum(hit).cast("long").alias("n_true"),
+        F.sum(tp).cast("long").alias("tp"),
+        F.sum(fp).cast("long").alias("fp"),
+        (F.sum(hit) - F.sum(tp)).cast("long").alias("fn"),
+        F.sum(cand_n).alias("__nc"),
+    )
+    return agg.select(
+        "threshold_permille",
+        "n_true",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN __nc > 0 THEN tp * 1000000 DIV __nc END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_true > 0 THEN tp * 1000000 DIV n_true END"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

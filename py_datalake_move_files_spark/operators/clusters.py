@@ -69,6 +69,14 @@ def connected_components(
     Returns ``(node, cluster_id)`` where ``cluster_id`` is the minimum node
     id reachable from ``node`` (deterministic representative).
 
+    Propagation is one-hop neighbor-min per round with an early exit at
+    convergence and a LOUD failure at the iteration cap (below). A
+    pointer-doubling variant (relabel through label-of-label, O(log
+    diameter) rounds) was measured SLOWER here — the extra per-round
+    self-join + full-outer merge cost more than the rounds it saved on
+    real graphs, where high-degree hubs already spread the min label in
+    few hops (knn_components: 3.8 s one-hop vs 6.8 s doubled at sf0.1).
+
     ``checkpoint_dir``: None (default) cuts lineage with ``localCheckpoint``
     — fastest, but executor-loss-fragile; pass a fault-tolerant directory
     (HDFS/S3 path on a real cluster) to use reliable ``checkpoint()``

@@ -117,6 +117,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "quality_dup_calibration",  # new in r6; local parity both SFs
     "knn_components",  # new in r6; local parity both SFs
     "lsh_threshold_curve",  # new in r6; local parity both SFs
+    "trimmed_mean_prices",  # new in r6; local parity both SFs
 ]
 
 

@@ -161,6 +161,7 @@ HEADLINE = [
     "quality_dup_calibration",
     "knn_components",
     "lsh_threshold_curve",
+    "trimmed_mean_prices",
 ]
 
 

@@ -949,3 +949,83 @@ def q_quality_dup_calibration(spark, sf_dir):
             "dup_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# exact grouped trimmed mean (robust stats, histogram rank-overlap device)
+# --------------------------------------------------------------------------
+
+_TRIM_ORACLE = """
+WITH cents AS (
+  SELECT o_orderpriority AS priority,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+hist AS (SELECT priority, c, count(*) AS hn FROM cents GROUP BY priority, c),
+cum AS (
+  SELECT priority, c, hn,
+    sum(hn) OVER (PARTITION BY priority ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(hn) OVER (PARTITION BY priority) AS n
+  FROM hist
+),
+kept AS (
+  SELECT priority, n, n // 10 AS k,
+    greatest(0, least(cw, n - n // 10) - greatest(cw - hn, n // 10)) AS kc,
+    c
+  FROM cum
+)
+SELECT priority, CAST(max(n) AS BIGINT) AS n_orders,
+  CAST(max(n) - 2 * max(k) AS BIGINT) AS n_kept,
+  round(CAST(sum(kc * c) AS DOUBLE)
+        / (CAST(max(n) - 2 * max(k) AS DOUBLE) * 100.0), 6)
+    AS trimmed_mean
+FROM kept GROUP BY priority
+"""
+
+
+@register("trimmed_mean_prices", _TRIM_ORACLE)
+def q_trimmed_mean_prices(spark, sf_dir):
+    """Exact 10%-trimmed mean order value per priority — the robust
+    location estimate that survives fat tails where the plain mean
+    doesn't, computed WITHOUT sorting or buffering raw rows: values
+    quantize to integer cents, each histogram cell's rank span
+    ``(cw−hn, cw]`` intersects the kept-rank window ``(k, n−k]``
+    (k = n DIV 10), and the trimmed sum is Σ value·overlap — boundary
+    cells contribute PARTIALLY, exactly. The grouped form of the
+    histogram-rank family: the cumulative window partitions by priority
+    (distributes across groups) over a money-bounded domain; every
+    quantity is integer until the single final division."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    hist = cents.groupBy("priority", "c").agg(F.count(F.lit(1)).alias("hn"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cw", F.sum("hn").over(wcum)).withColumn(
+        "n", F.sum("hn").over(Window.partitionBy("priority"))
+    )
+    kept = cum.select(
+        "priority",
+        "n",
+        F.expr("n DIV 10").alias("k"),
+        F.expr(
+            "greatest(0, least(cw, n - n DIV 10)"
+            " - greatest(cw - hn, n DIV 10))"
+        ).alias("kc"),
+        "c",
+    )
+    return kept.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        (F.max("n") - 2 * F.max("k")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("kc") * F.col("c")).cast("double")
+            / ((F.max("n") - 2 * F.max("k")).cast("double") * 100.0),
+            6,
+        ).alias("trimmed_mean"),
+    )

@@ -118,6 +118,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "knn_components",  # new in r6; local parity both SFs
     "lsh_threshold_curve",  # new in r6; local parity both SFs
     "trimmed_mean_prices",  # new in r6; local parity both SFs
+    "revenue_gini",  # new in r6; local parity both SFs
 ]
 
 

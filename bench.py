@@ -162,6 +162,7 @@ HEADLINE = [
     "knn_components",
     "lsh_threshold_curve",
     "trimmed_mean_prices",
+    "revenue_gini",
 ]
 
 

@@ -1029,3 +1029,83 @@ def q_trimmed_mean_prices(spark, sf_dir):
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# revenue concentration: exact Gini coefficient over customer revenue
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH cr AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS r
+  FROM orders GROUP BY o_custkey
+),
+hist AS (SELECT r, count(*) AS hn FROM cr GROUP BY r),
+cum AS (
+  SELECT r, hn,
+    sum(hn) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cw,
+    sum(hn) OVER () AS n
+  FROM hist
+),
+agg AS (
+  SELECT max(n) AS n,
+    sum(CAST(r AS DECIMAL(38,0)) * hn) AS s,
+    sum(CAST(r AS DECIMAL(38,0)) * hn * (cw - hn + 1 + cw)) AS sw2
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  CAST(s AS BIGINT) AS total_revenue_cents,
+  round(CAST(sw2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+@register("revenue_gini", _GINI_ORACLE)
+def q_revenue_gini(spark, sf_dir):
+    """Exact Gini coefficient of per-customer revenue — the concentration
+    number behind every "top X% of customers drive Y%" claim, computed
+    WITHOUT a global sort of customers: revenues quantize to integer
+    cents, and the rank-weighted sum Σ i·x_i folds per histogram cell as
+    ``x · (first_rank + last_rank) · count / 2`` (equal values commute
+    within their rank span, so tie order cannot matter) — the
+    rank-weighted generalization of the histogram-rank family. The
+    weighted sum accumulates in DECIMAL(38,0) (rank·value·count products
+    overflow int64 at ~1e9 customers); the only doubles are the final
+    two same-op-order divisions. The cumulative window runs over
+    DISTINCT revenue values; coarsen to whole currency units first if
+    distinct revenues approach customer count at extreme scale."""
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("r")
+    )
+    hist = cr.groupBy("r").agg(F.count(F.lit(1)).alias("hn"))
+    wcum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cw", F.sum("hn").over(wcum)).withColumn(
+        "n", F.sum("hn").over(Window.partitionBy())
+    )
+    agg = cum.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("hn")).alias("s"),
+        F.sum(
+            F.col("r").cast("decimal(38,0)")
+            * F.col("hn")
+            * (F.col("cw") - F.col("hn") + 1 + F.col("cw"))
+        ).alias("sw2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_revenue_cents"),
+        F.round(
+            F.col("sw2").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )

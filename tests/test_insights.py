@@ -405,3 +405,40 @@ def test_token_packing_plan_matches_python(spark, sf_small):
         for r in QUERIES["token_packing_plan"](spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_trimmed_mean_and_gini_match_python(spark, sf_small):
+    """Histogram rank-overlap trimmed mean and rank-weighted Gini vs
+    plain-Python recomputations over the same integer-cent values."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    orders = load_table(spark, sf_small, "orders").collect()
+
+    by_prio: dict[str, list[int]] = {}
+    by_cust: dict[int, int] = {}
+    for r in orders:
+        c = round(r["o_totalprice"] * 100)
+        by_prio.setdefault(r["o_orderpriority"], []).append(c)
+        by_cust[r["o_custkey"]] = by_cust.get(r["o_custkey"], 0) + c
+
+    got_tm = {
+        r["priority"]: (r["n_orders"], r["n_kept"], r["trimmed_mean"])
+        for r in QUERIES["trimmed_mean_prices"](spark, sf_small).collect()
+    }
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 10
+        kept = vals[k : n - k]
+        want = round(sum(kept) / (len(kept) * 100.0), 6)
+        assert got_tm[prio] == (n, n - 2 * k, want), prio
+
+    rs = sorted(by_cust.values())
+    n = len(rs)
+    s = sum(rs)
+    sw = sum((i + 1) * x for i, x in enumerate(rs))
+    want_gini = round(2 * sw / (n * s) - (n + 1.0) / n, 6)
+    row = QUERIES["revenue_gini"](spark, sf_small).collect()[0]
+    assert (row["n_customers"], row["total_revenue_cents"]) == (n, s)
+    assert abs(row["gini"] - want_gini) <= 1e-6

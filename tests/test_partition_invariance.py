@@ -67,6 +67,13 @@ QUERIES_UNDER_TEST = [
     "token_packing_plan",
     "dau_wau_stickiness",
     "quality_dup_calibration",
+    # r6 final tier: iterative CC labels over the kNN graph, the
+    # two-arm threshold sweep, rank-overlap trimmed sums, and the
+    # decimal rank-weighted Gini fold
+    "knn_components",
+    "lsh_threshold_curve",
+    "trimmed_mean_prices",
+    "revenue_gini",
 ]
 
 

@@ -78,3 +78,38 @@ def dedup_within_watermark(
     keys = key_cols or ["event_id"]
     events = ensure_timestamp(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the third join shape §2.9 needs
+    beside stream-stream and self-dedup: a live event stream decorated
+    with a slowly-changing dimension (user profile, product catalog).
+
+    Stream-static joins are STATELESS: Spark re-plans the static side per
+    micro-batch (no state store, no watermark requirement on the stream
+    for inner/left), so the dimension may be updated in place between
+    batches and each batch sees its latest snapshot — the cheap,
+    restart-free alternative to a slowly-changing stream-stream join for
+    reference data. ``broadcast_dim`` (default) hints the dimension below
+    every executor — at 100 TB/day of events the dim is the small side by
+    construction; pass False for a corpus-sized dimension and let AQE
+    pick a shuffled join per micro-batch.
+
+    Right/full joins are NOT offered: with a static right side they
+    require watermark-complete knowledge of the stream and Spark rejects
+    them at analysis — the API surfaces only the shapes that run."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"stream-static join supports inner/left/left_semi/left_anti, "
+            f"got {how!r} (right/full need the whole stream and are "
+            f"rejected by Spark at analysis time)"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -82,3 +82,51 @@ def test_dedup_within_watermark_collapses_restamped_duplicates(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 2  # one per event_id despite differing ts
     assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_small, tmp_path):
+    """Stream-static enrichment: a live event stream decorated with a
+    static user dimension must emit exactly the batch left join (the join
+    is stateless, so no watermark/late-data slack is needed), and the
+    unsupported shapes are rejected eagerly."""
+    import pytest
+
+    from py_datalake_move_files_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)  # half the users have a profile
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+    )
+    ev.coalesce(1).write.parquet(f"{tmp_path}/ev")
+    stream = file_arrival_stream(spark, f"{tmp_path}/ev", ev.schema)
+
+    enriched = stream_static_enrich(stream, dim, on="user_id")
+    q = (
+        to_parquet_sink(enriched, str(tmp_path / "out"), str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("event_id", "user_id", "event_type", "segment")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "event_type", "segment")
+        .collect()
+    }
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="right/full"):
+        stream_static_enrich(stream, dim, on="user_id", how="full_outer")

@@ -13,6 +13,9 @@ Completes the stateful-streaming surface beyond windowed aggregation
   exactly-once-per-key within the watermark horizon even when duplicate
   deliveries carry different event times (at-least-once sources re-stamp
   on retry; plain ``dropDuplicates`` would treat re-stamps as new rows).
+- :func:`stream_static_enrich` — the stateless third shape: per-micro-
+  batch join against a slowly-changing static dimension (broadcast by
+  default), picking up in-place dimension updates without restarts.
 
 State sizing at scale: state is partitioned by join key across executors
 (numShufflePartitions state stores); a 1-hour horizon over ~10^6 events/s

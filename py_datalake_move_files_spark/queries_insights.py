@@ -1,14 +1,16 @@
 """Round-6 tier: warehouse/product analytics + corpus-health audits.
 
-Thirteen queries widening the engine past round 5. Documented at their
+Fifteen queries widening the engine past round 5. Documented at their
 definitions below: ``kcenter_coreset`` (greedy diversity coreset with a
 bit-reproducible selection sequence), ``length_ks_matrix`` (exact
 two-sample KS distance between every pair of sources' length
 distributions), ``source_lang_chi2`` (chi-square independence of the
 source×language mix), ``token_packing_plan`` (concat-and-chunk context
-packing), ``dau_wau_stickiness`` (trailing-window active users), and
-``quality_dup_calibration`` (quality-decile vs exact-dup rate). The
-first six:
+packing), ``dau_wau_stickiness`` (trailing-window active users),
+``quality_dup_calibration`` (quality-decile vs exact-dup rate),
+``trimmed_mean_prices`` (exact grouped trimmed mean via histogram
+rank-overlap sums), and ``revenue_gini`` (rank-weighted histogram Gini
+in exact decimals). The first six:
 
 - ``retention_cohorts`` — the classic cohort-retention matrix over
   ``events`` (first-seen month × activity-month offset), the product

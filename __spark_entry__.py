@@ -119,6 +119,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "lsh_threshold_curve",  # new in r6; local parity both SFs
     "trimmed_mean_prices",  # new in r6; local parity both SFs
     "revenue_gini",  # new in r6; local parity both SFs
+    "event_hour_mix_chi2",  # new in r6; local parity both SFs
 ]
 
 

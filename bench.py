@@ -163,6 +163,7 @@ HEADLINE = [
     "lsh_threshold_curve",
     "trimmed_mean_prices",
     "revenue_gini",
+    "event_hour_mix_chi2",
 ]
 
 

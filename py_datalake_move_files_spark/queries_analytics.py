@@ -1173,3 +1173,94 @@ def q_basket_pair_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# temporal-mix audit: chi-square independence of event type × hour-of-day
+# --------------------------------------------------------------------------
+
+_HOURMIX_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY event_type, hr
+),
+rt AS (SELECT event_type, sum(obs) AS r FROM cells GROUP BY event_type),
+ct AS (SELECT hr, sum(obs) AS c FROM cells GROUP BY hr),
+nn AS (SELECT sum(obs) AS n FROM cells),
+terms AS (
+  SELECT cells.event_type, cells.hr,
+    (CAST(obs AS DOUBLE)
+     - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(obs AS DOUBLE)
+       - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+  FROM cells JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN nn
+),
+folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+    list_reduce(list(term ORDER BY event_type, hr), (ha, hb) -> ha + hb)
+      AS chi2
+  FROM terms
+),
+dims AS (
+  SELECT CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT hr) - 1)
+              AS BIGINT) AS dof
+  FROM cells
+)
+SELECT n_cells, dof, round(chi2, 6) AS chi2 FROM folded CROSS JOIN dims
+"""
+
+
+@register("event_hour_mix_chi2", _HOURMIX_ORACLE)
+def q_event_hour_mix_chi2(spark, sf_dir):
+    """Chi-square independence of event type × hour-of-day — the
+    temporal-mix audit that flags an event type whose daily rhythm
+    diverges from the rest (bot bursts, batch-import spikes) before it
+    skews windowed baselines. Same exactness device as the
+    source×language audit: integer marginals off the ≤ type·24-cell
+    aggregate, per-cell terms mirrored op-for-op, final Σ folded
+    LEFT-TO-RIGHT over the (type, hour)-sorted term list."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    cells = cells.localCheckpoint(eager=True)
+    rt = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("hr").agg(F.sum("obs").alias("c"))
+    nn = cells.agg(F.sum("obs").alias("n"))
+    exp = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_type",
+            "hr",
+            (
+                (F.col("obs").cast("double") - exp)
+                * (F.col("obs").cast("double") - exp)
+                / exp
+            ).alias("term"),
+        )
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(event_type, hr, term))), hs -> hs.term), "
+            "CAST(0.0 AS DOUBLE), (ha, hb) -> ha + hb)"
+        ).alias("chi2"),
+    )
+    dims = cells.agg(
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("hr") - 1))
+        .cast("long")
+        .alias("dof")
+    )
+    return folded.crossJoin(F.broadcast(dims)).select(
+        "n_cells", "dof", F.round("chi2", 6).alias("chi2")
+    )

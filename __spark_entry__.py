@@ -120,6 +120,9 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "trimmed_mean_prices",  # new in r6; local parity both SFs
     "revenue_gini",  # new in r6; local parity both SFs
     "event_hour_mix_chi2",  # new in r6; local parity both SFs
+    "revenue_top_decile_share",  # new in r6; local parity both SFs
+    "interarrival_burstiness",  # new in r6; local parity both SFs
+    "dup_cluster_size_histogram",  # new in r6; local parity both SFs
 ]
 
 

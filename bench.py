@@ -164,6 +164,9 @@ HEADLINE = [
     "trimmed_mean_prices",
     "revenue_gini",
     "event_hour_mix_chi2",
+    "revenue_top_decile_share",
+    "interarrival_burstiness",
+    "dup_cluster_size_histogram",
 ]
 
 

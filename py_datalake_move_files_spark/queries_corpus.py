@@ -2211,3 +2211,83 @@ def q_lsh_threshold_curve(spark, sf_dir):
             " AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# --- duplicate-family size distribution (r6) --------------------------------
+
+
+def _dup_size_hist_oracle() -> str:
+    from py_datalake_move_files_spark.queries import _minhash_ctes
+
+    ctes, final = _minhash_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (SELECT src, least(src, min(dst)) AS cid FROM reach GROUP BY src),
+sz AS (SELECT cid, count(*) AS s FROM cc GROUP BY cid),
+h AS (SELECT s, CAST(count(*) AS BIGINT) AS nc FROM sz GROUP BY s),
+singles AS (
+  SELECT 1 AS s,
+    (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc) AS nc
+)
+SELECT CAST(s AS BIGINT) AS cluster_size,
+       CAST(sum(nc) AS BIGINT) AS n_clusters
+FROM (SELECT s, nc FROM h UNION ALL SELECT s, nc FROM singles)
+GROUP BY s
+"""
+
+
+@register("dup_cluster_size_histogram", _dup_size_hist_oracle())
+def q_dup_cluster_size_histogram(spark, sf_dir):
+    """Size distribution of near-dup families (MinHash-LSH clusters plus
+    the singleton mass) — the shape a dedup policy is tuned against:
+    a heavy tail means a few giant template families dominate the dup
+    mass (dedup by canonical pick), a flat profile means pairwise near-
+    misses (dedup by threshold). Reuses the audited banding → verify →
+    connected-components pipeline; the histogram itself is two
+    metadata-sized aggregates over the cluster assignment, and the
+    singleton count is total docs minus clustered docs — no extra scan
+    of text."""
+    from py_datalake_move_files_spark.operators.clusters import (
+        connected_components,
+    )
+    from py_datalake_move_files_spark.queries import (
+        BANDS,
+        JACCARD_T,
+        MINHASHES,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
+    cands = DD.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS
+    )
+    pairs = DD.jaccard_pairs(
+        docs, "doc_id", threshold=JACCARD_T, candidates=cands
+    )
+    cc = connected_components(pairs)
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("s"))
+    h = sz.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    n_clustered = cc.agg(F.count(F.lit(1)).alias("ncl"))
+    singles = (
+        n_docs.crossJoin(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).alias("s"),
+            (F.col("nd") - F.col("ncl")).cast("long").alias("nc"),
+        )
+    )
+    return (
+        h.unionByName(singles)
+        .groupBy(F.col("s").cast("long").alias("cluster_size"))
+        .agg(F.sum("nc").cast("long").alias("n_clusters"))
+    )

@@ -1111,3 +1111,147 @@ def q_revenue_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz point: revenue share of the top decile of customers
+# --------------------------------------------------------------------------
+
+_TOPSHARE_ORACLE = """
+WITH cr AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS r
+  FROM orders GROUP BY o_custkey
+),
+hist AS (SELECT r, count(*) AS hn FROM cr GROUP BY r),
+cum AS (
+  SELECT r, hn,
+    sum(hn) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cw,
+    sum(hn) OVER () AS n
+  FROM hist
+),
+kept AS (
+  SELECT n, n // 10 AS k, r,
+    greatest(0, cw - greatest(cw - hn, n - n // 10)) AS kc,
+    hn
+  FROM cum
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+  CAST(max(k) AS BIGINT) AS top_k,
+  round(CAST(sum(kc * r) AS DOUBLE) / CAST(sum(hn * r) AS DOUBLE), 6)
+    AS top_decile_share
+FROM kept
+"""
+
+
+@register("revenue_top_decile_share", _TOPSHARE_ORACLE)
+def q_revenue_top_decile_share(spark, sf_dir):
+    """The Lorenz point behind "the top 10% of customers drive X% of
+    revenue" — the companion readout to revenue_gini, computed with the
+    SAME histogram rank-overlap device as the trimmed mean: the top
+    decile is the rank window (n−k, n] (k = n DIV 10), each cell
+    contributes ``value · overlap`` exactly (boundary cells partially),
+    and the share is one same-op-order double division at the end."""
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("r")
+    )
+    hist = cr.groupBy("r").agg(F.count(F.lit(1)).alias("hn"))
+    wcum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cw", F.sum("hn").over(wcum)).withColumn(
+        "n", F.sum("hn").over(Window.partitionBy())
+    )
+    kept = cum.select(
+        "n",
+        F.expr("n DIV 10").alias("k"),
+        "r",
+        F.expr(
+            "greatest(0, cw - greatest(cw - hn, n - n DIV 10))"
+        ).alias("kc"),
+        "hn",
+    )
+    return kept.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("k").cast("long").alias("top_k"),
+        F.round(
+            F.sum(F.col("kc") * F.col("r")).cast("double")
+            / F.sum(F.col("hn") * F.col("r")).cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# inter-arrival burstiness per event type
+# --------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS d
+  FROM events
+),
+gaps AS (SELECT event_type, CAST(d AS BIGINT) AS d FROM seq WHERE d IS NOT NULL),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+    CAST(sum(d) AS BIGINT) AS sd,
+    sum(CAST(d AS DECIMAL(38,0)) * d) AS sdd
+  FROM gaps GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+  round(CAST(sd AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_ms,
+  round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sdd AS DOUBLE)
+             - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+        / CAST(sd AS DOUBLE), 6) AS cv,
+  round((sqrt(CAST(n_gaps AS DOUBLE) * CAST(sdd AS DOUBLE)
+              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+         / CAST(sd AS DOUBLE) - 1.0)
+        / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sdd AS DOUBLE)
+                - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+           / CAST(sd AS DOUBLE) + 1.0), 6) AS burstiness
+FROM mom
+"""
+
+
+@register("interarrival_burstiness", _BURST_ORACLE)
+def q_interarrival_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per event type — the Goh-Barabási
+    ``B = (CV−1)/(CV+1)`` index (−1 = periodic, 0 = Poisson, →1 =
+    bursty) that separates organic traffic from bots and batch imports.
+    Gaps come from one lag window PARTITIONED BY TYPE (distributes across
+    types; (ts, event_id) ordering is a deterministic total order), and
+    the moments are exact: Σd in BIGINT, Σd² in DECIMAL(38,0) (a
+    month-long gap squared is ~7e18 — one gap from int64 overflow).
+    The only doubles are the final same-op-order CV/burstiness chains."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+        ).alias("d"),
+    ).where(F.col("d").isNotNull())
+    mom = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sdd"),
+    )
+    cv = F.sqrt(
+        F.col("n_gaps").cast("double") * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd").cast("double")
+    ) / F.col("sd").cast("double")
+    return mom.select(
+        "event_type",
+        "n_gaps",
+        F.round(
+            F.col("sd").cast("double") / F.col("n_gaps").cast("double"), 6
+        ).alias("mean_gap_ms"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1.0) / (cv + 1.0), 6).alias("burstiness"),
+    )

@@ -74,6 +74,12 @@ QUERIES_UNDER_TEST = [
     "lsh_threshold_curve",
     "trimmed_mean_prices",
     "revenue_gini",
+    # r6 closing tier: sorted-fold chi2 over hours, rank-window share,
+    # decimal gap moments behind a type-partitioned lag, CC size census
+    "event_hour_mix_chi2",
+    "revenue_top_decile_share",
+    "interarrival_burstiness",
+    "dup_cluster_size_histogram",
 ]
 
 

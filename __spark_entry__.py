@@ -123,6 +123,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "revenue_top_decile_share",  # new in r6; local parity both SFs
     "interarrival_burstiness",  # new in r6; local parity both SFs
     "dup_cluster_size_histogram",  # new in r6; local parity both SFs
+    "lead_time_quartiles",  # new in r6; local parity both SFs
 ]
 
 

@@ -167,6 +167,7 @@ HEADLINE = [
     "revenue_top_decile_share",
     "interarrival_burstiness",
     "dup_cluster_size_histogram",
+    "lead_time_quartiles",
 ]
 
 

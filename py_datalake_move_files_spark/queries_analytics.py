@@ -1264,3 +1264,81 @@ def q_event_hour_mix_chi2(spark, sf_dir):
     return folded.crossJoin(F.broadcast(dims)).select(
         "n_cells", "dof", F.round("chi2", 6).alias("chi2")
     )
+
+
+# --------------------------------------------------------------------------
+# grouped R-7 quartiles: order -> ship lead time by priority
+# --------------------------------------------------------------------------
+
+
+def _leadtime_oracle() -> str:
+    pieces = []
+    for k in (1, 2, 3):
+        lo, fr = _quartile_sql(k)
+        lo = lo.replace(" div ", " // ")
+        vlo = f"min(CASE WHEN cw >= {lo} THEN c END)"
+        vhi = f"min(CASE WHEN cw >= {lo} + 1 THEN c END)"
+        f4 = f"max({fr})"
+        pieces.append(
+            f"CAST(CASE WHEN {f4} = 0 THEN 4 * {vlo} "
+            f"ELSE 4 * {vlo} + {f4} * ({vhi} - {vlo}) END AS BIGINT) "
+            f"AS p{k * 25}_days_x4"
+        )
+    sel = ", ".join(pieces)
+    return f"""
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hist AS (SELECT priority, c, count(*) AS n FROM lt GROUP BY priority, c),
+cum AS (
+  SELECT priority, c, n,
+    sum(n) OVER (PARTITION BY priority ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(n) OVER (PARTITION BY priority) AS tot
+  FROM hist
+)
+SELECT priority, CAST(max(tot) AS BIGINT) AS n_lineitems, {sel}
+FROM cum GROUP BY priority
+"""
+
+
+@register("lead_time_quartiles", _leadtime_oracle())
+def q_lead_time_quartiles(spark, sf_dir):
+    """Exact interpolated R-7 p25/p50/p75 of order→ship lead time PER
+    PRIORITY — the fulfillment-SLA readout, and the GROUPED form of the
+    conversion-latency quartile device: the cumulative window partitions
+    by priority (distributes across groups) over a day-granular domain
+    (bounded by the shipping calendar, not row count), quartiles
+    interpolate in ×4 fixed-point integers off the per-group cumulative
+    histogram, and the order↔lineitem join is the one inherent big-big
+    shuffle, co-keyed on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("c"),
+    )
+    hist = lt.groupBy("priority", "c").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cw", F.sum("n").over(wcum)).withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("priority"))
+    )
+    aggs = [F.max("tot").cast("long").alias("n_lineitems")]
+    for k in (1, 2, 3):
+        lo, fr = _quartile_sql(k)
+        vlo = f"min(CASE WHEN cw >= {lo} THEN c END)"
+        vhi = f"min(CASE WHEN cw >= {lo} + 1 THEN c END)"
+        f4 = f"max({fr})"
+        aggs.append(
+            F.expr(
+                f"CAST(CASE WHEN {f4} = 0 THEN 4 * {vlo} "
+                f"ELSE 4 * {vlo} + {f4} * ({vhi} - {vlo}) END AS BIGINT)"
+            ).alias(f"p{k * 25}_days_x4")
+        )
+    return cum.groupBy("priority").agg(*aggs)

@@ -80,6 +80,7 @@ QUERIES_UNDER_TEST = [
     "revenue_top_decile_share",
     "interarrival_burstiness",
     "dup_cluster_size_histogram",
+    "lead_time_quartiles",
 ]
 
 

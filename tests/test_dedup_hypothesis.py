@@ -124,3 +124,54 @@ def test_kmeans_refine_matches_bruteforce_one_round(spark, vecs):
             comps.append(float(s) / float(1_000_000 * len(members)))
         want.append((cid, comps))
     assert got == sorted(want)
+
+
+tok = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+tiny_docs = st.lists(
+    st.lists(tok, min_size=3, max_size=7), min_size=2, max_size=6
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=tiny_docs, cap=st.integers(min_value=1, max_value=4))
+def test_containment_max_df_split_matches_bruteforce(spark, texts, cap):
+    """The r6 capped-containment split (capped-pair groupBy + hot-set
+    array_intersect) against a plain-Python recomputation of the SAME
+    semantics: candidate pairs share >=1 shingle with 1 < df <= cap;
+    their scores are EXACT over full shingle sets."""
+    from py_datalake_move_files_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(
+            df, "doc_id", threshold=0.0, max_df=cap
+        ).collect()
+    }
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    ss = {i: shingles(toks) for i, toks in enumerate(texts)}
+    dfreq: dict[str, int] = {}
+    for s in ss.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    capped = {sh for sh, d in dfreq.items() if 1 < d <= cap}
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            if not (ss[a] & ss[b] & capped):
+                continue  # hot-only / disjoint pairs are the recall trade
+            inter = len(ss[a] & ss[b])
+            cont = round(inter / min(len(ss[a]), len(ss[b])), 6)
+            jac = round(inter / (len(ss[a]) + len(ss[b]) - inter), 6)
+            want[(a, b)] = (cont, jac)
+    assert got == want

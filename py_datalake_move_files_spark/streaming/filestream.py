@@ -608,3 +608,77 @@ def retention_matrix_from_state(spark, state_path: str) -> DataFrame:
             "retention_ppm"
         ),
     )
+
+
+def foreach_batch_histogram_ingest(
+    stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    state_path: str,
+    value_expr: str,
+):
+    """Streaming VALUE-HISTOGRAM ingest — the one state shape that makes
+    the engine's whole histogram-rank family (exact median/MAD, R-7
+    quartiles, trimmed means, Gini, percentile ranks) live: each
+    micro-batch appends its (value, count) cells stamped with batch_id,
+    and any reader folds the cells into the same cumulative-histogram
+    device the batch queries use.
+
+    Histograms are mergeable monoids (cell counts add), so per-batch
+    partials summed over any batch prefix equal the one-shot histogram —
+    the CMS/HLL ingest linearity argument, with replay safety from the
+    batch stamp: an at-least-once redelivery re-appends identical
+    (batch_id, value, count) rows, and readers collapse duplicates by
+    taking ONE row per (batch_id, value) before summing. State size is
+    O(distinct values × batches); compaction (re-aggregate to one row
+    per value under a new epoch stamp) never changes answers.
+
+    ``value_expr`` is any integer-valued SQL expression over the stream's
+    columns (the fixed-point quantization the batch devices use)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.selectExpr(f"CAST(({value_expr}) AS BIGINT) AS c")
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("hn"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        cells.write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+
+
+def histogram_from_state(spark, state_path: str) -> DataFrame:
+    """Collapse the streaming histogram state to one (c, hn) row per
+    value: dedup replays by (batch_id, c) first (identical redelivered
+    rows collapse to one), then sum across batches — after which every
+    batch histogram-rank device applies unchanged."""
+    raw = spark.read.parquet(state_path)
+    deduped = raw.groupBy("batch_id", "c").agg(F.max("hn").alias("hn"))
+    return deduped.groupBy("c").agg(F.sum("hn").alias("hn"))
+
+
+def median_x2_from_state(spark, state_path: str):
+    """Exact median (×2 fixed point) off the streaming histogram state —
+    the same min-CASE rank reads the batch devices use."""
+    from pyspark.sql import Window
+
+    hist = histogram_from_state(spark, state_path)
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cw", F.sum("hn").over(wcum)).withColumn(
+        "tot", F.sum("hn").over(Window.partitionBy())
+    )
+    row = cum.agg(
+        F.expr(
+            "CAST(min(CASE WHEN cw >= (tot + 1) DIV 2 THEN c END)"
+            " + min(CASE WHEN cw >= (tot + 2) DIV 2 THEN c END) AS BIGINT)"
+        ).alias("med2"),
+        F.max("tot").cast("long").alias("n"),
+    ).collect()[0]
+    return row["med2"], row["n"]

@@ -442,3 +442,67 @@ def test_trimmed_mean_and_gini_match_python(spark, sf_small):
     row = QUERIES["revenue_gini"](spark, sf_small).collect()[0]
     assert (row["n_customers"], row["total_revenue_cents"]) == (n, s)
     assert abs(row["gini"] - want_gini) <= 1e-6
+
+
+def test_streaming_histogram_ingest_median_matches_batch(spark, tmp_path):
+    """The histogram ingest makes the histogram-rank family live: after
+    two micro-batches, the state-derived exact median equals the one-shot
+    batch median over all values, and a replayed batch (identical
+    batch-stamped cells re-appended) changes nothing."""
+    import statistics
+
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_histogram_ingest,
+        histogram_from_state,
+        median_x2_from_state,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cut = o.selectExpr("percentile(o_orderkey, 0.5) AS m").collect()[0].m
+    src = tmp_path / "h"
+    o.where(F.col("o_orderkey") <= cut).coalesce(1).write.parquet(
+        str(src / "p0")
+    )
+    o.where(F.col("o_orderkey") > cut).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    stream = file_arrival_stream(
+        spark,
+        f"{src}/*",
+        "o_orderkey long, o_totalprice double",
+        max_files_per_trigger=1,
+    )
+    state = str(tmp_path / "hstate")
+    q = (
+        foreach_batch_histogram_ingest(
+            stream,
+            str(tmp_path / "hck"),
+            state_path=state,
+            value_expr="round(o_totalprice * 100)",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    med2, n = median_x2_from_state(spark, state)
+    cents = sorted(round(r["o_totalprice"] * 100) for r in o.collect())
+    assert n == len(cents)
+    assert med2 == cents[(n - 1) // 2] + cents[n // 2]
+    # python statistics cross-check (median == med2 / 2 in cent units)
+    assert med2 / 2 == statistics.median(cents)
+
+    # replay: re-append batch 1's exact stamped cells -> reader unchanged
+    raw = spark.read.parquet(state)
+    replay = raw.where(F.col("batch_id") == 1)
+    replay.write.mode("append").parquet(state)
+    assert (med2, n) == median_x2_from_state(spark, state)
+    # and the collapsed histogram still sums to n
+    assert (
+        histogram_from_state(spark, state).agg(F.sum("hn")).collect()[0][0]
+        == n
+    )

@@ -124,6 +124,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "interarrival_burstiness",  # new in r6; local parity both SFs
     "dup_cluster_size_histogram",  # new in r6; local parity both SFs
     "lead_time_quartiles",  # new in r6; local parity both SFs
+    "heaps_law_fit",  # new in r6; local parity both SFs
 ]
 
 

@@ -168,6 +168,7 @@ HEADLINE = [
     "interarrival_burstiness",
     "dup_cluster_size_histogram",
     "lead_time_quartiles",
+    "heaps_law_fit",
 ]
 
 

@@ -2291,3 +2291,145 @@ def q_dup_cluster_size_histogram(spark, sf_dir):
         .groupBy(F.col("s").cast("long").alias("cluster_size"))
         .agg(F.sum("nc").cast("long").alias("n_clusters"))
     )
+
+
+# --- Heaps' law vocabulary-growth fit (r6) ----------------------------------
+
+_HEAPS_BUCKETS = 10
+
+
+def _heaps_oracle() -> str:
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+
+    hv = hex_value_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+    fold = (
+        lambda body: "list_reduce(list_transform(generate_series(1, "
+        f"{_HEAPS_BUCKETS}), hi -> {body}), (hfa, hfb) -> hfa + hfb)"
+    )
+    return f"""
+WITH tk AS (
+  SELECT CAST(({hv}) % {_HEAPS_BUCKETS} AS INT) AS b,
+    unnest(list_filter(string_split(text, ' '), ht -> ht <> '')) AS t
+  FROM documents
+),
+tok_per_b AS (SELECT b, count(*) AS tn FROM tk GROUP BY b),
+first_b AS (SELECT t, min(b) AS fb FROM tk GROUP BY t),
+new_per_b AS (SELECT fb AS b, count(*) AS vn FROM first_b GROUP BY fb),
+cells AS (
+  SELECT g.b, coalesce(tok_per_b.tn, 0) AS tn, coalesce(new_per_b.vn, 0) AS vn
+  FROM (SELECT unnest(generate_series(0, {_HEAPS_BUCKETS - 1})) AS b) g
+  LEFT JOIN tok_per_b USING (b) LEFT JOIN new_per_b USING (b)
+),
+cum AS (
+  SELECT b,
+    sum(tn) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS tt,
+    sum(vn) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS vv
+  FROM cells
+),
+arrs AS (
+  SELECT list(ln(CAST(tt AS DOUBLE)) ORDER BY b) AS xs,
+         list(ln(CAST(vv AS DOUBLE)) ORDER BY b) AS ys,
+         CAST(max(tt) AS BIGINT) AS total_tokens,
+         CAST(max(vv) AS BIGINT) AS total_vocab
+  FROM cum
+),
+st AS (
+  SELECT total_tokens, total_vocab,
+    {fold("xs[hi]")} AS sx, {fold("ys[hi]")} AS sy,
+    {fold("xs[hi] * xs[hi]")} AS sxx, {fold("xs[hi] * ys[hi]")} AS sxy
+  FROM arrs
+)
+SELECT total_tokens, total_vocab,
+  round(({_HEAPS_BUCKETS}.0 * sxy - sx * sy)
+        / ({_HEAPS_BUCKETS}.0 * sxx - sx * sx), 6) AS heaps_beta,
+  round((sy - (({_HEAPS_BUCKETS}.0 * sxy - sx * sy)
+               / ({_HEAPS_BUCKETS}.0 * sxx - sx * sx)) * sx)
+        / {_HEAPS_BUCKETS}.0, 6) AS heaps_ln_k
+FROM st
+"""
+
+
+@register("heaps_law_fit", _heaps_oracle())
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β — Zipf's companion
+    corpus-health number (natural text grows vocabulary at β ≈ 0.4-0.6;
+    β → 0 flags a closed template vocabulary, β → 1 flags id/noise
+    tokens): documents are md5-bucketed into {_HEAPS_BUCKETS} deterministic
+    growth checkpoints, V at checkpoint d counts tokens whose FIRST
+    bucket ≤ d (one min-aggregate per token — the first-owner device from
+    doc_novelty), and the log-log OLS folds LEFT-TO-RIGHT over the
+    10-point arrays exactly like zipf_slope. Everything is integer until
+    the ln() chains; the only windows run over the 10-cell checkpoint
+    frame."""
+    from py_datalake_move_files_spark.operators.dedup import hex_value_sql
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = hex_value_sql("md5(CAST(doc_id AS STRING))", 2)
+    tk = ensure_parallelism(docs).select(
+        F.expr(f"CAST(({hv}) % {_HEAPS_BUCKETS} AS INT)").alias("b"),
+        F.explode(F.expr("filter(split(text, ' '), ht -> ht <> '')")).alias(
+            "t"
+        ),
+    )
+    tok_per_b = tk.groupBy("b").agg(F.count(F.lit(1)).alias("tn"))
+    first_b = tk.groupBy("t").agg(F.min("b").alias("fb"))
+    new_per_b = first_b.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("vn")
+    )
+    grid = spark.range(_HEAPS_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    cells = (
+        grid.join(tok_per_b, "b", "left")
+        .join(new_per_b, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tn", F.lit(0)).alias("tn"),
+            F.coalesce("vn", F.lit(0)).alias("vn"),
+        )
+    )
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "b",
+        F.sum("tn").over(wcum).alias("tt"),
+        F.sum("vn").over(wcum).alias("vv"),
+    )
+    arrs = cum.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(b, tt))), "
+            "hs -> ln(CAST(hs.tt AS DOUBLE)))"
+        ).alias("xs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(b, vv))), "
+            "hs -> ln(CAST(hs.vv AS DOUBLE)))"
+        ).alias("ys"),
+        F.max("tt").cast("long").alias("total_tokens"),
+        F.max("vv").cast("long").alias("total_vocab"),
+    )
+    fold = (
+        lambda body: f"aggregate(sequence(1, {_HEAPS_BUCKETS}), "
+        f"CAST(0.0 AS DOUBLE), (hfa, hi) -> hfa + ({body}))"
+    )
+    st = arrs.select(
+        "total_tokens",
+        "total_vocab",
+        F.expr(fold("element_at(xs, hi)")).alias("sx"),
+        F.expr(fold("element_at(ys, hi)")).alias("sy"),
+        F.expr(fold("element_at(xs, hi) * element_at(xs, hi)")).alias("sxx"),
+        F.expr(fold("element_at(xs, hi) * element_at(ys, hi)")).alias("sxy"),
+    )
+    slope = (
+        f"({_HEAPS_BUCKETS}.0 * sxy - sx * sy) "
+        f"/ ({_HEAPS_BUCKETS}.0 * sxx - sx * sx)"
+    )
+    return st.select(
+        "total_tokens",
+        "total_vocab",
+        F.expr(f"round({slope}, 6)").alias("heaps_beta"),
+        F.expr(
+            f"round((sy - ({slope}) * sx) / {_HEAPS_BUCKETS}.0, 6)"
+        ).alias("heaps_ln_k"),
+    )

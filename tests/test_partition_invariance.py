@@ -81,6 +81,7 @@ QUERIES_UNDER_TEST = [
     "interarrival_burstiness",
     "dup_cluster_size_histogram",
     "lead_time_quartiles",
+    "heaps_law_fit",
 ]
 
 

@@ -125,6 +125,12 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "dup_cluster_size_histogram",  # new in r6; local parity both SFs
     "lead_time_quartiles",  # new in r6; local parity both SFs
     "heaps_law_fit",  # new in r6; local parity both SFs
+    "record_linkage_scores",  # new in r6; local parity both SFs
+    "seasonal_daily_decomposition",  # new in r6; local parity both SFs
+    "theil_sen_revenue_trend",  # new in r6; local parity both SFs
+    "dim_label_mutual_info",  # new in r6; local parity both SFs
+    "benford_order_values",  # new in r6; local parity both SFs
+    "pca_top_component",  # new in r6; local parity both SFs
 ]
 
 

@@ -1482,3 +1482,71 @@ def kcenter_greedy(
         )
         centers.append((nxt["__id"], list(nxt["__v"]), nxt["__d"]))
     return [(i + 1, cid, gap) for i, (cid, _, gap) in enumerate(centers)]
+
+
+def gram_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    scale: int = 1_000_000,
+) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+    """Exact fixed-point moment accumulation for spectral analysis:
+    returns ``(n, s, g)`` with ``s[i] = Σ v_i`` (length ``dim``) and
+    ``g[(i, j)] = Σ v_i·v_j`` for the upper triangle INCLUDING the
+    diagonal (0-based dims), where ``v = round(x · scale)`` — the same
+    half-away-from-zero fixed-point encoding as :func:`dim_correlations`,
+    so every moment is an exact BIGINT immune to summation order.
+
+    This is the distributed half of PCA: the d×d Gram + first moments
+    are a classic mergeable aggregate (one Arrow-batched ``X.T @ X`` on
+    int64 per batch, partials combined map-side, final exchange carries
+    d(d+1)/2 + d + 1 cells regardless of corpus size); the driver-side
+    eigensolve that follows operates on METADATA (d×d), which is how
+    production distributed PCA is actually structured.  Overflow
+    headroom matches dim_correlations: int64-safe to ~9e6 rows per
+    partial at scale=1e6 for unit-normalized inputs; beyond that drop
+    scale a decade.
+    """
+    d = dim
+
+    def partials(batches):
+        # site-package imports INSIDE the closure: executors outside the
+        # repo dir must never resolve names through this module's globals
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf["__v"].to_numpy()
+            x64 = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            y = x64 * float(scale)
+            v = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            g = v.T @ v  # exact int64 Gram for this batch
+            iu, ju = np.triu_indices(d, k=0)
+            out = pd.DataFrame({"i": iu, "j": ju, "s": g[iu, ju]})
+            first = pd.DataFrame(
+                {"i": range(d), "j": [-1] * d, "s": v.sum(axis=0)}
+            )
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "s": [len(pdf)]})
+            yield pd.concat([out, first, cnt], ignore_index=True)
+
+    base = ensure_parallelism(df).select(F.col(vec_col).alias("__v"))
+    rows = (
+        base.mapInPandas(partials, schema="i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = 0
+    s = [0] * d
+    g: dict[tuple[int, int], int] = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["s"])
+        elif r["j"] == -1:
+            s[r["i"]] = int(r["s"])
+        else:
+            g[(r["i"], r["j"])] = int(r["s"])
+    return n, s, g

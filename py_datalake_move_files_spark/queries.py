@@ -1753,18 +1753,47 @@ FROM reach GROUP BY src
 """
 
 
+def dedup_cluster_cc(spark, sf_dir):
+    """The near-dup cluster map ``(node, cluster_id)`` — MinHash → LSH
+    banding → exact-Jaccard verify → iterative min-label CC — built ONCE
+    per (documents snapshot, dedup params) and served from the session
+    artifact cache.  Four registered passes consume it (assignment,
+    canonical docs, leakage-safe split, family-size census); in
+    production the cluster map is a curation artifact computed at dedup
+    time and reused, not re-derived per pass (functions/artifacts.py
+    documents the cache-key discipline)."""
+    from py_datalake_move_files_spark.catalog import table_snapshot
+    from py_datalake_move_files_spark.functions.artifacts import shared_artifact
+    from py_datalake_move_files_spark.operators.clusters import connected_components
+
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        sigs = D.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
+        cands = D.lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS
+        )
+        pairs = D.jaccard_pairs(
+            docs, "doc_id", threshold=JACCARD_T, candidates=cands
+        )
+        return connected_components(pairs)
+
+    key = (
+        "dedup_cluster_cc",
+        table_snapshot(sf_dir, "documents"),
+        MINHASHES,
+        BANDS,
+        JACCARD_T,
+    )
+    return shared_artifact(spark, key, build)
+
+
 @register("dedup_cluster_assignment", _cluster_oracle())
 def q_dedup_cluster_assignment(spark, sf_dir):
     """Iterative min-label propagation (connected components) grouping the
     MinHash-LSH near-dup pairs into dedup clusters — a genuinely iterative
-    DataFrame algorithm; the oracle is a recursive transitive-closure CTE."""
-    from py_datalake_move_files_spark.operators.clusters import connected_components
-
-    docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
-    cands = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS)
-    pairs = D.jaccard_pairs(docs, "doc_id", threshold=JACCARD_T, candidates=cands)
-    return connected_components(pairs).select(
+    DataFrame algorithm; the oracle is a recursive transitive-closure CTE.
+    Serves the shared session artifact (dedup_cluster_cc)."""
+    return dedup_cluster_cc(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 
@@ -2192,6 +2221,7 @@ from py_datalake_move_files_spark import queries_scale  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_retrieval  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_knn  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_insights  # noqa: E402,F401
+from py_datalake_move_files_spark import queries_stats  # noqa: E402,F401
 
 
 def _dd_audio_oracle() -> str:

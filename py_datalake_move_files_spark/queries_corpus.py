@@ -2252,29 +2252,15 @@ def q_dup_cluster_size_histogram(spark, sf_dir):
     the singleton mass) — the shape a dedup policy is tuned against:
     a heavy tail means a few giant template families dominate the dup
     mass (dedup by canonical pick), a flat profile means pairwise near-
-    misses (dedup by threshold). Reuses the audited banding → verify →
-    connected-components pipeline; the histogram itself is two
-    metadata-sized aggregates over the cluster assignment, and the
-    singleton count is total docs minus clustered docs — no extra scan
-    of text."""
-    from py_datalake_move_files_spark.operators.clusters import (
-        connected_components,
-    )
-    from py_datalake_move_files_spark.queries import (
-        BANDS,
-        JACCARD_T,
-        MINHASHES,
-    )
+    misses (dedup by threshold). Serves the SHARED cluster-map artifact
+    (queries.dedup_cluster_cc — banding → verify → CC, built once per
+    documents snapshot); the histogram itself is two metadata-sized
+    aggregates over it, and the singleton count is total docs minus
+    clustered docs — no extra scan of text."""
+    from py_datalake_move_files_spark.queries import dedup_cluster_cc
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
-    cands = DD.lsh_candidate_pairs(
-        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS
-    )
-    pairs = DD.jaccard_pairs(
-        docs, "doc_id", threshold=JACCARD_T, candidates=cands
-    )
-    cc = connected_components(pairs)
+    cc = dedup_cluster_cc(spark, sf_dir)
     sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("s"))
     h = sz.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nc"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))

@@ -75,11 +75,30 @@ edges AS (
 
 
 def _knn_edges(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return SIM.knn_graph(
-        emb, k=KNN_K, n_lists=KNN_LISTS, n_probe=N_PROBE,
-        centroids=_knn_centroids(spark, sf_dir),
+    """The kNN graph, built ONCE per (embeddings snapshot, graph params)
+    and served from the session artifact cache: six audit queries
+    (edges/density/label-agreement/triangles/components/…) consume the
+    same graph, which in production is an index artifact built at ingest,
+    not re-derived per query (functions/artifacts.py documents the key
+    discipline — app, shuffle-layout, snapshot, params)."""
+    from py_datalake_move_files_spark.catalog import table_snapshot
+    from py_datalake_move_files_spark.functions.artifacts import shared_artifact
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        return SIM.knn_graph(
+            emb, k=KNN_K, n_lists=KNN_LISTS, n_probe=N_PROBE,
+            centroids=_knn_centroids(spark, sf_dir),
+        )
+
+    key = (
+        "knn_edges",
+        table_snapshot(sf_dir, "embeddings"),
+        KNN_K,
+        KNN_LISTS,
+        N_PROBE,
     )
+    return shared_artifact(spark, key, build)
 
 
 @register(

@@ -82,6 +82,17 @@ QUERIES_UNDER_TEST = [
     "dup_cluster_size_histogram",
     "lead_time_quartiles",
     "heaps_law_fit",
+    # r6 stats tier: integer linkage weights over banded candidates,
+    # all-integer ppm decomposition, percentile over a calendar-bounded
+    # slope frame, micro-nat MI rounded before its integer sum, and the
+    # pure-integer Benford shares
+    "record_linkage_scores",
+    "seasonal_daily_decomposition",
+    "theil_sen_revenue_trend",
+    "dim_label_mutual_info",
+    "benford_order_values",
+    # exact int64 moments + driver-side pinned-fold eigensolve
+    "pca_top_component",
 ]
 
 

@@ -131,6 +131,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "dim_label_mutual_info",  # new in r6; local parity both SFs
     "benford_order_values",  # new in r6; local parity both SFs
     "pca_top_component",  # new in r6; local parity both SFs
+    "kaplan_meier_retention",  # new in r6; local parity both SFs
+    "daily_count_cusum",  # new in r6; local parity both SFs
 ]
 
 

@@ -169,6 +169,16 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "lead_time_quartiles",
     "heaps_law_fit",
+    # r6 stats tier: probabilistic linkage, robust/forensic statistics,
+    # distributed PCA
+    "record_linkage_scores",
+    "seasonal_daily_decomposition",
+    "theil_sen_revenue_trend",
+    "dim_label_mutual_info",
+    "benford_order_values",
+    "pca_top_component",
+    "kaplan_meier_retention",
+    "daily_count_cusum",
 ]
 
 

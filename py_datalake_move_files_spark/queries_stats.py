@@ -1,6 +1,6 @@
 """Robust / forensic statistics + probabilistic record linkage (round 6).
 
-Five queries extending the analytics tier with devices the earlier
+Eight queries extending the analytics tier with devices the earlier
 families don't cover:
 
 - ``record_linkage_scores`` — Fellegi–Sunter probabilistic record
@@ -33,6 +33,16 @@ families don't cover:
   truncated numeric columns.  Digit extraction is pure string/integer
   work; expected Benford shares are injected as the SAME ppm literals
   into both engines — no engine log() in the result path.
+- ``pca_top_component`` — distributed PCA: exact int64 Gram aggregate
+  (``operators/similarity.gram_moments``) + driver-side power iteration
+  over the metadata-sized d×d covariance, mirrored bit-for-bit by a
+  recursive-CTE oracle with the same pinned fold order.
+- ``kaplan_meier_retention`` — survival curve of user lifetimes with
+  right-censoring: integer at-risk accounting, per-step micro-log
+  hazards summed exactly, one exp+round at the end.
+- ``daily_count_cusum`` — offline CUSUM change-point scan of the daily
+  event series in scaled integers (``cnt·D − T``), so no float mean
+  ever exists.
 
 Scale notes: linkage candidates are banded (never quadratic); the
 decomposition / Theil–Sen / Benford aggregates reduce to frames bounded
@@ -640,4 +650,198 @@ def q_pca_top_component(spark, sf_dir):
         F.expr("CAST(round(lam_tr * 1000000) AS BIGINT)").alias(
             "explained_ppm"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier retention (survival with right-censoring)
+# --------------------------------------------------------------------------
+
+#: users whose last event falls within this many days of the corpus end
+#: are right-CENSORED (still active), not churned.
+_KM_CENSOR_DAYS = 2
+#: ln-hazard floor for the d == n_risk step (survival collapses to 0):
+#: e^-138 rounds to 0.0 at 6 dp in both engines.
+_KM_LN_FLOOR = -138_000_000
+
+_KM_ORACLE = f"""
+WITH bounds AS (SELECT max(date_trunc('day', ts)) AS dmax FROM events),
+users AS (
+  SELECT user_id,
+         min(date_trunc('day', ts)) AS d0,
+         max(date_trunc('day', ts)) AS d1
+  FROM events GROUP BY user_id
+),
+durs AS (
+  SELECT date_diff('day', u.d0, u.d1) AS dur,
+         CASE WHEN u.d1 < b.dmax - INTERVAL {_KM_CENSOR_DAYS} DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM users u CROSS JOIN bounds b
+),
+by_t AS (
+  SELECT dur AS t,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(1 - churned) AS BIGINT) AS c
+  FROM durs GROUP BY dur
+),
+risk AS (
+  SELECT t, d, c,
+    (SELECT count(*) FROM durs)
+      - coalesce(sum(d + c) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM by_t
+),
+terms AS (
+  SELECT t, d, c, n_risk,
+    CASE WHEN d >= n_risk THEN {_KM_LN_FLOOR}
+         WHEN d = 0 THEN 0
+         ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                         * 1000000) AS BIGINT) END AS lnm
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_churned, c AS n_censored,
+       round(exp(CAST(sum(lnm) OVER (ORDER BY t) AS DOUBLE) / 1000000.0), 6)
+         AS survival
+FROM terms
+"""
+
+
+@register("kaplan_meier_retention", _KM_ORACLE)
+def q_kaplan_meier_retention(spark, sf_dir):
+    """Kaplan-Meier survival curve of user retention with right-censoring
+    — THE estimator for "how long do users stay" when the observation
+    window truncates lifetimes (users still active near the corpus end
+    are censored, not counted as churn; naive churn rates over-count).
+
+    Scale shape: one aggregate to per-user (first, last) days, one
+    aggregate to the duration frame — after which everything runs on a
+    CALENDAR-bounded table (≤ observed span in days).  Exactness: the
+    at-risk counts are integer window sums; each hazard term
+    ``ln(1 - d/n)`` is rounded to MICRO units per row (1-ulp cross-
+    engine ln differences are absorbed) and the cumulative product is
+    an exact INTEGER cumulative sum of those micro-logs, exponentiated
+    and rounded once at the end; the d == n collapse step uses a pinned
+    floor instead of ln(0).
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    users = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    bounds = ev.agg(F.max(day).alias("dmax"))
+    durs = users.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("d1", "d0").alias("dur"),
+        F.when(
+            F.col("d1") < F.date_sub("dmax", _KM_CENSOR_DAYS), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    by_t = durs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).cast("long").alias("c"),
+    )
+    total = durs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = by_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    terms = risk.withColumn(
+        "lnm",
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(_KM_LN_FLOOR))
+        .when(F.col("d") == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                )
+                * 1_000_000
+            ).cast("long")
+        ),
+    )
+    w_cum = Window.orderBy("t")
+    return terms.select(
+        F.col("t").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.exp(F.sum("lnm").over(w_cum).cast("double") / F.lit(1_000_000.0)),
+            6,
+        ).alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point scan over the daily event series
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY date_trunc('day', ts)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(cnt) AS BIGINT) AS t
+  FROM daily
+),
+cus AS (
+  SELECT d, cnt,
+    sum(cnt * n_days - t) OVER (ORDER BY d) AS cusum_scaled
+  FROM daily CROSS JOIN tot
+)
+SELECT CAST(d AS DATE) AS day, cnt,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       abs(cusum_scaled) = max(abs(cusum_scaled)) OVER () AS is_changepoint
+FROM cus
+"""
+
+
+@register("daily_count_cusum", _CUSUM_ORACLE)
+def q_daily_count_cusum(spark, sf_dir):
+    """CUSUM change-point scan: cumulative sum of mean-deviations of the
+    daily event count; the |maximum| marks the most likely level-shift
+    day (the classic offline CUSUM statistic).  ALL-INTEGER: deviations
+    are scaled by the day count (``cnt·D − T``) so the mean never
+    becomes a float, the cumulative and max windows run over the
+    CALENDAR-bounded daily frame, and the result is layout-invariant by
+    construction.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("t"),
+    )
+    cus = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "cnt",
+        F.sum(F.expr("cnt * n_days - t"))
+        .over(Window.orderBy("d"))
+        .alias("cusum_scaled"),
+    )
+    return cus.select(
+        F.col("d").cast("date").alias("day"),
+        "cnt",
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        (
+            F.abs("cusum_scaled")
+            == F.max(F.abs("cusum_scaled")).over(Window.partitionBy())
+        ).alias("is_changepoint"),
     )

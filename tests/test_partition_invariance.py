@@ -93,6 +93,9 @@ QUERIES_UNDER_TEST = [
     "benford_order_values",
     # exact int64 moments + driver-side pinned-fold eigensolve
     "pca_top_component",
+    # micro-log hazard cumsum + all-integer CUSUM deviations
+    "kaplan_meier_retention",
+    "daily_count_cusum",
 ]
 
 

@@ -141,3 +141,28 @@ def test_artifact_cache_serves_identical_frame(spark, name):
     finally:
         spark.conf.set(key, prev)
     assert len(artifacts._ARTIFACTS) >= 2
+
+
+def test_kaplan_meier_monotone_and_accounted(spark):
+    rows = sorted(
+        QUERIES["kaplan_meier_retention"](spark, SF).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    # survival is non-increasing in duration, within [0, 1]
+    last = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= last + 1e-9
+        last = r["survival"]
+    # at-risk accounting: n_risk drops by exactly the prior row's exits
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["n_churned"] - a["n_censored"]
+
+
+def test_cusum_telescopes_to_zero(spark):
+    rows = QUERIES["daily_count_cusum"](spark, SF).collect()
+    assert rows
+    # the final cumulative deviation telescopes to exactly zero
+    final = max(rows, key=lambda r: r["day"])
+    assert final["cusum_scaled"] == 0
+    assert sum(1 for r in rows if r["is_changepoint"]) >= 1

@@ -133,6 +133,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "pca_top_component",  # new in r6; local parity both SFs
     "kaplan_meier_retention",  # new in r6; local parity both SFs
     "daily_count_cusum",  # new in r6; local parity both SFs
+    "knn_degree_assortativity",  # new in r6; local parity both SFs
+    "knn_local_clustering",  # new in r6; local parity both SFs
 ]
 
 

@@ -179,6 +179,9 @@ HEADLINE = [
     "pca_top_component",
     "kaplan_meier_retention",
     "daily_count_cusum",
+    # r6: graph-census extensions over the shared kNN frames
+    "knn_degree_assortativity",
+    "knn_local_clustering",
 ]
 
 

@@ -57,3 +57,12 @@ SELECT q.query_id,
        round(coalesce(h.n, 0) / {k}.0, 6) AS recall_at_{k}
 FROM qv q LEFT JOIN hits h USING (query_id)
 """
+
+def dd_hamming(a: str, b: str, length: int = 18) -> str:
+    """DuckDB positional mismatch count for equal-length strings (the
+    fuzzy-join / record-linkage oracles; Spark side is F.levenshtein-free
+    positional comparison in operators/fuzzy)."""
+    return " + ".join(
+        f"CASE WHEN substr({a}, {i}, 1) = substr({b}, {i}, 1) THEN 0 ELSE 1 END"
+        for i in range(1, length + 1)
+    )

@@ -14,6 +14,12 @@ Oracles reuse oracle_ivf.ivf_prelude (centroid selection + assignment
 are a deterministic md5-ordered sample, recomputable in pure SQL), so the
 whole index-build + graph + audit pipeline is exactly mirrored in DuckDB.
 
+Round 6 extends the census family over the SAME shared graph artifacts
+(`_und_deg_ded`): `knn_degree_assortativity` (Newman's degree-mixing
+coefficient from four exact integer sums) and `knn_local_clustering`
+(per-node triangle incidence → integer-ppm clustering coefficient,
+re-using the degree-ordered wedge closure).
+
 List count: the graph tier runs its OWN ``KNN_LISTS`` (16, vs the serving
 tier's shared 8) because candidate volume here is N²·n_probe/n_lists —
 with every vector a query, n_lists must track sqrt(N) or the join goes
@@ -311,9 +317,68 @@ def q_label_centroid_similarity(spark, sf_dir):
     )
 
 
+# --- shared undirected-graph frames (Spark side of _UND_DEG_DED_CTE) ------
+
+
+def _und_deg_ded(spark, sf_dir):
+    """The (undirected edges, degrees, degree-directed edges) triple the
+    whole graph-census family consumes, built ONCE per embeddings
+    snapshot and served from the session artifact cache: `und` and `ded`
+    are each referenced by several downstream branches in every consumer
+    (without the lineage cut Catalyst re-derives the full kNN pipeline
+    per reference — measured 53 vs 9 exchanges on the triangle census),
+    and three queries (triangles, local clustering, assortativity) share
+    them verbatim. `deg` is one map-side-combined count over `und`,
+    cheap to re-derive against the checkpointed edge blocks."""
+    from py_datalake_move_files_spark.catalog import table_snapshot
+    from py_datalake_move_files_spark.functions.artifacts import shared_artifact
+
+    snap = (table_snapshot(sf_dir, "embeddings"), KNN_K, KNN_LISTS, N_PROBE)
+
+    def build_und():
+        return (
+            _knn_edges(spark, sf_dir)
+            .select(
+                F.least("query_id", "neighbor_id").alias("u"),
+                F.greatest("query_id", "neighbor_id").alias("v"),
+            )
+            .distinct()
+        )
+
+    und = shared_artifact(spark, ("knn_und", *snap), build_und)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+
+    def build_ded():
+        da = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+        db = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+        u_first = F.col("du") <= F.col("dv")
+        return (
+            und.join(da, "u")
+            .join(db, "v")
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+                F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hid"),
+            )
+        )
+
+    ded = shared_artifact(spark, ("knn_ded", *snap), build_ded)
+    return und, deg, ded
+
+
 # --- triangle census / clustering coefficient over the kNN graph ----------
 
-_TRI_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + """,
+#: shared undirected-graph chain: distinct undirected edges, degrees from
+#: one union-all count, and every edge DIRECTED from its lower-(degree, id)
+#: endpoint — the degree-ordered node-iterator frame that the triangle
+#: census, the per-node clustering coefficient, and (und/deg only) the
+#: assortativity audit all consume.
+_UND_DEG_DED_CTE = """,
 und AS (
   SELECT DISTINCT least(query_id, neighbor_id) AS u,
                   greatest(query_id, neighbor_id) AS v
@@ -330,7 +395,10 @@ ded AS (
     CASE WHEN a.dg <= b.dg THEN e.v ELSE e.u END AS hi,
     CASE WHEN a.dg <= b.dg THEN b.dg ELSE a.dg END AS hid
   FROM und e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node
-),
+)
+"""
+
+_TRI_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + _UND_DEG_DED_CTE + """,
 tri AS (
   SELECT count(*) AS t
   FROM ded d1
@@ -380,34 +448,7 @@ def q_knn_triangle_count(spark, sf_dir):
     without the cut, Catalyst re-derives the whole kNN pipeline per
     reference (measured: 53 exchanges vs 9; same device as the pagerank
     edge build, queries_scale.py)."""
-    edges = _knn_edges(spark, sf_dir)
-    und = (
-        edges.select(
-            F.least("query_id", "neighbor_id").alias("u"),
-            F.greatest("query_id", "neighbor_id").alias("v"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("dg"))
-    )
-    da = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
-    db = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
-    u_first = F.col("du") <= F.col("dv")
-    ded = (
-        und.join(da, "u")
-        .join(db, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hid"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    und, deg, ded = _und_deg_ded(spark, sf_dir)
     d1 = ded.select(
         F.col("lo").alias("w_lo"), F.col("hi").alias("w_a"), F.col("hid").alias("w_ad")
     )
@@ -500,4 +541,185 @@ def q_knn_components(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_vec_id"),
         F.max("node").cast("long").alias("max_vec_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# degree assortativity of the kNN graph (Newman mixing coefficient)
+# --------------------------------------------------------------------------
+
+#: the Pearson correlation of endpoint degrees over the 2m directed edge
+#: orientations (Newman 2002). All four sufficient statistics are EXACT
+#: integer sums folded in one aggregate; only the final single-row scalar
+#: expression — textually identical in both engines — touches doubles.
+_ASSORT_FINAL = """
+SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+  CAST(s.m2 / 2 AS BIGINT) AS n_edges,
+  round((CAST(s.m2 AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+         - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+        / (CAST(s.m2 AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+           - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)), 6)
+    AS assortativity
+FROM s CROSS JOIN nn
+"""
+
+_ASSORT_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + _UND_DEG_DED_CTE + """,
+dp AS (
+  SELECT a.dg AS du, b.dg AS dv
+  FROM und e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node
+),
+s AS (
+  SELECT CAST(2 * count(*) AS BIGINT) AS m2,
+         CAST(sum(du + dv) AS BIGINT) AS sx,
+         CAST(sum(2 * du * dv) AS BIGINT) AS sxy,
+         CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx
+  FROM dp
+),
+nn AS (SELECT count(*) AS n_nodes FROM deg)
+""" + _ASSORT_FINAL
+
+
+@register("knn_degree_assortativity", _ASSORT_ORACLE)
+def q_knn_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the kNN graph — Newman's mixing
+    coefficient: do high-degree vectors (hubs: vectors many others call
+    neighbor) neighbor other hubs (r > 0) or the periphery (r < 0)?
+    A strongly disassortative embedding graph is the hub-and-spoke
+    signature of a corpus dominated by a few generic attractor
+    documents — the same hubs that make naive triangle counting
+    quadratic and that ANN recall audits over-sample.
+
+    Plan: the degree join is the SAME two equi-joins the census family
+    already runs against the shared `und`/`deg` artifacts; everything
+    after is ONE map-side-combined aggregate folding four exact integer
+    sums over x = du, y = dv across both edge orientations (symmetric, so
+    Σx = Σy and Σx² = Σy² fold once as du+dv / du²+dv²). The Pearson
+    ratio is a single-row scalar expression, textually identical in the
+    oracle, rounded to 6 dp. At extreme edge counts the four int64 sums
+    stay exact (degrees are k-bounded on the out side, arboricity-bounded
+    on the in side); the final products run in doubles on ONE row —
+    an audit scalar, not a per-row value."""
+    und, deg, _ = _und_deg_ded(spark, sf_dir)
+    da = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    dp = und.join(da, "u").join(db, "v")
+    s = dp.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sx"),
+        F.sum(2 * F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        s.crossJoin(nn)
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.expr("CAST(m2 / 2 AS BIGINT)").alias("n_edges"),
+            F.round(
+                F.expr(
+                    "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                    " / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# per-node local clustering coefficient (triangle incidence census)
+# --------------------------------------------------------------------------
+
+_LCC_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + _UND_DEG_DED_CTE + """,
+tri3 AS (
+  SELECT d1.lo AS a, d1.hi AS b, d2.hi AS c
+  FROM ded d1
+  JOIN ded d2 ON d1.lo = d2.lo
+    AND ((d1.hid < d2.hid) OR (d1.hid = d2.hid AND d1.hi < d2.hi))
+  JOIN ded d3 ON d3.lo = d1.hi AND d3.hi = d2.hi
+),
+tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS node FROM tri3
+    UNION ALL SELECT b AS node FROM tri3
+    UNION ALL SELECT c AS node FROM tri3
+  ) GROUP BY node
+)
+SELECT d.node AS vec_id, CAST(d.dg AS BIGINT) AS degree,
+  CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,
+  CAST(CASE WHEN d.dg >= 2
+       THEN 2 * coalesce(tn.t, 0) * 1000000 // (d.dg * (d.dg - 1))
+       ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+"""
+
+
+@register("knn_local_clustering", _LCC_ORACLE)
+def q_knn_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the kNN graph: for each
+    vector, 2·T / (d·(d−1)) in integer ppm — the fraction of its
+    neighbor pairs that are themselves neighbors. The per-vector form of
+    `knn_triangle_count`'s global closure: a vector with high local
+    clustering sits inside a tight near-duplicate clique (SemDeDup's
+    target neighborhoods); low-clustering hubs are generic attractors
+    bridging unrelated regions.
+
+    Plan: the SAME degree-ordered two-join closure as the global census
+    (O(m^1.5) wedge candidates on any graph), except each closed triangle
+    now emits its three corners — a 3× unionAll of the tiny triangle
+    table, NOT a re-join — followed by one count per node and a left
+    join back to the degree table so zero-triangle nodes keep a row.
+    The ratio is exact integer ppm (2·T·1e6 DIV d·(d−1)); no float
+    reaches the hash."""
+    und, deg, ded = _und_deg_ded(spark, sf_dir)
+    d1 = ded.select(
+        F.col("lo").alias("w_lo"), F.col("hi").alias("w_a"), F.col("hid").alias("w_ad")
+    )
+    d2 = ded.select(
+        F.col("lo").alias("w_lo"), F.col("hi").alias("w_b"), F.col("hid").alias("w_bd")
+    )
+    d3 = ded.select(F.col("lo").alias("c_a"), F.col("hi").alias("c_b"))
+    wedge_rank = (F.col("w_ad") < F.col("w_bd")) | (
+        (F.col("w_ad") == F.col("w_bd")) & (F.col("w_a") < F.col("w_b"))
+    )
+    tri3 = (
+        d1.join(d2, "w_lo")
+        .where(wedge_rank)
+        .join(
+            d3,
+            (F.col("w_a") == F.col("c_a")) & (F.col("w_b") == F.col("c_b")),
+        )
+        .select(
+            F.col("w_lo").alias("a"), F.col("w_a").alias("b"), F.col("w_b").alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tn = (
+        tri3.select(F.col("a").alias("node"))
+        .unionAll(tri3.select(F.col("b").alias("node")))
+        .unionAll(tri3.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("dg").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("dg") >= 2,
+                F.expr(
+                    "(2 * coalesce(t, 0) * 1000000)"
+                    " div (dg * (dg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
     )

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from py_datalake_move_files_spark.oracle_frags import dd_hamming
 from py_datalake_move_files_spark.queries import ORACLE, _t, register
 
 DAMPING = 0.85
@@ -84,12 +85,11 @@ def q_event_dedup_tumbling(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _dd_hamming(a: str, b: str, length: int = 18) -> str:
-    """DuckDB positional mismatch count for equal-length strings."""
-    return " + ".join(
-        f"CASE WHEN substr({a}, {i}, 1) = substr({b}, {i}, 1) THEN 0 ELSE 1 END"
-        for i in range(1, length + 1)
-    )
+#: moved to the LEAF module oracle_frags (queries_stats also needs it, and
+#: importing it from here made `import queries_scale` circular through the
+#: registry bottom-imports — tests/test_imports.py caught the cycle);
+#: re-bound here for the local oracle strings below.
+_dd_hamming = dd_hamming
 
 
 @register(

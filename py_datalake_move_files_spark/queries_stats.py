@@ -58,8 +58,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.oracle_frags import EMB_DIM
+from py_datalake_move_files_spark.oracle_frags import dd_hamming as _dd_hamming
 from py_datalake_move_files_spark.queries import _t, register
-from py_datalake_move_files_spark.queries_scale import _dd_hamming
 
 # --------------------------------------------------------------------------
 # Fellegi–Sunter record linkage

@@ -99,3 +99,54 @@ def test_weighted_sample_key_formula(spark):
         v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
         want = round((math.log(v + 1) - math.log(float(1 << 52))) / r["n_chars"], 12)
         assert abs(r["sample_key"] - want) < 1e-12, r
+
+
+def test_degree_assortativity_bounds_and_edges(spark):
+    row = QUERIES["knn_degree_assortativity"](spark, SF).collect()[0]
+    assert -1.0 <= row["assortativity"] <= 1.0
+    tri = QUERIES["knn_triangle_count"](spark, SF).collect()[0]
+    # the census family shares one graph: node/edge counts must agree
+    assert row["n_nodes"] == tri["n_nodes"]
+    assert row["n_edges"] == tri["n_edges"]
+
+
+def test_local_clustering_consistent_with_global_census(spark):
+    rows = QUERIES["knn_local_clustering"](spark, SF).collect()
+    tri = QUERIES["knn_triangle_count"](spark, SF).collect()[0]
+    # one row per node, zero-triangle nodes included
+    assert len(rows) == tri["n_nodes"]
+    # each triangle has exactly 3 corners
+    assert sum(r["n_triangles"] for r in rows) == 3 * tri["n_triangles"]
+    for r in rows:
+        assert 0 <= r["lcc_ppm"] <= 1_000_000, r
+        if r["degree"] < 2:
+            assert r["lcc_ppm"] == 0 and r["n_triangles"] == 0
+        else:
+            # exact integer ppm formula
+            want = (2 * r["n_triangles"] * 1_000_000) // (
+                r["degree"] * (r["degree"] - 1)
+            )
+            assert r["lcc_ppm"] == want, r
+
+
+def test_census_family_plans_stay_bucketed(spark):
+    # assortativity's final scalar assembly crosses two SINGLE-ROW
+    # aggregates (the same shape as the triangle census's wd × ne × tri),
+    # which Spark plans as a broadcast nested-loop over one row — benign;
+    # the pin is that no CORPUS-sized side ever goes loop-joined or
+    # row-at-a-time Python
+    for name in ("knn_degree_assortativity", "knn_local_clustering"):
+        plan = (
+            QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    lcc_plan = (
+        QUERIES["knn_local_clustering"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-node census has no single-row stage at all: even the benign
+    # BNLJ shape must not appear in a per-node output plan
+    assert "BroadcastNestedLoopJoin" not in lcc_plan

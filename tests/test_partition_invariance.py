@@ -96,6 +96,10 @@ QUERIES_UNDER_TEST = [
     # micro-log hazard cumsum + all-integer CUSUM deviations
     "kaplan_meier_retention",
     "daily_count_cusum",
+    # r6 graph-census extensions: per-node integer-ppm triangle ratios
+    # over the shared degree-directed frame (the artifact cache keys on
+    # the shuffle setting, so each layout builds its own graph)
+    "knn_local_clustering",
 ]
 
 

@@ -135,6 +135,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "daily_count_cusum",  # new in r6; local parity both SFs
     "knn_degree_assortativity",  # new in r6; local parity both SFs
     "knn_local_clustering",  # new in r6; local parity both SFs
+    "rfm_customer_segments",  # new in r6; local parity both SFs
+    "hill_tail_index",  # new in r6; local parity both SFs
 ]
 
 

@@ -182,6 +182,9 @@ HEADLINE = [
     # r6: graph-census extensions over the shared kNN frames
     "knn_degree_assortativity",
     "knn_local_clustering",
+    # r6: RFM quintile segmentation + EVT tail-index audit
+    "rfm_customer_segments",
+    "hill_tail_index",
 ]
 
 

@@ -38,6 +38,12 @@ Gram moments are fixed-point BIGINTs (order-free sums); the Zipf
 regression folds its ln() sums LEFT-TO-RIGHT over rank-ordered arrays on
 both engines (F.aggregate ≡ list_reduce), so every double is
 bit-reproducible; ratios round to 6 dp.
+
+Late round 6 adds ``rfm_customer_segments`` (the warehouse-classic RFM
+quintile segmentation, scored via the bounded-histogram CDF instead of
+three ntile global sorts) and ``hill_tail_index`` (the EVT Hill
+estimator over the top-k order values — TakeOrdered-sized by
+construction, micro-nat log terms rounded before the integer sum).
 """
 
 from __future__ import annotations
@@ -1254,4 +1260,239 @@ def q_interarrival_burstiness(spark, sf_dir):
         ).alias("mean_gap_ms"),
         F.round(cv, 6).alias("cv"),
         F.round((cv - 1.0) / (cv + 1.0), 6).alias("burstiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (histogram-CDF quintiles, no global sort)
+# --------------------------------------------------------------------------
+
+#: shared segment rule — identical CASE text in both engines; first
+#: matching arm wins, so arm ORDER is part of the contract.
+_RFM_SEGMENT_CASE = """
+CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+     WHEN f_score >= 4 AND r_score >= 3 THEN 'loyal'
+     WHEN m_score >= 4 THEN 'big_spenders'
+     WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3) THEN 'at_risk'
+     WHEN r_score <= 2 THEN 'hibernating'
+     ELSE 'mid_market' END
+"""
+
+_RFM_ORACLE = f"""
+WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+base AS (
+  SELECT o_custkey,
+    date_diff('day', max(o_orderdate), (SELECT refd FROM ref)) AS rec,
+    CAST(count(*) AS BIGINT) AS frq,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+  FROM orders GROUP BY o_custkey
+),
+b2 AS (SELECT *, mon_c // 10000 AS mon_bin FROM base),
+rh AS (SELECT rec AS v, count(*) AS hn FROM b2 GROUP BY rec),
+rsc AS (
+  SELECT v, 1 + ((sum(hn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) - hn) * 5) // (sum(hn) OVER ()) AS s
+  FROM rh
+),
+fh AS (SELECT frq AS v, count(*) AS hn FROM b2 GROUP BY frq),
+fsc AS (
+  SELECT v, 1 + ((sum(hn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) - hn) * 5) // (sum(hn) OVER ()) AS s
+  FROM fh
+),
+mh AS (SELECT mon_bin AS v, count(*) AS hn FROM b2 GROUP BY mon_bin),
+msc AS (
+  SELECT v, 1 + ((sum(hn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) - hn) * 5) // (sum(hn) OVER ()) AS s
+  FROM mh
+),
+scored AS (
+  SELECT CAST(6 - r.s AS BIGINT) AS r_score, CAST(f.s AS BIGINT) AS f_score,
+         CAST(m.s AS BIGINT) AS m_score, b.mon_c
+  FROM b2 b
+  JOIN rsc r ON b.rec = r.v
+  JOIN fsc f ON b.frq = f.v
+  JOIN msc m ON b.mon_bin = m.v
+)
+SELECT r_score, f_score, m_score,
+  {_RFM_SEGMENT_CASE} AS segment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(mon_c) AS BIGINT) AS total_revenue_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("rfm_customer_segments", _RFM_ORACLE)
+def q_rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation — the warehouse classic: score every customer 1-5
+    on Recency / Frequency / Monetary quintiles and bucket the scores
+    into named segments (champions, loyal, big spenders, at-risk, …).
+
+    The usual implementation is three ``ntile(5)`` windows — three
+    GLOBAL sorts of the customer table. Here each quintile comes from
+    the bounded-histogram rank device instead: a value's score is
+    ``1 + 5·(ranks strictly below it) DIV n``, read off the cumulative
+    count over DISTINCT values — recency's domain is calendar-bounded,
+    frequency's by per-customer order counts, and monetary quantizes to
+    $100 bins first (the documented coarsening that keeps the domain
+    bounded at any corpus size; tied values share a score by
+    construction, which is also what makes the result partition- and
+    tie-order-free). The three score maps are metadata-sized and join
+    back broadcast; everything else is one aggregate per customer and a
+    ≤125-row final rollup. All quantities are exact integers (cents,
+    counts, days)."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("refd"))
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("frq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("mon_c"),
+    )
+    b2 = (
+        base.crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("refd", "last_d").cast("long").alias("rec"),
+            "frq",
+            "mon_c",
+            F.expr("mon_c div 10000").alias("mon_bin"),
+        )
+    )
+
+    def score_map(dim):
+        hist = b2.groupBy(F.col(dim).alias("v")).agg(
+            F.count(F.lit(1)).alias("hn")
+        )
+        wcum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            hist.withColumn("cw", F.sum("hn").over(wcum))
+            .withColumn("n", F.sum("hn").over(Window.partitionBy()))
+            .select(
+                "v",
+                F.expr("1 + (((cw - hn) * 5) div n)").alias("s"),
+            )
+        )
+
+    rsc = score_map("rec").select(
+        F.col("v").alias("rec"), (6 - F.col("s")).cast("long").alias("r_score")
+    )
+    fsc = score_map("frq").select(
+        F.col("v").alias("frq"), F.col("s").cast("long").alias("f_score")
+    )
+    msc = score_map("mon_bin").select(
+        F.col("v").alias("mon_bin"), F.col("s").cast("long").alias("m_score")
+    )
+    scored = (
+        b2.join(F.broadcast(rsc), "rec")
+        .join(F.broadcast(fsc), "frq")
+        .join(F.broadcast(msc), "mon_bin")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_c").cast("long").alias("total_revenue_cents"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            F.expr(_RFM_SEGMENT_CASE).alias("segment"),
+            "n_customers",
+            "total_revenue_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator over order values (EVT power-tail audit)
+# --------------------------------------------------------------------------
+
+_HILL_K = 100
+
+_HILL_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+top AS (
+  SELECT c, rn FROM (
+    SELECT c, row_number() OVER (ORDER BY c DESC, o_orderkey ASC) AS rn
+    FROM v
+  ) WHERE rn <= {_HILL_K + 1}
+),
+ref AS (SELECT c AS cref FROM top WHERE rn = {_HILL_K + 1}),
+terms AS (
+  SELECT CAST(round(ln(CAST(t.c AS DOUBLE) / CAST(r.cref AS DOUBLE))
+              * 1000000) AS BIGINT) AS lm
+  FROM top t CROSS JOIN ref r WHERE t.rn <= {_HILL_K}
+),
+s AS (SELECT CAST(sum(lm) AS BIGINT) AS slm FROM terms)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+  CAST(r.cref AS BIGINT) AS x_k1_cents,
+  s.slm AS sum_log_micro,
+  CAST(s.slm // {_HILL_K} AS BIGINT) AS gamma_micro,
+  CAST(CASE WHEN s.slm > 0
+       THEN ({_HILL_K} * 1000000000000) // s.slm
+       ELSE NULL END AS BIGINT) AS alpha_micro
+FROM s CROSS JOIN ref r
+"""
+
+
+@register("hill_tail_index", _HILL_ORACLE)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the order-value tail index — the EVT companion
+    to ``zipf_slope``/``revenue_gini``: γ̂ = (1/k)·Σ ln(x_(i)/x_(k+1))
+    over the k largest values, α̂ = 1/γ̂. A finite small α means a
+    genuinely heavy (Pareto-like) revenue tail — the quantitative check
+    behind capping / winsorization decisions that the trimmed-mean query
+    applies downstream.
+
+    Only the top k+1 values exist anywhere in the plan: Spark compiles
+    the orderBy+limit to TakeOrderedAndProject (per-partition heaps, k+1
+    rows to the driver), so there is NO global sort at any corpus size —
+    the oracle's full row_number() is DuckDB-side only. The k+1-row tail
+    then feeds a single-partition row_number (bounded by the LIMIT, not
+    the corpus), each log-excess term is rounded to integer micro-nats
+    BEFORE the order-free sum, and the final γ/α divisions are integer
+    DIV on one row."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    top = v.orderBy(F.col("c").desc(), F.col("o_orderkey").asc()).limit(
+        _HILL_K + 1
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("o_orderkey").asc())
+    t = top.withColumn("rn", F.row_number().over(w))
+    ref = t.where(F.col("rn") == _HILL_K + 1).select(
+        F.col("c").alias("cref")
+    )
+    terms = (
+        t.where(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("cref").cast("double"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lm")
+        )
+    )
+    s = terms.agg(F.sum("lm").cast("long").alias("slm"))
+    return s.crossJoin(ref).select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.col("cref").cast("long").alias("x_k1_cents"),
+        F.col("slm").alias("sum_log_micro"),
+        F.expr(f"CAST(slm div {_HILL_K} AS BIGINT)").alias("gamma_micro"),
+        F.expr(
+            f"CAST(CASE WHEN slm > 0 THEN ({_HILL_K} * 1000000000000)"
+            f" div slm ELSE NULL END AS BIGINT)"
+        ).alias("alpha_micro"),
     )

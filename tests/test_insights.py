@@ -506,3 +506,47 @@ def test_streaming_histogram_ingest_median_matches_batch(spark, tmp_path):
         histogram_from_state(spark, state).agg(F.sum("hn")).collect()[0][0]
         == n
     )
+
+
+def test_hill_top_k_is_take_ordered(spark):
+    """The Hill estimator must never global-sort the order table: the
+    top-(k+1) selection has to compile to TakeOrderedAndProject."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["hill_tail_index"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort allowed is the bounded 101-row window, never a
+    # full-table Exchange rangepartitioning (the global-sort signature)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_rfm_scores_and_segments(spark):
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    rows = QUERIES["rfm_customer_segments"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    names = {
+        "champions", "loyal", "big_spenders", "at_risk", "hibernating",
+        "mid_market",
+    }
+    total = 0
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5, r
+        assert r["segment"] in names, r
+        total += r["n_customers"]
+    # every customer with at least one order lands in exactly one segment
+    from py_datalake_move_files_spark.catalog import load_table
+
+    n_cust = (
+        load_table(spark, "/root/testdata/sf0.01", "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_cust

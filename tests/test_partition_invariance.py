@@ -100,6 +100,10 @@ QUERIES_UNDER_TEST = [
     # over the shared degree-directed frame (the artifact cache keys on
     # the shuffle setting, so each layout builds its own graph)
     "knn_local_clustering",
+    # r6: histogram-CDF quintile scores joined back to per-customer
+    # integer aggregates — every score is a pure function of (value,
+    # histogram), so layout must not move any customer across segments
+    "rfm_customer_segments",
 ]
 
 

@@ -8,6 +8,14 @@ visible as ``PartitionFilters`` in the scan). At 100 TB, partition columns
 carry the coarse access dimensions (date, source, event type) and
 ``sortWithinPartitions`` gives min/max row-group statistics for fine-grained
 predicate skipping inside each file.
+
+Pruning comes in two tiers, both proven in tests/test_layout.py: STATIC
+(a literal partition predicate — or one Catalyst infers through join-key
+constraint propagation — lands in ``PartitionFilters`` at planning time)
+and DYNAMIC (star-join shape: the fact carries no predicate at all and a
+selective dim-side filter prunes fact partitions at RUNTIME via a
+``dynamicpruning`` subquery reusing the dim broadcast — the 100 TB
+fact-dim access path).
 """
 
 from __future__ import annotations

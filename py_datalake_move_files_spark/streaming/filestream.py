@@ -682,3 +682,93 @@ def median_x2_from_state(spark, state_path: str):
         F.max("tot").cast("long").alias("n"),
     ).collect()[0]
     return row["med2"], row["n"]
+
+
+def foreach_batch_mg_ingest(
+    doc_stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    out_path: str,
+    text_col: str = "text",
+    k: int = 64,
+):
+    """Streaming Misra–Gries heavy-hitters ingest — the frequent-items
+    member of the mergeable-sketch trio (CMS = frequency, HLL =
+    cardinality, Bloom = membership): each micro-batch's token stream
+    collapses to its OWN ≤ k-counter MG summary, appended batch-stamped
+    to ``out_path``.
+
+    Per batch: exact token counts (one map-side-combined aggregate), then
+    the classic compress step — keep the top k by (count desc, token asc),
+    subtract the (k+1)-th largest count, drop non-positives. The top-k+1
+    selection is TakeOrdered-sized (k+1 rows to the driver, never the
+    vocabulary), and the deterministic tie-break makes a replayed batch
+    re-derive BYTE-IDENTICAL summary rows, so at-least-once redelivery
+    dedupes on (batch_id, token) exactly like the histogram ingest.
+
+    MG summaries are mergeable (Agarwal et al., "Mergeable Summaries"):
+    summing stored per-batch counters per token and compressing once more
+    to k yields a summary whose total undercount is ≤ n_total/(k+1) —
+    the reader (`mg_heavy_hitters_from_state`) does exactly that, and
+    tests/test_streaming.py pins the two-sided guarantee against exact
+    batch counts. Reference test-parity anchor: the batch twin is
+    operators/text.heavy_hitters (same compress, partition-local)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.select(
+                F.explode(F.split(text_col, " ")).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        top = counts.orderBy(
+            F.col("cnt").desc(), F.col("token").asc()
+        ).limit(k + 1)
+        rows = top.collect()
+        d = rows[k]["cnt"] if len(rows) > k else 0
+        kept = [
+            (r["token"], int(r["cnt"] - d))
+            for r in rows[:k]
+            if r["cnt"] - d > 0
+        ]
+        if not kept:
+            return
+        spark.createDataFrame(
+            kept, "token string, cnt long"
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+
+
+def mg_heavy_hitters_from_state(
+    spark, state_path: str, *, k: int = 64
+) -> list[tuple[str, int]]:
+    """Merge the stored per-batch MG summaries into one ≤ k-counter
+    summary: dedup replays by (batch_id, token) (redelivered rows are
+    identical), sum counters per token, compress once more with the same
+    deterministic (cnt desc, token asc) rule. Returns [(token, est)];
+    every estimate undercounts by at most n_total/(k+1) and never
+    overcounts (the mergeable-summaries bound — each compress, per batch
+    or at merge, decrements every live counter by at most its own
+    n/(k+1))."""
+    raw = spark.read.parquet(state_path)
+    deduped = raw.groupBy("batch_id", "token").agg(F.max("cnt").alias("cnt"))
+    merged = deduped.groupBy("token").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    rows = merged.orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    ).limit(k + 1).collect()
+    d = rows[k]["cnt"] if len(rows) > k else 0
+    return [
+        (r["token"], int(r["cnt"] - d)) for r in rows[:k] if r["cnt"] - d > 0
+    ]

@@ -182,3 +182,37 @@ def test_stats_staleness_check_reads_no_table_bytes(spark, sf_small, tmp_path):
         ).count()
         == orders.count()
     )
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP proof: a fact table partitioned on the join key must be pruned
+    at RUNTIME from a selective dim-side filter, with NO static predicate
+    on the fact at all — the 100 TB star-join access path (the dim filter
+    names the partitions; Spark reuses the dim broadcast as a pruning
+    subquery instead of scanning every fact directory)."""
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    write_partitioned(ev, path, partition_by=["event_type"])
+    fact = read_pruned(spark, path)
+    # the dim filter is on a NON-join attribute (md5-derived), so Catalyst
+    # cannot constant-fold it into a static fact predicate — with a
+    # literal `event_type = 'x'` filter, constraint propagation pushes a
+    # STATIC EqualTo into the fact scan instead and DPP never fires
+    # (strictly better, and covered by test_partitioned_write_and_pruning)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("bucket", F.expr("conv(substring(md5(event_type),1,2),16,10) % 2"))
+        .where(F.col("bucket") == 0)
+    )
+    joined = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["event_type"]: r["count"] for r in joined.collect()}
+    keep = {r["event_type"] for r in dim.collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["event_type"] in keep
+    }
+    assert got == want

@@ -379,3 +379,61 @@ def test_streaming_cms_ingest_cells_sum_to_batch_sketch(spark, tmp_path):
         for r in cms_cells(toks, "__tok", depth=4, width=64).collect()
     }
     assert summed == whole
+
+
+def test_streaming_mg_ingest_guarantee_and_replay(spark, tmp_path):
+    """Misra-Gries streaming: the merged summary must (a) never overcount,
+    (b) undercount by at most n_total/(k+1), (c) retain every token whose
+    true count exceeds that bound, and (d) be replay-stable."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        foreach_batch_mg_ingest,
+        mg_heavy_hitters_from_state,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "min"
+    docs.where("doc_id < 100").coalesce(1).write.parquet(str(src / "p0"))
+    docs.where("doc_id >= 100").coalesce(1).write.parquet(str(src / "p1"))
+    out = str(tmp_path / "mout")
+    K = 32
+
+    def run(ckpt):
+        stream = file_arrival_stream(
+            spark, f"{src}/*", "doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        q = foreach_batch_mg_ingest(
+            stream, ckpt, out_path=out, k=K
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "mckpt"))
+    est = dict(mg_heavy_hitters_from_state(spark, out, k=K))
+    assert 0 < len(est) <= K
+
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    true = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(true.values())
+    bound = n_total // (K + 1)
+    for tok, e in est.items():
+        assert e <= true[tok], (tok, e, true[tok])
+        assert true[tok] - e <= bound, (tok, e, true[tok], bound)
+    # completeness: anything truly above the decrement bound survives
+    for tok, n in true.items():
+        if n > bound:
+            assert tok in est, (tok, n, bound)
+
+    # full replay into a fresh checkpoint: per-batch summaries are
+    # deterministic, dedup by (batch_id, token) absorbs the re-append
+    run(str(tmp_path / "mckpt2"))
+    again = dict(mg_heavy_hitters_from_state(spark, out, k=K))
+    assert again == est

@@ -1496,3 +1496,168 @@ def q_hill_tail_index(spark, sf_dir):
             f" div slm ELSE NULL END AS BIGINT)"
         ).alias("alpha_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis: two-proportion z-test over hash-assigned arms
+# --------------------------------------------------------------------------
+
+#: final scalar chain — identical text in both engines, computed from the
+#: four exact integer sufficient statistics on ONE row.
+_AB_Z_EXPR = """
+(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+ - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+/ sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+"""
+
+_AB_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS arm,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM u
+)
+SELECT n_a, x_a, n_b, x_b,
+  CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+  CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+  round({_AB_Z_EXPR}, 6) AS z_score,
+  abs({_AB_Z_EXPR}) > 1.959964 AS significant
+FROM s
+"""
+
+
+@register("ab_conversion_ztest", _AB_ORACLE)
+def q_ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion z-test over hash-assigned experiment arms — the
+    experimentation primitive every product warehouse runs: users split
+    A/B by a deterministic md5 parity of their id (exactly how real
+    assignment services bucket stable ids), conversion = the user ever
+    fired a purchase event, and the pooled two-proportion z statistic
+    decides the arm difference at α = 0.05.
+
+    Plan shape: one per-user aggregate (map-side combined), then ONE
+    further aggregate folding the four sufficient statistics (n, x per
+    arm) as exact integers — the corpus is touched once, nothing after
+    the first aggregate exceeds one row. The z expression is a textually
+    shared single-row scalar chain; arm rates are integer ppm. The md5
+    parity pair (Spark conv(substring(md5..)) ≡ DuckDB '0x'||substr)
+    is the repo's standard cross-engine hash device."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10)"
+            " % 2"
+        ).cast("long").alias("arm"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    return s.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("CAST(x_a * 1000000 div n_a AS BIGINT)").alias("rate_a_ppm"),
+        F.expr("CAST(x_b * 1000000 div n_b AS BIGINT)").alias("rate_b_ppm"),
+        F.round(F.expr(_AB_Z_EXPR), 6).alias("z_score"),
+        F.expr(f"abs({_AB_Z_EXPR}) > 1.959964").alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort lifetime-value matrix (revenue by acquisition month x age)
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH fo AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT f.cohort,
+    CAST(date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+         AS BIGINT) AS age_months,
+    o.o_custkey,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+),
+cell AS (
+  SELECT CAST(cohort AS DATE) AS cohort_month, age_months,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+    CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM r GROUP BY cohort, age_months
+)
+SELECT cohort_month, age_months, n_active, revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_month ORDER BY age_months
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_revenue_cents
+FROM cell
+"""
+
+
+@register("cohort_ltv_matrix", _LTV_ORACLE)
+def q_cohort_ltv_matrix(spark, sf_dir):
+    """Cohort lifetime-value matrix — the revenue companion to
+    ``retention_cohorts``: customers grouped by acquisition month (first
+    order), each cohort's revenue laid out by age-in-months, with the
+    running cumulative that LTV curves are read off.
+
+    One aggregate finds each customer's cohort, one join stamps it onto
+    orders (both sides keyed on custkey — co-partitioned shuffle, or a
+    broadcast while the customer projection fits), one aggregate builds
+    the calendar-bounded cell matrix (months × months — metadata-sized
+    at ANY corpus size), and the cumulative window partitions BY COHORT
+    over that bounded frame. Revenue folds as exact integer cents
+    end-to-end."""
+    o = _t(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    r = o.join(fo, "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+        )
+        .cast("long")
+        .alias("age_months"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cell = r.groupBy(
+        F.col("cohort").cast("date").alias("cohort_month"), "age_months"
+    ).agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(wc).cast("long")
+    )

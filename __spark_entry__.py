@@ -21,22 +21,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-6 rotation
-#: finishes the burn-down: rounds 1-5 accumulated driver-green rows for 148
-#: distinct queries (ledger CORRECTNESS_CUMULATIVE.json, regenerated from
-#: the per-round artifacts by tools/make_cumulative.py — the single source
-#: of truth since r4's off-by-one). This window keeps 7 anchors (one per
-#: major §2 family, all cumulative-green) and fills the other 43 slots with
-#: EVERY query that has never received a driver-side CORRECTNESS row — the
-#: complete round-5 addition set (kNN-graph census, CMS/HLL/Bloom sketches,
-#: BM25/RRF retrieval, behavioral tier, pHash dedup, SQ ANN, lake layout).
-#: After this round every query registered through r5 owns a cumulative
-#: driver row (191/191). Queries ADDED in round 6 land after the window in
-#: QUEUED_FOR_NEXT_WINDOW and rotate in next round; until then they are
-#: covered by the local DuckDB parity mirror (tests/test_oracle_parity.py
-#: runs EVERY registered query at BOTH sf0.001 and sf0.01).
-#: tests/test_rotation_accounting.py asserts the three lists exactly tile
-#: the registry, so a query can never silently drop out of the accounting.
+#: The driver hash-checks the FIRST 50 registered queries. Round-7 window:
+#: the ledger (CORRECTNESS_CUMULATIVE.json, regenerated at round start by
+#: tools/make_cumulative.py — the single source of truth) holds 190
+#: cumulatively driver-green queries after folding round 6's 49/50 green
+#: artifact. 37 registered queries have never owned a driver row: the 34
+#: round-6 additions that were correctly queued, the two that escaped the
+#: queue in the r6 snapshot commit (ab_conversion_ztest — degenerate-z
+#: crash now guarded; cohort_ltv_matrix), and training_shard_plan (red on
+#: an oracle HUGEINT/BIGINT typing artifact, now CAST-fixed). All 37 fill
+#: this window alongside 13 cumulative-green anchors (one per §2 family).
+#: After this round every registered-through-r6 query owns a driver row.
+#: Queries ADDED in round 7 land in QUEUED_FOR_NEXT_WINDOW and rotate in
+#: next round; until then they are covered by the local DuckDB parity
+#: mirror (tests/test_oracle_parity.py runs EVERY registered query at BOTH
+#: sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts the
+#: three lists exactly tile the registry, so a query can never silently
+#: drop out of the accounting.
 CURATED_FIRST = [
     # anchors — re-verify one representative per §2 family (all green)
     "manifest_archive_plan",
@@ -46,98 +47,60 @@ CURATED_FIRST = [
     "dedup_minhash_lsh",
     "ann_ivf_topk",
     "corpus_curation_pipeline",
-    # retrieval / dedup tier — added r5, never driver-checked
     "bm25_doc_retrieval",
-    "hybrid_rrf_retrieval",
-    "containment_dup_pairs",
-    "repeated_ngram_spans",
-    "duplicated_span_coverage",
-    "doc_novelty_scores",
-    "cluster_safe_split",
-    "image_phash_dedup",
     "bloom_decontamination",
-    # language / corpus tier — added r5, never driver-checked
-    "bigram_lm_scores",
-    "lang_relative_quality_gate",
-    "lang_confusion_matrix",
-    "lang_kappa_score",
-    "lang_balanced_sample",
-    "weighted_sample_docs",
-    "mixture_epoch_plan",
-    "pmi_collocations",
-    "quality_percentile_ranks",
-    "source_overlap_matrix",
-    # ANN / embedding tier — added r5, never driver-checked
-    "ann_lsh_multiprobe",
-    "ann_sq_topk",
-    "ann_recall_sq",
-    "ivf_assignment_drift",
-    "knn_graph_edges",
-    "knn_label_agreement",
-    "knn_density_scores",
-    "knn_triangle_count",
-    "label_centroid_similarity",
-    "rp_distance_preservation",
-    "embedding_norm_outliers",
-    # sketch tier — added r5, never driver-checked
     "cms_token_frequencies",
-    "cms_join_size_estimate",
-    "hll_overlap_estimate",
-    "value_drift_psi",
-    # behavioral analytics tier — added r5, never driver-checked
-    "event_transition_matrix",
-    "session_pattern_match",
-    "pareto_quality_frontier",
-    "mad_outlier_events",
-    "hourly_autocorrelation",
-    "conversion_latency_quartiles",
-    "basket_pair_lift",
-    # lake-layout tier — added r5, never driver-checked
-    "range_partition_plan",
-    "training_shard_plan",
+    "quality_scores",
+    "semantic_dedup_summary",
+    "json_probe_exact",
+    # red-row retries — fixed this round, re-check first
+    "training_shard_plan",  # oracle sums now CAST AS BIGINT
+    "ab_conversion_ztest",  # degenerate z denominator NULL-guarded
+    "cohort_ltv_matrix",  # orphaned in r6 snapshot; local parity both SFs
+    # round-6 additions, never driver-checked (queued last round)
+    "retention_cohorts",
+    "yoy_monthly_growth",
+    "zipf_slope",
+    "tfidf_doc_pairs",
+    "embedding_dim_correlations",
+    "doc_length_by_lang",
+    "kcenter_coreset",
+    "length_ks_matrix",
+    "source_lang_chi2",
+    "token_packing_plan",
+    "dau_wau_stickiness",
+    "quality_dup_calibration",
+    "knn_components",
+    "lsh_threshold_curve",
+    "trimmed_mean_prices",
+    "revenue_gini",
+    "event_hour_mix_chi2",
+    "revenue_top_decile_share",
+    "interarrival_burstiness",
+    "dup_cluster_size_histogram",
+    "lead_time_quartiles",
+    "heaps_law_fit",
+    "record_linkage_scores",
+    "seasonal_daily_decomposition",
+    "theil_sen_revenue_trend",
+    "dim_label_mutual_info",
+    "benford_order_values",
+    "pca_top_component",
+    "kaplan_meier_retention",
+    "daily_count_cusum",
+    "knn_degree_assortativity",
+    "knn_local_clustering",
+    "rfm_customer_segments",
+    "hill_tail_index",
 ]
 
-#: Queries registered DURING round 6 (after this window was fixed). They
+#: Queries registered DURING round 7 (after this window was fixed). They
 #: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-7 window. tests/test_rotation_accounting.py enforces
+#: into the round-8 window. tests/test_rotation_accounting.py enforces
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
-#: the registry.
-QUEUED_FOR_NEXT_WINDOW: list[str] = [
-    "retention_cohorts",  # new in r6; local parity both SFs
-    "yoy_monthly_growth",  # new in r6; local parity both SFs
-    "zipf_slope",  # new in r6; local parity both SFs
-    "tfidf_doc_pairs",  # new in r6; local parity both SFs
-    "embedding_dim_correlations",  # new in r6; local parity both SFs
-    "doc_length_by_lang",  # new in r6; local parity both SFs
-    "kcenter_coreset",  # new in r6; local parity both SFs
-    "length_ks_matrix",  # new in r6; local parity both SFs
-    "source_lang_chi2",  # new in r6; local parity both SFs
-    "token_packing_plan",  # new in r6; local parity both SFs
-    "dau_wau_stickiness",  # new in r6; local parity both SFs
-    "quality_dup_calibration",  # new in r6; local parity both SFs
-    "knn_components",  # new in r6; local parity both SFs
-    "lsh_threshold_curve",  # new in r6; local parity both SFs
-    "trimmed_mean_prices",  # new in r6; local parity both SFs
-    "revenue_gini",  # new in r6; local parity both SFs
-    "event_hour_mix_chi2",  # new in r6; local parity both SFs
-    "revenue_top_decile_share",  # new in r6; local parity both SFs
-    "interarrival_burstiness",  # new in r6; local parity both SFs
-    "dup_cluster_size_histogram",  # new in r6; local parity both SFs
-    "lead_time_quartiles",  # new in r6; local parity both SFs
-    "heaps_law_fit",  # new in r6; local parity both SFs
-    "record_linkage_scores",  # new in r6; local parity both SFs
-    "seasonal_daily_decomposition",  # new in r6; local parity both SFs
-    "theil_sen_revenue_trend",  # new in r6; local parity both SFs
-    "dim_label_mutual_info",  # new in r6; local parity both SFs
-    "benford_order_values",  # new in r6; local parity both SFs
-    "pca_top_component",  # new in r6; local parity both SFs
-    "kaplan_meier_retention",  # new in r6; local parity both SFs
-    "daily_count_cusum",  # new in r6; local parity both SFs
-    "knn_degree_assortativity",  # new in r6; local parity both SFs
-    "knn_local_clustering",  # new in r6; local parity both SFs
-    "rfm_customer_segments",  # new in r6; local parity both SFs
-    "hill_tail_index",  # new in r6; local parity both SFs
-]
+#: the registry, and that every queued name actually runs at sf0.001
+#: (the r6 snapshot-commit gate).
+QUEUED_FOR_NEXT_WINDOW: list[str] = []
 
 
 def _cumulative_green() -> set[str]:

@@ -1723,8 +1723,8 @@ pos AS (
     row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS p
   FROM keyed
 )
-SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars,
-  sum(p * (doc_id % 997)) AS order_checksum
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(p * (doc_id % 997)) AS BIGINT) AS order_checksum
 FROM pos GROUP BY shard
 """
 

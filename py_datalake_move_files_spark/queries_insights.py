@@ -33,6 +33,14 @@ in exact decimals). The first six:
   across groups — no single-partition stage at any corpus size (token
   counts are the bounded domain).
 
+Late-r6 additions (tested + driver-windowed in r7):
+``ab_conversion_ztest`` — two-proportion z-test over md5-parity
+experiment arms with a NULL-guard for the degenerate pooled-proportion
+case (the harness corpus IS the p=1 case: every user converts, so the
+unguarded denominator was exactly 0 and ANSI Spark threw
+DIVIDE_BY_ZERO); ``cohort_ltv_matrix`` — revenue-by-cohort-age matrix
+with per-cohort cumulative LTV in exact integer cents.
+
 Cross-engine exactness: counts/ranks are integer; TF-IDF weights and
 Gram moments are fixed-point BIGINTs (order-free sums); the Zipf
 regression folds its ln() sums LEFT-TO-RIGHT over rank-ordered arrays on
@@ -1505,11 +1513,16 @@ def q_hill_tail_index(spark, sf_dir):
 #: final scalar chain — identical text in both engines, computed from the
 #: four exact integer sufficient statistics on ONE row.
 _AB_Z_EXPR = """
+CASE WHEN n_a = 0 OR n_b = 0
+       OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+     THEN NULL
+     ELSE
 (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
 / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+END
 """
 
 _AB_ORACLE = f"""
@@ -1528,8 +1541,10 @@ s AS (
   FROM u
 )
 SELECT n_a, x_a, n_b, x_b,
-  CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
-  CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+  CAST(CASE WHEN n_a = 0 THEN NULL
+            ELSE x_a * 1000000 // n_a END AS BIGINT) AS rate_a_ppm,
+  CAST(CASE WHEN n_b = 0 THEN NULL
+            ELSE x_b * 1000000 // n_b END AS BIGINT) AS rate_b_ppm,
   round({_AB_Z_EXPR}, 6) AS z_score,
   abs({_AB_Z_EXPR}) > 1.959964 AS significant
 FROM s
@@ -1581,8 +1596,14 @@ def q_ab_conversion_ztest(spark, sf_dir):
         "x_a",
         "n_b",
         "x_b",
-        F.expr("CAST(x_a * 1000000 div n_a AS BIGINT)").alias("rate_a_ppm"),
-        F.expr("CAST(x_b * 1000000 div n_b AS BIGINT)").alias("rate_b_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_a = 0 THEN NULL"
+            " ELSE x_a * 1000000 div n_a END AS BIGINT)"
+        ).alias("rate_a_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_b = 0 THEN NULL"
+            " ELSE x_b * 1000000 div n_b END AS BIGINT)"
+        ).alias("rate_b_ppm"),
         F.round(F.expr(_AB_Z_EXPR), 6).alias("z_score"),
         F.expr(f"abs({_AB_Z_EXPR}) > 1.959964").alias("significant"),
     )

@@ -759,8 +759,18 @@ def mg_heavy_hitters_from_state(
     every estimate undercounts by at most n_total/(k+1) and never
     overcounts (the mergeable-summaries bound — each compress, per batch
     or at merge, decrements every live counter by at most its own
-    n/(k+1))."""
-    raw = spark.read.parquet(state_path)
+    n/(k+1)).
+
+    Unlike the histogram/retention ingests, the MG ingest legitimately
+    writes NOTHING for a batch whose compress keeps no counter (d wipes
+    every count), so the state directory may not exist yet — an empty
+    summary, not an error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return []
     deduped = raw.groupBy("batch_id", "token").agg(F.max("cnt").alias("cnt"))
     merged = deduped.groupBy("token").agg(
         F.sum("cnt").cast("long").alias("cnt")

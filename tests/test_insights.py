@@ -550,3 +550,99 @@ def test_rfm_scores_and_segments(spark):
         .count()
     )
     assert total == n_cust
+
+
+def test_ab_ztest_degenerate_denominator_yields_null(spark):
+    """The harness corpus is the degenerate case (every user converts →
+    pooled p = 1), which made the unguarded z expression throw
+    DIVIDE_BY_ZERO under ANSI Spark (VERDICT r6 #1). The guard must
+    return the exact arm counts with NULL z_score/significant instead of
+    crashing — at both harness scales."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = QUERIES["ab_conversion_ztest"](spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        # every user converts in the harness corpus -> degenerate pooled p
+        assert r["x_a"] == r["n_a"] and r["x_b"] == r["n_b"]
+        assert r["rate_a_ppm"] == 1000000 and r["rate_b_ppm"] == 1000000
+        assert r["z_score"] is None
+        assert r["significant"] is None
+
+
+def test_ab_ztest_nondegenerate_arms_get_real_z(spark):
+    """On a constructed corpus with a genuine arm difference the guard
+    must NOT fire: z matches the textbook two-proportion statistic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # 200 users, arm by md5 parity exactly as the query derives it;
+    # conversion = a deterministic per-user bit with different rates.
+    users = spark.range(0, 200).select(F.col("id").alias("user_id"))
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10)"
+        " % 2 AS BIGINT)"
+    )
+    conv = F.when(arm == 0, (F.col("user_id") % 2 == 0)).otherwise(
+        F.col("user_id") % 4 == 0
+    )
+    ev = users.select(
+        "user_id",
+        F.when(conv, F.lit("purchase")).otherwise(F.lit("view")).alias(
+            "event_type"
+        ),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        from py_datalake_move_files_spark.queries import QUERIES
+
+        r = QUERIES["ab_conversion_ztest"](spark, d).collect()[0]
+    n_a, x_a, n_b, x_b = r["n_a"], r["x_a"], r["n_b"], r["x_b"]
+    p = (x_a + x_b) / (n_a + n_b)
+    z = (x_a / n_a - x_b / n_b) / math.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    assert r["z_score"] == round(z, 6)
+    assert r["significant"] == (abs(z) > 1.959964)
+
+
+def test_cohort_ltv_matrix_invariants(spark, sf_small):
+    """Per-cohort cumulative revenue is non-decreasing in age, age 0
+    exists for every cohort (the acquisition month itself), and the
+    matrix total equals total order revenue in exact cents."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    rows = QUERIES["cohort_ltv_matrix"](spark, sf_small).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    total = 0
+    for cohort, cells in by_cohort.items():
+        cells.sort(key=lambda c: c["age_months"])
+        assert cells[0]["age_months"] == 0, cohort
+        cum = 0
+        for c in cells:
+            assert c["age_months"] >= 0
+            assert c["n_active"] >= 1
+            cum += c["revenue_cents"]
+            assert c["cum_revenue_cents"] == cum, (cohort, c)
+            total += c["revenue_cents"]
+
+    from pyspark.sql import functions as F
+
+    expected = (
+        load_table(spark, sf_small, "orders")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    assert total == expected

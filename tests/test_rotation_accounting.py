@@ -98,3 +98,25 @@ def test_ordered_dict_puts_window_first():
     assert list(q)[:50] == entrymod.CURATED_FIRST
     o = entrymod.oracle_sql()
     assert list(o)[:50] == [n for n in entrymod.CURATED_FIRST if n in ORACLE]
+
+
+def test_queued_queries_actually_run(spark):
+    """Snapshot-commit gate (VERDICT r6 "Next round" #4): r6's final commit
+    registered two queries that had never been EXECUTED — one crashed in
+    both engines (ab_conversion_ztest's degenerate z denominator). Nothing
+    may sit in QUEUED_FOR_NEXT_WINDOW without at least executing at
+    sf0.001: each queued query must build a plan AND materialize rows
+    without raising. Full value parity is covered for every registered
+    query by tests/test_oracle_parity.py; this is the cheap always-on
+    tripwire that a bare registration in a late commit cannot dodge.
+    """
+    sf = "/root/testdata/sf0.001"
+    failures = []
+    for name in entrymod.QUEUED_FOR_NEXT_WINDOW:
+        try:
+            QUERIES[name](spark, sf).collect()
+        except Exception as exc:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "queued queries that cannot execute:\n" + "\n".join(
+        failures
+    )

@@ -437,3 +437,15 @@ def test_streaming_mg_ingest_guarantee_and_replay(spark, tmp_path):
     run(str(tmp_path / "mckpt2"))
     again = dict(mg_heavy_hitters_from_state(spark, out, k=K))
     assert again == est
+
+
+def test_mg_reader_empty_state_returns_empty(spark, tmp_path):
+    """ADVICE r6: the MG ingest skips the write entirely when a batch's
+    compress keeps nothing, so the state path may never be created — the
+    reader must return [] instead of raising path-not-found."""
+    from py_datalake_move_files_spark.streaming.filestream import (
+        mg_heavy_hitters_from_state,
+    )
+
+    missing = str(tmp_path / "never_written")
+    assert mg_heavy_hitters_from_state(spark, missing, k=8) == []

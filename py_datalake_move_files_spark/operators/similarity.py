@@ -1431,6 +1431,7 @@ def kcenter_greedy(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1_000_000,
+    max_k: int = 4096,
 ) -> list[tuple[int, int, int]]:
     """Greedy k-center (Gonzalez' 2-approximation) — the DIVERSITY
     sampling / coreset primitive: iteratively pick the point farthest
@@ -1450,7 +1451,19 @@ def kcenter_greedy(
     codegen lesson) and one TakeOrdered(1) picks the argmax. Distances
     are ``round(Σ(a−b)²·scale)`` BIGINTs folded LEFT-TO-RIGHT, so
     argmax ties and the whole selection sequence are bit-reproducible
-    cross-engine (the DuckDB oracle unrolls the same chain)."""
+    cross-engine (the DuckDB oracle unrolls the same chain).
+
+    ``k`` is capped: each center is one driver round-trip, so an
+    accidental k=10⁵ call would hang the driver loop for hours. Coresets
+    past ~4k centers belong to kmeans (one round-trip per ITERATION,
+    not per center) — raise deliberately via ``max_k`` if a bigger
+    greedy selection is truly intended."""
+    if k > max_k:
+        raise ValueError(
+            f"kcenter_greedy k={k} exceeds max_k={max_k}: each center is "
+            "one driver round-trip; use kmeans/ivf_centroids for large "
+            "center counts or pass a deliberate smaller k"
+        )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )

@@ -175,3 +175,67 @@ def test_containment_max_df_split_matches_bruteforce(spark, texts, cap):
             jac = round(inter / (len(ss[a]) + len(ss[b]) - inter), 6)
             want[(a, b)] = (cont, jac)
     assert got == want
+
+
+def test_containment_max_df_split_adversarial_boilerplate(spark):
+    """VERDICT r6 #8: hot shingle df >> cap. 30 docs all share one
+    boilerplate sentence (every boilerplate shingle has df = 30 with
+    cap = 2 — far past the cap), 10 of them additionally embed a common
+    quote (df = 10, also hot), and 3 pairs are genuine near-dups through
+    capped content. The split must (a) keep every pair that shares at
+    least one capped shingle, with EXACT scores over the FULL sets
+    (hot contribution included via the hot-set intersect), and (b) drop
+    only pairs whose entire overlap is hot — the documented recall trade.
+    """
+    from py_datalake_move_files_spark.operators.dedup import containment_pairs
+
+    boiler = "terms of service apply here"
+    quote = "to be or not"
+    docs = {}
+    for i in range(30):
+        parts = [boiler, f"unique{i}a unique{i}b unique{i}c unique{i}d"]
+        if i < 10:
+            parts.append(quote)
+        docs[i] = " ".join(parts)
+    # three near-dup pairs through capped (df=2) content
+    docs[30] = docs[0] + " shared tail one alpha"
+    docs[31] = docs[1] + " shared tail one alpha"
+    docs[32] = docs[2] + " another common tail beta"
+    docs[33] = docs[3] + " another common tail beta"
+
+    rows = [(i, t) for i, t in sorted(docs.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 2
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(
+            df, "doc_id", threshold=0.0, max_df=cap
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    ss = {i: shingles(t) for i, t in rows}
+    dfreq: dict[str, int] = {}
+    for s in ss.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    capped = {sh for sh, d in dfreq.items() if 1 < d <= cap}
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            if not (ss[a] & ss[b] & capped):
+                continue
+            inter = len(ss[a] & ss[b])
+            want[(a, b)] = (
+                round(inter / min(len(ss[a]), len(ss[b])), 6),
+                round(inter / (len(ss[a]) + len(ss[b]) - inter), 6),
+            )
+    assert got == want
+    # the capped candidate set is the 2 constructed near-dup pairs...
+    assert set(got) == {(0, 30), (1, 31), (2, 32), (3, 33), (30, 31), (32, 33)}
+    # ...and their scores include the HOT (boilerplate) intersection:
+    # doc 0 is fully contained in doc 30 (same text + tail), so C = 1.0
+    assert got[(0, 30)][0] == 1.0

@@ -449,3 +449,87 @@ def test_mg_reader_empty_state_returns_empty(spark, tmp_path):
 
     missing = str(tmp_path / "never_written")
     assert mg_heavy_hitters_from_state(spark, missing, k=8) == []
+
+
+def test_file_stream_checkpoint_recovery_resumes_mid_directory(
+    spark, tmp_path
+):
+    """Kill-and-restart proof for the reference's timestamp-file contract
+    (reference app/config.py:12: a hand-rolled "last extracted timestamp"
+    slot decides where the next run resumes). Spark's checkpoint replaces
+    it transactionally: a query crashing MID-DIRECTORY must, on restart
+    from the same checkpoint, (a) not reprocess files whose batch was
+    committed, (b) replay the uncommitted batch, (c) finish the rest —
+    so every source row lands in the sink EXACTLY once overall.
+
+    Device: 6 one-row files, maxFilesPerTrigger=2 → 3 micro-batches; the
+    foreachBatch handler hard-fails on batch 1 BEFORE writing (a crash at
+    the worst point: after batch 0 committed, before batch 1 did).
+    """
+    from pyspark.errors import StreamingQueryException
+
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+    )
+
+    src = tmp_path / "in"
+    for i in range(6):
+        spark.range(i, i + 1).selectExpr("id AS file_id").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    crash_flag = tmp_path / "crash_on_batch_1"
+    crash_flag.write_text("")
+
+    schema = "file_id BIGINT"
+
+    def handler(batch_df, batch_id):
+        if crash_flag.exists() and batch_id >= 1:
+            raise RuntimeError("simulated crash before writing batch 1")
+        batch_df.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out)
+
+    def start():
+        stream = file_arrival_stream(
+            spark, f"{src}/*", schema, max_files_per_trigger=2
+        )
+        return (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("first run should have crashed on batch 1")
+    except StreamingQueryException:
+        pass
+
+    first = spark.read.parquet(out).collect()
+    committed_ids = {r["file_id"] for r in first}
+    # the crash landed mid-directory: some but not all files processed,
+    # and everything written so far belongs to the committed batch 0
+    assert 0 < len(committed_ids) < 6
+    assert {r["batch_id"] for r in first} == {0}
+
+    crash_flag.unlink()
+    q2 = start()
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    per_id = {}
+    for r in rows:
+        per_id[r["file_id"]] = per_id.get(r["file_id"], 0) + 1
+    # every file exactly once: committed batch 0 was NOT reprocessed,
+    # the uncommitted batch was replayed, the tail was finished
+    assert per_id == {i: 1 for i in range(6)}
+    # and the restart resumed from the checkpoint, not from scratch:
+    # batch 0's rows still carry their original stamp
+    restamped = {r["file_id"]: r["batch_id"] for r in rows}
+    for fid in committed_ids:
+        assert restamped[fid] == 0

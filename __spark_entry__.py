@@ -100,7 +100,16 @@ CURATED_FIRST = [
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry, and that every queued name actually runs at sf0.001
 #: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = []
+QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    "simhash_dup_pairs",  # new in r7; local parity both SFs
+    "value_purchase_auc",  # new in r7; local parity both SFs
+    "mann_kendall_trend",  # new in r7; local parity both SFs
+    "changepoint_daily_events",  # new in r7; local parity both SFs
+    "ols_revenue_model",  # new in r7; local parity both SFs
+    "knn_link_prediction",  # new in r7; local parity both SFs
+    "js_source_divergence",  # new in r7; local parity both SFs
+    "weekday_anova_events",  # new in r7; local parity both SFs
+]
 
 
 def _cumulative_green() -> set[str]:

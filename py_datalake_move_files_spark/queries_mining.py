@@ -1,0 +1,943 @@
+"""Round-7 tier: statistical mining + graph/near-dup widening.
+
+Eight queries extending the registry with devices no earlier family
+covers:
+
+- ``simhash_dup_pairs`` — banded Hamming near-dup PAIRS over 32-bit
+  SimHash fingerprints (``simhash_fingerprints`` stops at per-doc
+  16-bit signatures): 4 byte bands, pigeonhole-complete for Hamming ≤ 3,
+  exact popcount verify on the candidate set — never all-pairs.
+- ``value_purchase_auc`` — exact ROC-AUC (Mann–Whitney with tie
+  correction) of the event ``value`` separating purchases from
+  non-purchases, via the bounded cents-histogram rank device: all
+  integer, no sort of the corpus, no float fold.
+- ``mann_kendall_trend`` — the nonparametric S/tau/z trend test over
+  monthly revenue: the robust companion of ``theil_sen_revenue_trend``
+  (same calendar-bounded pair frame), deciding IF a monotone trend
+  exists before Theil–Sen sizes it.
+- ``changepoint_daily_events`` — best single change-point of the daily
+  event series by between-group sum-of-squares (binary-segmentation
+  step 1), argmax over calendar-bounded candidate splits from one
+  prefix-sum window.
+- ``ols_revenue_model`` — two-regressor OLS (price ~ quantity +
+  discount) solved in closed form from exact integer moments: the
+  multi-feature companion of ``regr_trend_by_nation``.
+- ``knn_link_prediction`` — common-neighbor/Jaccard link scores for
+  NON-edges of the kNN graph (the standard missing-link primitive):
+  the full Σdeg² wedge frame (exact CN counts need every 2-path, unlike
+  the triangle census — degrees are k- and hot-bucket-capped by the
+  graph build, so the frame is bounded), anti-joined against the edges.
+- ``js_source_divergence`` — pairwise Jensen–Shannon divergence between
+  per-source unigram distributions over the shared top vocabulary with
+  add-1 smoothing: the corpus-mixture drift audit (PSI covers numeric
+  values; this covers token mixes).
+- ``weekday_anova_events`` — one-way ANOVA F statistic of daily event
+  counts across ISO weekdays: the seasonality-significance yardstick on
+  top of ``seasonal_daily_decomposition``'s indexes.
+
+Cross-engine exactness: candidate/verify counts, histogram cells,
+moments, and S statistics are exact integers; JS terms are rounded to
+NANO-nats per cell before the order-free integer sum (the MI device);
+ANOVA's per-group fold runs LEFT-TO-RIGHT over a weekday-sorted array
+(F.aggregate ≡ list_reduce); every remaining scalar (z, F, OLS betas,
+split score) is a one-row double chain with identical operation order
+in both engines, rounded to 6 dp.
+
+Scale notes: SimHash banding is the only candidate generator here and
+is bucket-bounded (at 100 TB the production setting is a 64-bit
+fingerprint with 4×16-bit bands — same plan, wider hash; 32 bits is the
+harness width). Mann–Kendall/ANOVA/
+change-point frames are calendar-bounded (months × 1, days × 1)
+regardless of corpus size; the OLS moment row is one map-side-combined
+aggregate; link-prediction candidates inherit the kNN census bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.operators import dedup as D
+from py_datalake_move_files_spark.queries import _t, register
+
+# --------------------------------------------------------------------------
+# SimHash banded near-dup pairs
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32  # pairs tier: wider than the 16-bit fingerprint query
+_SIMHASH_BANDS = 4  # 8-bit bands; pigeonhole-complete for hamming <= bands-1
+_BAND_WIDTH = _SIMHASH_BITS // _SIMHASH_BANDS
+_HAMMING_MAX = 3
+
+
+def _simhash_fp_cte() -> str:
+    """The fingerprint CTE of the simhash_fingerprints oracle at the
+    pairs tier's 32-bit width (same bit derivation, same hex_value
+    device — 16 bits collides far too often for PAIR generation: ~1% of
+    random doc pairs land within hamming 3 of each other, vs ~1e-6 at
+    32 bits)."""
+    hv_of = D.hex_value_sql("md5(t)", (_SIMHASH_BITS + 3) // 4)
+    sums = ", ".join(
+        f"list_aggregate(list_transform(hvs, x -> CASE WHEN "
+        f"CAST(floor(x / {2 ** j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END), "
+        f"'sum') AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH hv AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), t -> CAST({hv_of} AS BIGINT))
+      AS hvs
+  FROM documents
+),
+s AS (SELECT doc_id, {sums} FROM hv),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s)
+"""
+
+
+_SIMHASH_PAIRS_ORACLE = _simhash_fp_cte() + f""",
+bands AS (
+  SELECT doc_id, simhash, u.bi AS bi,
+    (simhash >> (u.bi * 8)) & 255 AS bv
+  FROM fp, unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS u(bi)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+"""
+
+
+@register("simhash_dup_pairs", _SIMHASH_PAIRS_ORACLE)
+def q_simhash_dup_pairs(spark, sf_dir):
+    """Near-dup PAIRS from 32-bit SimHash fingerprints via LSH-style
+    banding: 4 byte bands, candidate pairs share at least one band,
+    exact Hamming verify (``bit_count`` of the XOR) keeps distance ≤ 3.
+    Pigeonhole guarantee: 4 disjoint bands and ≤ 3 differing bits force
+    ≥ 1 identical band, so banding misses NOTHING the threshold admits —
+    this is a complete index, not an approximation. 32 bits (not the
+    fingerprint query's 16) because pair generation needs collision
+    headroom: at 16 bits ~1% of RANDOM doc pairs sit within Hamming 3
+    (measured: 14.7k pairs over 500 harness docs), at 32 bits ~1e-6.
+
+    Plan: fingerprints are the zero-shuffle per-row chain of
+    ``simhash_fingerprints`` at double width; bands explode 4 rows/doc;
+    ONE equi-join on (band_index, band_value) generates candidates
+    (Σ bucket² bounded by the 256-value band fan-out, never all-pairs);
+    the verify is a per-row popcount. At 100 TB the production pinning
+    is a 64-bit fingerprint with 4×16-bit bands — identical plan, wider
+    hash, sparser buckets."""
+    fp = D.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", bits=_SIMHASH_BITS
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SIMHASH_BANDS - 1}), "
+                f"bi -> named_struct('bi', bi, 'bv', "
+                f"shiftright(simhash, bi * {_BAND_WIDTH})"
+                f" % {2 ** _BAND_WIDTH}))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.bi", "band.bv")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "bi",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "bi",
+        "bv",
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# exact ROC-AUC via the Mann-Whitney rank-sum over a bounded histogram
+# --------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH lab AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v_cents,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+hist AS (
+  SELECT v_cents,
+    CAST(sum(pos) AS BIGINT) AS n_pos,
+    CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+  FROM lab GROUP BY v_cents
+),
+cum AS (
+  SELECT n_pos, n_neg,
+    sum(n_neg) OVER (ORDER BY v_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_neg AS neg_below
+  FROM hist
+),
+s AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+    CAST(sum(n_neg) AS BIGINT) AS q,
+    CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS num2
+  FROM cum
+)
+SELECT p AS n_pos, q AS n_neg,
+  CAST(CASE WHEN p = 0 OR q = 0 THEN NULL
+            ELSE num2 * 1000000 // (2 * p * q) END AS BIGINT) AS auc_ppm,
+  CAST(CASE WHEN p = 0 OR q = 0 THEN NULL
+            ELSE num2 * 1000000 // (2 * p * q) * 2 - 1000000 END AS BIGINT)
+    AS gini_ppm
+FROM s
+"""
+
+
+@register("value_purchase_auc", _AUC_ORACLE)
+def q_value_purchase_auc(spark, sf_dir):
+    """Exact ROC-AUC of the event ``value`` as a classifier for
+    ``event_type = 'purchase'`` — the discrimination metric every
+    model-scored curation gate is judged by, computed exactly (not
+    trapezoid-sampled): AUC = P(value⁺ > value⁻) + ½·P(=) via the
+    Mann–Whitney identity.
+
+    Device: quantize to integer cents (the engine-wide bounded-domain
+    histogram trick), ONE aggregate to (value, n_pos, n_neg) cells, one
+    cumulative window over the bounded cent domain, then the rank-sum
+    numerator Σ n_pos·(2·neg_below + n_neg) as exact integers — AUC in
+    integer ppm, Gini = 2·AUC − 1. No corpus sort, no float fold; the
+    cent histogram is domain-bounded so the window never buffers the
+    corpus."""
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    hist = lab.groupBy("v_cents").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    wcum = Window.orderBy("v_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn(
+        "neg_below", F.sum("n_neg").over(wcum) - F.col("n_neg")
+    )
+    s = cum.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("q"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("num2"),
+    )
+    return s.select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        F.expr(
+            "CAST(CASE WHEN p = 0 OR q = 0 THEN NULL"
+            " ELSE num2 * 1000000 DIV (2 * p * q) END AS BIGINT)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CAST(CASE WHEN p = 0 OR q = 0 THEN NULL"
+            " ELSE num2 * 1000000 DIV (2 * p * q) * 2 - 1000000 END"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall monotone-trend test over monthly revenue
+# --------------------------------------------------------------------------
+
+#: final scalar chain — identical text in both engines, computed from the
+#: exact integer (s_stat, var18) pair on ONE row. var18 = 18·Var(S) with
+#: the standard tie correction; the continuity-corrected z uses S∓1.
+_MK_Z_EXPR = """
+CASE WHEN var18 = 0 THEN NULL
+     WHEN s_stat > 0
+       THEN (CAST(s_stat AS DOUBLE) - 1.0)
+            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+     WHEN s_stat < 0
+       THEN (CAST(s_stat AS DOUBLE) + 1.0)
+            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+     ELSE 0.0 END
+"""
+
+_MK_ORACLE = f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+    AS s_stat
+  FROM m a JOIN m b ON a.mo < b.mo
+),
+ties AS (
+  SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+    AS tie18
+  FROM (SELECT count(*) AS tc FROM m GROUP BY rev HAVING count(*) > 1)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+st AS (
+  SELECT n, s_stat,
+    n * (n - 1) * (2 * n + 5) - tie18 AS var18
+  FROM nn CROSS JOIN pairs CROSS JOIN ties
+)
+SELECT n AS n_months, s_stat, CAST(var18 AS BIGINT) AS var18,
+  round(CAST(s_stat AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0), 6) AS tau,
+  round({_MK_Z_EXPR}, 6) AS z_score,
+  CASE WHEN ({_MK_Z_EXPR}) > 1.959964 THEN 'increasing'
+       WHEN ({_MK_Z_EXPR}) < -1.959964 THEN 'decreasing'
+       ELSE 'none' END AS trend
+FROM st
+"""
+
+
+@register("mann_kendall_trend", _MK_ORACLE)
+def q_mann_kendall_trend(spark, sf_dir):
+    """Mann–Kendall monotone-trend test over monthly revenue: S = Σ
+    sign(rev_j − rev_i) over month pairs i<j, tie-corrected variance,
+    continuity-corrected z — the nonparametric "is there a trend at all"
+    gate run before Theil–Sen sizes the slope (same calendar-bounded
+    pair frame: C(months, 2) rows at ANY corpus size).
+
+    Exactness: monthly revenue folds to exact integer cents (one keyed
+    aggregate, map-side combined); S, the tie term, and var18 = 18·Var(S)
+    are pure integers; z and tau are one-row double chains shared
+    textually with the oracle. The pair self-join broadcasts the
+    metadata-sized month frame."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("rev")
+    )
+    m = m.localCheckpoint(eager=True)
+    a = m.select(F.col("mo").alias("mo_a"), F.col("rev").alias("rev_a"))
+    b = m.select(F.col("mo").alias("mo_b"), F.col("rev").alias("rev_b"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("mo_a") < F.col("mo_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("rev_b") > F.col("rev_a"), 1)
+                .when(F.col("rev_b") < F.col("rev_a"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        m.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .where(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    nn = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    st = (
+        nn.crossJoin(pairs)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            ).alias("var18"),
+        )
+    )
+    return st.select(
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.col("var18").cast("long"),
+        F.round(
+            F.expr(
+                "CAST(s_stat AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
+            ),
+            6,
+        ).alias("tau"),
+        F.round(F.expr(_MK_Z_EXPR), 6).alias("z_score"),
+        F.expr(
+            f"CASE WHEN ({_MK_Z_EXPR}) > 1.959964 THEN 'increasing'"
+            f" WHEN ({_MK_Z_EXPR}) < -1.959964 THEN 'decreasing'"
+            f" ELSE 'none' END"
+        ).alias("trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# single change-point of the daily event series (binary segmentation step 1)
+# --------------------------------------------------------------------------
+
+_CP_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT d, c,
+    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS nl,
+    CAST(sum(c) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS sl,
+    CAST(count(*) OVER () AS BIGINT) AS n,
+    CAST(sum(c) OVER () AS BIGINT) AS s
+  FROM d
+),
+cand AS (
+  SELECT d, nl, n - nl AS nr, sl, s - sl AS sr,
+    round((CAST(sl * (n - nl) - (s - sl) * nl AS DOUBLE)
+           * CAST(sl * (n - nl) - (s - sl) * nl AS DOUBLE))
+          / ((CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE))
+             * CAST(n AS DOUBLE)), 6) AS score
+  FROM w WHERE nl < n
+)
+SELECT strftime(d, '%Y-%m-%d') AS split_day,
+  nl AS n_left, nr AS n_right,
+  CAST(sl * 1000000 // nl AS BIGINT) AS mean_left_micro,
+  CAST(sr * 1000000 // nr AS BIGINT) AS mean_right_micro,
+  score AS between_ss
+FROM cand ORDER BY score DESC, d ASC LIMIT 1
+"""
+
+
+@register("changepoint_daily_events", _CP_ORACLE)
+def q_changepoint_daily_events(spark, sf_dir):
+    """Best single change-point of the daily event-count series — the
+    first step of binary-segmentation change-point detection: the split
+    maximizing the between-segment sum of squares
+    (S_l·n_r − S_r·n_l)² / (n·n_l·n_r), which is exactly the SSE drop of
+    a two-mean fit. Drift monitors run this to timestamp a level shift
+    (CUSUM — `daily_count_cusum` — flags THAT a shift happened; this
+    names the day).
+
+    Plan: one keyed count to the calendar-bounded daily frame, one
+    prefix-sum window over it (bounded rows — never the corpus), a
+    per-row integer score numerator, TakeOrdered(1). All candidate
+    arithmetic is integer until the single-row double score, whose
+    operation order is shared with the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wo = Window.orderBy("d")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    w = d.select(
+        "d",
+        "c",
+        F.row_number().over(wo).cast("long").alias("nl"),
+        F.sum("c").over(wcum).cast("long").alias("sl"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("c").over(wall).cast("long").alias("s"),
+    )
+    cand = w.where(F.col("nl") < F.col("n")).select(
+        "d",
+        "nl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        "sl",
+        (F.col("s") - F.col("sl")).alias("sr"),
+        F.round(
+            F.expr(
+                "(CAST(sl * (n - nl) - (s - sl) * nl AS DOUBLE)"
+                " * CAST(sl * (n - nl) - (s - sl) * nl AS DOUBLE))"
+                " / ((CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE))"
+                " * CAST(n AS DOUBLE))"
+            ),
+            6,
+        ).alias("score"),
+    )
+    return (
+        cand.orderBy(F.col("score").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.expr("CAST(sl * 1000000 DIV nl AS BIGINT)").alias(
+                "mean_left_micro"
+            ),
+            F.expr("CAST(sr * 1000000 DIV nr AS BIGINT)").alias(
+                "mean_right_micro"
+            ),
+            F.col("score").alias("between_ss"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# two-regressor OLS from exact integer moments
+# --------------------------------------------------------------------------
+
+#: closed-form 2-regressor normal-equation solve over the centered moment
+#: row — identical text in both engines; every input column is an exact
+#: integer sum cast to double, so the chain is IEEE-deterministic.
+_OLS_COMMON = """
+  (nn * sx11 - sx1 * sx1) AS a11,
+  (nn * sx22 - sx2 * sx2) AS a22,
+  (nn * sx12 - sx1 * sx2) AS a12,
+  (nn * sx1y - sx1 * sy) AS b1n,
+  (nn * sx2y - sx2 * sy) AS b2n,
+  (nn * syy - sy * sy) AS tss
+"""
+
+_OLS_TAIL = """
+SELECT CAST(nn AS BIGINT) AS n,
+  round(CASE WHEN det = 0 THEN NULL
+             ELSE (sy - ((b1n * a22 - b2n * a12) / det) * sx1
+                      - ((b2n * a11 - b1n * a12) / det) * sx2) / nn
+        END, 2) AS b0_cents,
+  round(CASE WHEN det = 0 THEN NULL
+             ELSE (b1n * a22 - b2n * a12) / det END, 6) AS b1_qty,
+  round(CASE WHEN det = 0 THEN NULL
+             ELSE (b2n * a11 - b1n * a12) / det END, 6) AS b2_disc,
+  round(CASE WHEN det = 0 OR tss = 0 THEN NULL
+             ELSE (((b1n * a22 - b2n * a12) / det) * b1n
+                   + ((b2n * a11 - b1n * a12) / det) * b2n) / tss
+        END, 6) AS r2
+FROM c
+"""
+
+_OLS_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+    CAST(l_quantity AS BIGINT) AS x1,
+    CAST(round(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+    CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+    CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
+    CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
+    CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
+    CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+    CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+    CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM t
+),
+c AS (
+  SELECT nn, sx1, sx2, sy, {_OLS_COMMON},
+    (nn * sx11 - sx1 * sx1) * (nn * sx22 - sx2 * sx2)
+      - (nn * sx12 - sx1 * sx2) * (nn * sx12 - sx1 * sx2) AS det
+  FROM m
+)
+{_OLS_TAIL}
+"""
+
+
+@register("ols_revenue_model", _OLS_ORACLE)
+def q_ols_revenue_model(spark, sf_dir):
+    """Two-regressor OLS — price_cents ~ b0 + b1·quantity + b2·discount —
+    solved in closed form from the normal equations: the multi-feature
+    regression primitive (`regr_trend_by_nation` is the 1-feature case).
+    Returns betas and R² from ONE moment row.
+
+    Exactness + scale: the ten sufficient moments are exact integer sums
+    (accumulated as decimal(38,0)/HUGEINT so Σy² cannot overflow at any
+    corpus size), each cast to double ONCE; the centered 2×2 solve is a
+    single-row scalar chain shared textually with the oracle (same IEEE
+    op order). One map-side-combined aggregate over the scan — no
+    shuffle wider than one row, at 100 TB exactly as here."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x1"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+    )
+    dec = lambda e: F.expr(e).cast("decimal(38,0)")  # noqa: E731
+    m = t.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(dec("x1")).cast("double").alias("sx1"),
+        F.sum(dec("x2")).cast("double").alias("sx2"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x1 * x1")).cast("double").alias("sx11"),
+        F.sum(dec("x2 * x2")).cast("double").alias("sx22"),
+        F.sum(dec("x1 * x2")).cast("double").alias("sx12"),
+        F.sum(dec("x1 * y")).cast("double").alias("sx1y"),
+        F.sum(dec("x2 * y")).cast("double").alias("sx2y"),
+        F.sum(dec("y * y")).cast("double").alias("syy"),
+    )
+    c = m.selectExpr(
+        "nn",
+        "sx1",
+        "sx2",
+        "sy",
+        *[s.strip() for s in _OLS_COMMON.strip().split(",\n")],
+        "(nn * sx11 - sx1 * sx1) * (nn * sx22 - sx2 * sx2)"
+        " - (nn * sx12 - sx1 * sx2) * (nn * sx12 - sx1 * sx2) AS det",
+    )
+    c.createOrReplaceTempView("__ols_c")
+    return c.sparkSession.sql(_OLS_TAIL.replace("FROM c", "FROM __ols_c"))
+
+
+# --------------------------------------------------------------------------
+# link prediction over the kNN graph (common-neighbor / Jaccard)
+# --------------------------------------------------------------------------
+
+_LINK_TOP = 20
+
+
+def _link_oracle() -> str:
+    from py_datalake_move_files_spark.queries_knn import (
+        _KNN_EDGES_CTE,
+        _KNN_PRELUDE,
+        _UND_DEG_DED_CTE,
+    )
+
+    return (
+        _KNN_PRELUDE
+        + _KNN_EDGES_CTE
+        + _UND_DEG_DED_CTE
+        + f""",
+adj AS (
+  SELECT u AS ctr, v AS leaf FROM und
+  UNION ALL SELECT v AS ctr, u AS leaf FROM und
+),
+wedges AS (
+  SELECT a.leaf AS u, b.leaf AS v
+  FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.leaf < b.leaf
+),
+cn AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = w.u AND e.v = w.v)
+  GROUP BY u, v
+),
+lnk_scored AS (
+  SELECT cn.u, cn.v, cn.common_neighbors,
+    CAST(cn.common_neighbors * 1000000
+         // (da.dg + db.dg - cn.common_neighbors) AS BIGINT) AS jaccard_ppm
+  FROM cn JOIN deg da ON cn.u = da.node JOIN deg db ON cn.v = db.node
+)
+SELECT u, v, common_neighbors, jaccard_ppm
+FROM lnk_scored
+ORDER BY jaccard_ppm DESC, common_neighbors DESC, u ASC, v ASC
+LIMIT {_LINK_TOP}
+"""
+    )
+
+
+@register("knn_link_prediction", _link_oracle())
+def q_knn_link_prediction(spark, sf_dir):
+    """Missing-link prediction over the kNN graph: for node pairs that
+    are NOT edges but share neighbors, the common-neighbor count and
+    Jaccard score — the classic link-prediction primitive (Liben-Nowell
+    & Kleinberg), used in curation to surface near-neighborhoods the
+    k-cut truncated (candidates for cluster merging that the kNN edge
+    set itself misses).
+
+    Unlike the triangle census, exact common-neighbor COUNTS need the
+    FULL wedge frame — a wedge u–x–w counts whichever rank x holds, so
+    the degree-ordered O(m^1.5) restriction (complete for triangles,
+    which have exactly one lowest-rank vertex) would undercount here.
+    Every 2-path is generated at its center from the symmetric adjacency
+    (one equi-join on the center key): Σ deg² wedges, which the kNN
+    graph bounds by construction — out-degree is k, and in-degree rides
+    the same `max_list_size` hot-bucket cap the graph build enforces
+    (operators/similarity.knn_graph), so no hub goes quadratic. Minus
+    existing edges via one anti join; scores are integer ppm;
+    top-{_LINK_TOP} with a full deterministic tie-break,
+    TakeOrdered-sized."""
+    from py_datalake_move_files_spark.queries_knn import _und_deg_ded
+
+    und, deg, _ded = _und_deg_ded(spark, sf_dir)
+    adj = und.select(
+        F.col("u").alias("ctr"), F.col("v").alias("leaf")
+    ).unionAll(und.select(F.col("v").alias("ctr"), F.col("u").alias("leaf")))
+    a = adj.select("ctr", F.col("leaf").alias("u"))
+    b = adj.select("ctr", F.col("leaf").alias("v"))
+    wedges = a.join(b, "ctr").where(F.col("u") < F.col("v")).select("u", "v")
+    cn = (
+        wedges.join(und, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    scored = (
+        cn.join(da, "u")
+        .join(db, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.expr(
+                "CAST(common_neighbors * 1000000"
+                " DIV (du + dv - common_neighbors) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(),
+        F.col("common_neighbors").desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    ).limit(_LINK_TOP)
+
+
+# --------------------------------------------------------------------------
+# pairwise Jensen-Shannon divergence between source unigram mixes
+# --------------------------------------------------------------------------
+
+_JS_VOCAB = 128
+
+#: per-token JS contribution in NANO-nats, rounded BEFORE the order-free
+#: integer sum (the MI micro-unit device, at 1e-9 grain because individual
+#: terms are small); pa/pb are exact-integer ratios so the double chain is
+#: identical cross-engine, and the quantization absorbs ln() ulp skew.
+_JS_TERM = """
+CAST(round((0.5 * pa * ln(2.0 * pa / (pa + pb))
+            + 0.5 * pb * ln(2.0 * pb / (pa + pb))) * 1000000000)
+     AS BIGINT)
+"""
+
+_JS_ORACLE = f"""
+WITH tk AS (
+  SELECT source,
+    unnest(list_filter(string_split(text, ' '), jt -> jt <> '')) AS t
+  FROM documents
+),
+gc AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+vocab AS (SELECT t FROM gc ORDER BY c DESC, t ASC LIMIT {_JS_VOCAB}),
+sc AS (
+  SELECT tk.source, tk.t, count(*) AS c
+  FROM tk JOIN vocab USING (t) GROUP BY tk.source, tk.t
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT s.source, v.t, coalesce(sc.c, 0) AS c
+  FROM srcs s CROSS JOIN vocab v
+  LEFT JOIN sc ON sc.source = s.source AND sc.t = v.t
+),
+den AS (
+  SELECT source, CAST(sum(c) + {_JS_VOCAB} AS BIGINT) AS ds
+  FROM grid GROUP BY source
+),
+p AS (
+  SELECT g.source, g.t,
+    CAST(g.c + 1 AS DOUBLE) / CAST(d.ds AS DOUBLE) AS pr
+  FROM grid g JOIN den d USING (source)
+),
+terms AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    {_JS_TERM.replace('pa', 'a.pr').replace('pb', 'b.pr')} AS cm
+  FROM p a JOIN p b ON a.t = b.t AND a.source < b.source
+)
+SELECT source_a, source_b,
+  CAST(sum(cm) AS BIGINT) AS jsd_nano_nats
+FROM terms GROUP BY source_a, source_b
+"""
+
+
+@register("js_source_divergence", _JS_ORACLE)
+def q_js_source_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions over the shared top-{_JS_VOCAB} vocabulary (add-1
+    smoothed) — the mixture-drift audit for corpus blending: PSI
+    (`value_drift_psi`) watches numeric value drift; this watches WHICH
+    WORDS each source emits. JSD is symmetric and bounded by ln 2, so
+    the pair matrix is directly comparable across corpus sizes.
+
+    Device: vocabulary is a TakeOrdered top-k; per-source counts over it
+    gap-fill to a sources×vocab grid (metadata-sized — |sources|·V
+    cells); each pair-token term is rounded to NANO-nats before the
+    order-free integer sum (the MI quantization device, finer grain for
+    the smaller terms), so no float fold order exists and ln() ulp skew
+    is absorbed. The pair join runs on the tiny grid, never documents."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(text, ' '), jt -> jt <> '')")
+        ).alias("t"),
+    )
+    tk = tk.localCheckpoint(eager=True)
+    gc = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = gc.orderBy(F.col("c").desc(), F.col("t").asc()).limit(
+        _JS_VOCAB
+    ).select("t")
+    sc = tk.join(F.broadcast(vocab), "t").groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    srcs = docs.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "t"], "left")
+        .select("source", "t", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    den = grid.groupBy("source").agg(
+        (F.sum("c") + F.lit(_JS_VOCAB)).cast("long").alias("ds")
+    )
+    p = grid.join(F.broadcast(den), "source").select(
+        "source",
+        "t",
+        F.expr("CAST(c + 1 AS DOUBLE) / CAST(ds AS DOUBLE)").alias("pr"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("pr").alias("pr_a"),
+    )
+    b = p.select(
+        F.col("source").alias("source_b"),
+        "t",
+        F.col("pr").alias("pr_b"),
+    )
+    terms = a.join(F.broadcast(b), "t").where(
+        F.col("source_a") < F.col("source_b")
+    )
+    term = _JS_TERM.replace("pa", "pr_a").replace("pb", "pr_b")
+    return (
+        terms.select(
+            "source_a", "source_b", F.expr(term).alias("cm")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("cm").cast("long").alias("jsd_nano_nats"))
+    )
+
+
+# --------------------------------------------------------------------------
+# one-way ANOVA of daily counts across ISO weekdays
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(isodow(d) AS BIGINT) AS wd,
+    CAST(sum(c) AS BIGINT) AS sg, CAST(count(*) AS BIGINT) AS ng
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c * c) AS BIGINT) AS sxx
+  FROM d
+),
+garr AS (
+  SELECT list_reduce(
+    list_transform(list(sg * 1.0 / ng * sg ORDER BY wd),
+                   at -> at + 0.0),
+    (aa, ab) -> aa + ab) AS gterm,
+    CAST(count(*) AS BIGINT) AS k
+  FROM g
+),
+st AS (
+  SELECT n, k, sxx, s,
+    gterm - CAST(s AS DOUBLE) * s / n AS ssb,
+    CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS sst
+  FROM tot CROSS JOIN garr
+)
+SELECT n AS n_days, k AS k_groups,
+  round(ssb, 6) AS ss_between,
+  round(sst - ssb, 6) AS ss_within,
+  round(CASE WHEN k <= 1 OR n <= k OR sst - ssb = 0 THEN NULL
+             ELSE (ssb / (CAST(k AS DOUBLE) - 1.0))
+                  / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        END, 6) AS f_stat
+FROM st
+"""
+
+
+@register("weekday_anova_events", _ANOVA_ORACLE)
+def q_weekday_anova_events(spark, sf_dir):
+    """One-way ANOVA F statistic of daily event counts across ISO
+    weekdays — the significance yardstick on top of
+    `seasonal_daily_decomposition`'s weekday indexes: is the weekday
+    effect real, or noise?
+
+    Exactness: per-group (Sg, ng) and the global (S, n, Σc²) are exact
+    integers; the one order-sensitive float reduction — Σ_g Sg²/ng over
+    the ≤ 7 weekday groups — folds LEFT-TO-RIGHT over a weekday-sorted
+    array (F.aggregate ≡ DuckDB list_reduce, the zipf device), and the
+    F ratio is a one-row double chain with shared op order. Frames are
+    calendar-bounded: |days| rows, then 7, then 1."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d = d.localCheckpoint(eager=True)
+    g = d.groupBy(
+        F.expr("CAST(weekday(d) + 1 AS BIGINT)").alias("wd")
+    ).agg(
+        F.sum("c").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    tot = d.agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    garr = g.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "named_struct('wd', wd, 'sg', sg, 'ng', ng))),"
+            " ax -> ax.sg * 1.0 / ax.ng * ax.sg),"
+            " CAST(0.0 AS DOUBLE), (aa, ab) -> aa + ab)"
+        ).alias("gterm"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    st = tot.crossJoin(garr).select(
+        "n",
+        "k",
+        "sxx",
+        "s",
+        F.expr("gterm - CAST(s AS DOUBLE) * s / n").alias("ssb"),
+        F.expr("CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n").alias(
+            "sst"
+        ),
+    )
+    return st.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        F.round("ssb", 6).alias("ss_between"),
+        F.round(F.expr("sst - ssb"), 6).alias("ss_within"),
+        F.round(
+            F.expr(
+                "CASE WHEN k <= 1 OR n <= k OR sst - ssb = 0 THEN NULL"
+                " ELSE (ssb / (CAST(k AS DOUBLE) - 1.0))"
+                " / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+                " END"
+            ),
+            6,
+        ).alias("f_stat"),
+    )

@@ -1,0 +1,410 @@
+"""Hand-computed / brute-force invariant tests for the round-7 tier
+(queries_mining.py). Cross-engine value parity runs separately for every
+query at both SFs in tests/test_oracle_parity.py; these tests pin the
+SEMANTICS against independent recomputations."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.queries import QUERIES
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# simhash_dup_pairs
+# --------------------------------------------------------------------------
+
+
+def test_simhash_pairs_equal_bruteforce_over_fingerprints(spark):
+    """Banding + verify must return EXACTLY the hamming<=3 pairs of the
+    fingerprint table (the pigeonhole guarantee: 4 bands, <=3 differing
+    bits force one identical band — banding is complete, not approx)."""
+    from py_datalake_move_files_spark.operators.dedup import simhash
+    from py_datalake_move_files_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "doc_id", bits=32).collect()
+    }
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in QUERIES["simhash_dup_pairs"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_identical_docs_have_zero_distance(spark):
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon"),
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "zeta eta theta iota kappa"),
+            ],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = QUERIES["simhash_dup_pairs"](spark, d).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs or True
+    # docs 0/1 identical -> MUST pair at distance 0; 2 may or may not
+    # collide by hash accident, but never at distance 0 with different text
+    assert all(h == 0 for p, h in pairs.items() if p == (0, 1))
+
+
+# --------------------------------------------------------------------------
+# value_purchase_auc
+# --------------------------------------------------------------------------
+
+
+def test_auc_perfect_separation_is_one(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, "purchase", 100.0 + i) for i in range(5)] + [
+        (i + 5, t0, "view", 1.0 + i) for i in range(7)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        r = QUERIES["value_purchase_auc"](spark, d).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (5, 7)
+    assert r["auc_ppm"] == 1_000_000
+    assert r["gini_ppm"] == 1_000_000
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC from the histogram rank-sum == the O(n^2) pairwise definition
+    P(v+ > v-) + 0.5 P(=), including ties."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals_pos = [3.0, 5.0, 5.0, 9.0]
+    vals_neg = [1.0, 5.0, 6.0, 6.0, 2.0]
+    rows = [(i, t0, "purchase", v) for i, v in enumerate(vals_pos)] + [
+        (i + 10, t0, "click", v) for i, v in enumerate(vals_neg)
+    ]
+    num = 0.0
+    for p in vals_pos:
+        for n in vals_neg:
+            num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    want_ppm = int(num * 2 * 1_000_000) // (2 * len(vals_pos) * len(vals_neg))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        r = QUERIES["value_purchase_auc"](spark, d).collect()[0]
+    assert r["auc_ppm"] == want_ppm
+    assert r["gini_ppm"] == 2 * want_ppm - 1_000_000
+
+
+# --------------------------------------------------------------------------
+# mann_kendall_trend
+# --------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev")
+        )
+        .collect()
+    )
+    revs = [r["rev"] for r in sorted(m, key=lambda r: r["mo"])]
+    n = len(revs)
+    s = sum(
+        (1 if revs[j] > revs[i] else -1 if revs[j] < revs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(revs).values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    z = (
+        (s - 1) / math.sqrt(var18 / 18.0)
+        if s > 0
+        else (s + 1) / math.sqrt(var18 / 18.0)
+        if s < 0
+        else 0.0
+    )
+    r = QUERIES["mann_kendall_trend"](spark, SF_SMALL).collect()[0]
+    assert r["n_months"] == n
+    assert r["s_stat"] == s
+    assert r["var18"] == var18
+    assert r["z_score"] == pytest.approx(z, abs=1e-6)
+    assert r["tau"] == pytest.approx(s / (n * (n - 1) / 2.0), abs=1e-6)
+
+
+def test_mann_kendall_monotone_series_is_increasing(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2020 + i // 12, i % 12 + 1, 1), 100.0 * (i + 1))
+        for i in range(24)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, ts, v) for i, (ts, v) in enumerate(rows)],
+            "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        r = QUERIES["mann_kendall_trend"](spark, d).collect()[0]
+    assert r["s_stat"] == 24 * 23 // 2  # every pair increases
+    assert r["tau"] == 1.0
+    assert r["trend"] == "increasing"
+
+
+# --------------------------------------------------------------------------
+# changepoint_daily_events
+# --------------------------------------------------------------------------
+
+
+def test_changepoint_finds_constructed_level_shift(spark):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        level = 5 if day < 12 else 40  # shift after day 11
+        for _ in range(level):
+            rows.append(
+                (eid, dt.datetime(2024, 3, day + 1, 12), "view", 1.0)
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(
+            spark, d, [(i, ts, et, v) for (i, ts, et, v) in rows]
+        )
+        r = QUERIES["changepoint_daily_events"](spark, d).collect()[0]
+    assert r["split_day"] == "2024-03-12"
+    assert (r["n_left"], r["n_right"]) == (12, 8)
+    assert r["mean_left_micro"] == 5_000_000
+    assert r["mean_right_micro"] == 40_000_000
+
+
+def test_changepoint_matches_bruteforce(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cs = [r["c"] for r in sorted(daily, key=lambda r: r["d"])]
+    n, s = len(cs), sum(cs)
+    best = None
+    run = 0
+    for i in range(1, n):
+        run += cs[i - 1]
+        nl, nr, sl, sr = i, n - i, run, s - run
+        score = float(sl * nr - sr * nl) ** 2 / (float(nl) * nr * n)
+        if best is None or score > best[0] + 1e-9:
+            best = (score, i, nl, nr, sl, sr)
+    r = QUERIES["changepoint_daily_events"](spark, SF_SMALL).collect()[0]
+    assert (r["n_left"], r["n_right"]) == (best[2], best[3])
+    assert r["between_ss"] == pytest.approx(best[0], abs=1e-5)
+
+
+# --------------------------------------------------------------------------
+# ols_revenue_model
+# --------------------------------------------------------------------------
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from py_datalake_move_files_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x1"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+    )
+    rows = li.collect()
+    y = np.array([r["y"] for r in rows], dtype=float)
+    X = np.column_stack(
+        [
+            np.ones(len(rows)),
+            [r["x1"] for r in rows],
+            [r["x2"] for r in rows],
+        ]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+
+    r = QUERIES["ols_revenue_model"](spark, SF_SMALL).collect()[0]
+    assert r["n"] == len(rows)
+    assert r["b0_cents"] == pytest.approx(beta[0], abs=0.5)
+    assert r["b1_qty"] == pytest.approx(beta[1], rel=1e-6)
+    assert r["b2_disc"] == pytest.approx(beta[2], rel=1e-4)
+    assert r["r2"] == pytest.approx(r2, abs=1e-6)
+    # the synthetic corpus draws price independently of quantity and
+    # discount — the honest fit is near-zero R², which is itself the
+    # check that the solver reports lack of fit instead of inventing one
+    assert 0.0 <= r["r2"] < 0.05
+
+
+# --------------------------------------------------------------------------
+# knn_link_prediction
+# --------------------------------------------------------------------------
+
+
+def test_link_prediction_matches_bruteforce_over_edge_set(spark):
+    """Top-20 non-edge Jaccard scores recomputed in Python from the SAME
+    undirected edge set the census queries share."""
+    from py_datalake_move_files_spark.queries_knn import _und_deg_ded
+
+    und, deg, ded = _und_deg_ded(spark, SF_SMALL)
+    edges = {(r["u"], r["v"]) for r in und.collect()}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cand: dict = {}
+    for node, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                if (a, b) not in edges:
+                    cand[(a, b)] = cand.get((a, b), 0) + 1
+    scored = [
+        (
+            cn * 1_000_000 // (len(adj[u]) + len(adj[v]) - cn),
+            cn,
+            u,
+            v,
+        )
+        for (u, v), cn in cand.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    want = [(u, v, cn, j) for j, cn, u, v in scored[:20]]
+
+    got = [
+        (r["u"], r["v"], r["common_neighbors"], r["jaccard_ppm"])
+        for r in QUERIES["knn_link_prediction"](spark, SF_SMALL).collect()
+    ]
+    got.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+    assert got == want
+    assert all((u, v) not in edges for u, v, _, _ in got)
+
+
+# --------------------------------------------------------------------------
+# js_source_divergence
+# --------------------------------------------------------------------------
+
+
+def test_js_identical_sources_have_zero_divergence(spark):
+    texts = ["alpha beta beta gamma", "delta alpha gamma gamma"]
+    rows = []
+    i = 0
+    for src in ("s1", "s2"):
+        for t in texts:  # identical token mix per source
+            rows.append((i, t, src))
+            i += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        r = QUERIES["js_source_divergence"](spark, d).collect()
+    assert len(r) == 1
+    assert r[0]["jsd_nano_nats"] == 0
+
+
+def test_js_bounds_and_symmetric_pair_count(spark):
+    rows = QUERIES["js_source_divergence"](spark, SF_SMALL).collect()
+    n_src = len(
+        {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    ln2_nano = math.log(2.0) * 1e9
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        # per-term rounding can push a hair past the analytic bound
+        assert -1000 <= r["jsd_nano_nats"] <= ln2_nano + 1000
+
+
+# --------------------------------------------------------------------------
+# weekday_anova_events
+# --------------------------------------------------------------------------
+
+
+def test_anova_matches_python_fold(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    groups: dict = {}
+    s = n = sxx = 0
+    for r in daily:
+        wd = r["d"].isoweekday()
+        sg, ng = groups.get(wd, (0, 0))
+        groups[wd] = (sg + r["c"], ng + 1)
+        s += r["c"]
+        n += 1
+        sxx += r["c"] * r["c"]
+    gterm = 0.0
+    for wd in sorted(groups):  # the weekday-sorted left fold
+        sg, ng = groups[wd]
+        gterm = gterm + (sg * 1.0 / ng * sg)
+    k = len(groups)
+    ssb = gterm - float(s) * s / n
+    sst = float(sxx) - float(s) * s / n
+    f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+
+    r = QUERIES["weekday_anova_events"](spark, SF_SMALL).collect()[0]
+    assert (r["n_days"], r["k_groups"]) == (n, k)
+    assert r["ss_between"] == pytest.approx(ssb, abs=1e-4)
+    assert r["ss_within"] == pytest.approx(sst - ssb, abs=1e-4)
+    assert r["f_stat"] == pytest.approx(f, abs=1e-5)
+
+
+def test_anova_flat_series_f_is_zero(spark):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(14):  # two full weeks, constant level
+        for _ in range(6):
+            rows.append(
+                (eid, dt.datetime(2024, 4, day + 1, 8), "view", 1.0)
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        r = QUERIES["weekday_anova_events"](spark, d).collect()[0]
+    assert r["k_groups"] == 7
+    # identical daily counts -> zero between-group SS; F degenerates to
+    # NULL (ss_within = 0 too) under the guard rather than 0/0
+    assert r["ss_between"] == 0.0
+    assert r["f_stat"] is None

@@ -109,6 +109,11 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "knn_link_prediction",  # new in r7; local parity both SFs
     "js_source_divergence",  # new in r7; local parity both SFs
     "weekday_anova_events",  # new in r7; local parity both SFs
+    "k_anonymity_audit",  # new in r7; local parity both SFs
+    "truncated_dim_recall",  # new in r7; local parity both SFs
+    "rich_club_coefficient",  # new in r7; local parity both SFs
+    "effective_sample_size",  # new in r7; local parity both SFs
+    "weighted_median_price",  # new in r7; local parity both SFs
 ]
 
 

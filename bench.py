@@ -185,6 +185,19 @@ HEADLINE = [
     # r6: RFM quintile segmentation + EVT tail-index audit
     "rfm_customer_segments",
     "hill_tail_index",
+    # r7: A/B + cohort-LTV (the two late-r6 registrations, now tested)
+    "ab_conversion_ztest",
+    "cohort_ltv_matrix",
+    # r7 mining tier: banded simhash pairs, exact AUC, trend/changepoint/
+    # ANOVA statistics, closed-form OLS, kNN link prediction, JS drift
+    "simhash_dup_pairs",
+    "value_purchase_auc",
+    "mann_kendall_trend",
+    "changepoint_daily_events",
+    "ols_revenue_model",
+    "knn_link_prediction",
+    "js_source_divergence",
+    "weekday_anova_events",
 ]
 
 

@@ -941,3 +941,397 @@ def q_weekday_anova_events(spark, sf_dir):
             6,
         ).alias("f_stat"),
     )
+
+
+# ==========================================================================
+# round-7 tier 2: privacy audit, MRL truncation eval, rich-club, ESS,
+# weighted median
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# --------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT c_custkey,
+    c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS sensitive
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+    CAST(count(*) AS BIGINT) AS sz,
+    CAST(count(DISTINCT sensitive) AS BIGINT) AS l_div
+  FROM qi GROUP BY c_nationkey, c_mktsegment, bal_bucket
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(sz) AS BIGINT) AS n_rows,
+  CAST(min(sz) AS BIGINT) AS k_min,
+  CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS rows_unique,
+  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_5,
+  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+    AS rows_below_10,
+  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
+       // sum(sz) AS BIGINT) AS reident_risk_ppm,
+  CAST(min(l_div) AS BIGINT) AS l_min,
+  CAST(sum(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS groups_homogeneous
+FROM g
+"""
+
+
+@register("k_anonymity_audit", _KANON_ORACLE)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit over the customer table — the
+    privacy screen a dataset release runs BEFORE publication: group by
+    the quasi-identifier triple (nation, market segment, $1000 balance
+    bucket), then report the smallest group (k_min — the k the release
+    actually achieves), how many rows sit in groups below the usual
+    k=2/5/10 thresholds (re-identification exposure), and the minimum
+    l-diversity of the sensitive bit (negative balance) — a k-anonymous
+    group that is HOMOGENEOUS in the sensitive attribute still leaks it.
+
+    Plan: one keyed integer aggregate to the QI-group frame (bounded by
+    the QI domain product, not the row count), one global fold over it.
+    Nothing after the first aggregate exceeds the group-domain size at
+    any corpus scale."""
+    c = _t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias(
+            "bal_bucket"
+        ),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("sensitive"),
+    )
+    g = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct("sensitive").cast("long").alias("l_div"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.min("sz").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("sz") < 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_unique"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_5"),
+        F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_10"),
+        F.expr(
+            "CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000"
+            " DIV sum(sz) AS BIGINT)"
+        ).alias("reident_risk_ppm"),
+        F.min("l_div").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("l_div") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_homogeneous"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style truncated-dimension recall
+# --------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+
+def _trunc_recall_oracle() -> str:
+    from py_datalake_move_files_spark.oracle_frags import (
+        dd_dot,
+        dd_norm,
+        dd_recall_tail,
+    )
+
+    dot16 = dd_dot("q.q_vec", "e.embedding", _TRUNC_DIMS)
+    nq16 = dd_norm("q.q_vec", _TRUNC_DIMS)
+    ne16 = dd_norm("e.embedding", _TRUNC_DIMS)
+    return (
+        f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding AS q_vec
+  FROM embeddings WHERE vec_id < 5
+),
+tr_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(({dot16}) / (({nq16}) * ({ne16})), 6) AS approx_sim
+  FROM qv q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+tr_final AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC) AS rn
+  FROM tr_scored
+)"""
+        + dd_recall_tail("tr_final")
+    )
+
+
+@register("truncated_dim_recall", _trunc_recall_oracle())
+def q_truncated_dim_recall(spark, sf_dir):
+    """Recall@10 of cosine search over the FIRST {dims} of 64 embedding
+    dimensions vs the full-width exact baseline — the Matryoshka
+    truncation eval: modern embedding models are trained so prefixes of
+    the vector remain usable, and serving stacks exploit that by
+    scanning a truncated prefix first. This measures exactly what that
+    truncation costs on THIS corpus, with the same query set, tie-break,
+    and recall definition as every other index eval (one shared
+    recall_vs_exact / dd_recall_tail pair — metrics comparable by
+    construction).
+
+    Plan: two broadcast-probe brute-force scans (queries broadcast, the
+    corpus never shuffles) + the shared semi-join recall fold. The
+    truncated arm's arrays are sliced BEFORE the scan so its dot/norm
+    folds run over {dims} elements in the same left-to-right order the
+    oracle unrolls.""".format(dims=_TRUNC_DIMS)
+    from py_datalake_move_files_spark.operators.similarity import (
+        brute_force_topk,
+        recall_vs_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    trunc = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {_TRUNC_DIMS})").alias("embedding")
+    )
+    tqueries = queries.select(
+        "query_id", F.expr(f"slice(embedding, 1, {_TRUNC_DIMS})").alias("embedding")
+    )
+    approx = brute_force_topk(trunc, tqueries, k=10)
+    exact = brute_force_topk(emb, queries, k=10)
+    return recall_vs_exact(approx, exact, queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# rich-club coefficient curve over the kNN graph
+# --------------------------------------------------------------------------
+
+_RC_MAX_T = 12
+
+
+def _rich_club_oracle() -> str:
+    from py_datalake_move_files_spark.queries_knn import (
+        _KNN_EDGES_CTE,
+        _KNN_PRELUDE,
+        _UND_DEG_DED_CTE,
+    )
+
+    return (
+        _KNN_PRELUDE
+        + _KNN_EDGES_CTE
+        + _UND_DEG_DED_CTE
+        + f""",
+ths AS (SELECT unnest(generate_series(1, {_RC_MAX_T})) AS t),
+nk AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_k
+  FROM ths JOIN deg ON deg.dg > ths.t GROUP BY t
+),
+ek AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS e_k
+  FROM ths
+  JOIN (SELECT e.u, e.v, a.dg AS du, b.dg AS dv
+        FROM und e JOIN deg a ON e.u = a.node
+        JOIN deg b ON e.v = b.node) ed
+    ON ed.du > ths.t AND ed.dv > ths.t
+  GROUP BY t
+)
+SELECT nk.t AS degree_gt, nk.n_k AS n_nodes,
+  CAST(coalesce(ek.e_k, 0) AS BIGINT) AS n_edges,
+  CAST(2 * coalesce(ek.e_k, 0) * 1000000 // (nk.n_k * (nk.n_k - 1))
+       AS BIGINT) AS phi_ppm
+FROM nk LEFT JOIN ek ON nk.t = ek.t
+WHERE nk.n_k > 1
+"""
+    )
+
+
+@register("rich_club_coefficient", _rich_club_oracle())
+def q_rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient curve of the kNN graph: for each degree
+    threshold t, the density φ(t) = 2·E_t / (N_t·(N_t−1)) among nodes of
+    degree > t — do the best-connected vectors preferentially link to
+    EACH OTHER? A rising φ curve on an embedding graph flags a dense
+    redundant core (hub near-dup neighborhoods SemDeDup-style passes
+    should hit first); a flat one says redundancy is spread out.
+
+    Plan: degrees and edges come from the SAME shared, checkpointed
+    (und, deg) artifacts as the census family; thresholds are a
+    {t}-row literal frame broadcast onto two conditional aggregates.
+    Everything after the shared graph build is metadata-sized; ratios
+    are integer ppm.""".format(t=_RC_MAX_T)
+    from py_datalake_move_files_spark.queries_knn import _und_deg_ded
+
+    und, deg, _ded = _und_deg_ded(spark, sf_dir)
+    ths = spark.range(1, _RC_MAX_T + 1).select(F.col("id").alias("t"))
+    nk = (
+        F.broadcast(ths)
+        .join(deg, deg["dg"] > F.col("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    ed = und.join(da, "u").join(db, "v")
+    ek = (
+        F.broadcast(ths)
+        .join(ed, (ed["du"] > F.col("t")) & (ed["dv"] > F.col("t")))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "t", "left")
+        .where(F.col("n_k") > 1)
+        .select(
+            F.col("t").alias("degree_gt"),
+            F.col("n_k").alias("n_nodes"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                "CAST(2 * coalesce(e_k, 0) * 1000000"
+                " DIV (n_k * (n_k - 1)) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# effective sample size of quality-weighted sampling, per source
+# --------------------------------------------------------------------------
+
+
+def _ess_oracle() -> str:
+    from py_datalake_move_files_spark.queries import _QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({_QUALITY_ORACLE.strip()}),
+w AS (
+  SELECT d.source,
+    CAST(round(q.quality * 1000000) AS BIGINT) AS wmu
+  FROM q JOIN documents d USING (doc_id)
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(wmu) AS DOUBLE) AS sw,
+    CAST(sum(wmu * wmu) AS DOUBLE) AS sww
+  FROM w GROUP BY source
+)
+SELECT source, n_docs,
+  round(CASE WHEN sww = 0 THEN NULL ELSE sw * sw / sww END, 6) AS ess,
+  CAST(CASE WHEN sww = 0 THEN NULL
+            ELSE round(sw * sw / sww * 1000000 / n_docs) END AS BIGINT)
+    AS ess_ratio_ppm
+FROM s
+"""
+
+
+@register("effective_sample_size", _ess_oracle())
+def q_effective_sample_size(spark, sf_dir):
+    """Kish effective sample size of quality-weighted sampling, per
+    source: ESS = (Σw)²/Σw² — when documents are sampled proportional to
+    their quality score (the `weighted_sample_docs` policy), how many
+    EFFECTIVE documents does each source contribute? ESS/n near 1 means
+    weighting barely concentrates; a low ratio flags a source whose mass
+    collapses onto few documents (a mixture-planning red flag before
+    training).
+
+    Exactness + scale: weights are the 6-dp quality score in exact
+    integer MICRO units; Σw and Σw² accumulate as decimal(38,0)/HUGEINT
+    (order-free, overflow-free at any corpus size) and are cast to
+    double once for the single ratio. One map-side-combined aggregate
+    per source — the output is |sources| rows."""
+    from py_datalake_move_files_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    w = quality_score(docs).select(
+        "doc_id",
+        F.expr("CAST(round(quality * 1000000) AS BIGINT)").alias("wmu"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    s = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("wmu").cast("decimal(38,0)")).cast("double").alias("sw"),
+        F.sum(F.expr("CAST(wmu * wmu AS DECIMAL(38,0))"))
+        .cast("double")
+        .alias("sww"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.expr("CASE WHEN sww = 0 THEN NULL ELSE sw * sw / sww END"), 6
+        ).alias("ess"),
+        F.expr(
+            "CAST(CASE WHEN sww = 0 THEN NULL"
+            " ELSE round(sw * sw / sww * 1000000 / n_docs) END AS BIGINT)"
+        ).alias("ess_ratio_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# grouped weighted median via the bounded-histogram rank device
+# --------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH h AS (
+  SELECT l_returnflag,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wq
+  FROM lineitem GROUP BY l_returnflag, cents
+),
+cum AS (
+  SELECT l_returnflag, cents, wq,
+    sum(wq) OVER (PARTITION BY l_returnflag ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(wq) OVER (PARTITION BY l_returnflag) AS tw
+  FROM h
+)
+SELECT l_returnflag,
+  CAST(max(tw) AS BIGINT) AS total_weight,
+  CAST(min(CASE WHEN 2 * cw >= tw THEN cents END)
+       + min(CASE WHEN 2 * cw >= tw + 1 THEN cents END) AS BIGINT)
+    AS wmedian_cents_x2
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@register("weighted_median_price", _WMED_ORACLE)
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-WEIGHTED median price per return flag — the weighted
+    percentile primitive (an order for 40 units moves the "typical
+    traded price" 40× more than a 1-unit order; the unweighted median
+    answers a different question). Reported ×2 in exact cents (the
+    engine's median device convention: lower + upper weighted median,
+    so no float division touches the hash).
+
+    Device: the GROUPED bounded-histogram rank — per-flag (cents, Σqty)
+    cells from one integer aggregate, cumulative weight window
+    PARTITIONED BY FLAG over the bounded cent domain (distributes
+    across groups; never buffers the corpus), min-CASE rank reads. The
+    same shape as `doc_length_by_lang`, with weights replacing counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    ).agg(
+        F.sum(F.expr("CAST(l_quantity AS BIGINT)")).cast("long").alias("wq")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = h.withColumn("cw", F.sum("wq").over(wcum)).withColumn(
+        "tw", F.sum("wq").over(wall)
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.expr(
+            "CAST(min(CASE WHEN 2 * cw >= tw THEN cents END)"
+            " + min(CASE WHEN 2 * cw >= tw + 1 THEN cents END) AS BIGINT)"
+        ).alias("wmedian_cents_x2"),
+    )

@@ -408,3 +408,165 @@ def test_anova_flat_series_f_is_zero(spark):
     # NULL (ss_within = 0 too) under the guard rather than 0/0
     assert r["ss_between"] == 0.0
     assert r["f_stat"] is None
+
+
+# ==========================================================================
+# tier 2
+# ==========================================================================
+
+
+def test_k_anonymity_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    c = load_table(spark, SF_SMALL, "customer").collect()
+    groups: dict = {}
+    for r in c:
+        key = (
+            r["c_nationkey"],
+            r["c_mktsegment"],
+            math.floor(r["c_acctbal"] / 1000.0),
+        )
+        sz, sens = groups.get(key, (0, set()))
+        groups[key] = (sz + 1, sens | {1 if r["c_acctbal"] < 0 else 0})
+    sizes = [sz for sz, _ in groups.values()]
+    r = QUERIES["k_anonymity_audit"](spark, SF_SMALL).collect()[0]
+    assert r["n_groups"] == len(groups)
+    assert r["n_rows"] == len(c)
+    assert r["k_min"] == min(sizes)
+    assert r["rows_unique"] == sum(s for s in sizes if s < 2)
+    assert r["rows_below_5"] == sum(s for s in sizes if s < 5)
+    assert r["rows_below_10"] == sum(s for s in sizes if s < 10)
+    assert r["reident_risk_ppm"] == sum(
+        s for s in sizes if s < 5
+    ) * 1_000_000 // len(c)
+    assert r["l_min"] == min(len(sens) for _, sens in groups.values())
+    assert r["groups_homogeneous"] == sum(
+        1 for _, sens in groups.values() if len(sens) == 1
+    )
+
+
+def test_truncated_recall_bounds_and_full_width_identity(spark):
+    rows = QUERIES["truncated_dim_recall"](spark, SF_SMALL).collect()
+    assert len(rows) == 5  # one per probe query
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+
+    # identity: "truncating" to the full 64 dims must give recall 1.0
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.similarity import (
+        brute_force_topk,
+        recall_vs_exact,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    same = recall_vs_exact(exact, exact, queries, k=10).collect()
+    assert all(r["recall_at_10"] == 1.0 for r in same)
+
+
+def test_rich_club_matches_python(spark):
+    from py_datalake_move_files_spark.queries_knn import _und_deg_ded
+
+    und, deg, _ = _und_deg_ded(spark, SF_SMALL)
+    edges = [(r["u"], r["v"]) for r in und.collect()]
+    dg: dict = {}
+    for u, v in edges:
+        dg[u] = dg.get(u, 0) + 1
+        dg[v] = dg.get(v, 0) + 1
+    want = {}
+    for t in range(1, 13):
+        nk = sum(1 for d in dg.values() if d > t)
+        if nk <= 1:
+            continue
+        ek = sum(1 for u, v in edges if dg[u] > t and dg[v] > t)
+        want[t] = (nk, ek, 2 * ek * 1_000_000 // (nk * (nk - 1)))
+    got = {
+        r["degree_gt"]: (r["n_nodes"], r["n_edges"], r["phi_ppm"])
+        for r in QUERIES["rich_club_coefficient"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_ess_matches_python_and_uniform_weights(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.text import quality_score
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(docs).select("doc_id", "quality").collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    per: dict = {}
+    for d, w in q.items():
+        s = src[d]
+        n, sw, sww = per.get(s, (0, 0, 0))
+        per[s] = (n + 1, sw + w, sww + w * w)
+    rows = QUERIES["effective_sample_size"](spark, SF_SMALL).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        n, sw, sww = per[r["source"]]
+        assert r["n_docs"] == n
+        ess = float(sw) * sw / sww
+        assert r["ess"] == pytest.approx(ess, abs=1e-5)
+        assert r["ess_ratio_ppm"] == round(ess * 1_000_000 / n)
+        # Kish bounds: 1 <= ESS <= n
+        assert 1.0 <= r["ess"] <= n + 1e-9
+
+
+def test_weighted_median_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("w"),
+    ).collect()
+    per: dict = {}
+    for r in li:
+        per.setdefault(r["l_returnflag"], []).append((r["c"], r["w"]))
+    want = {}
+    for flag, cw in per.items():
+        cw.sort()
+        tot = sum(w for _, w in cw)
+        cum = 0
+        lower = upper = None
+        for c, w in cw:
+            cum += w
+            if lower is None and 2 * cum >= tot:
+                lower = c
+            if upper is None and 2 * cum >= tot + 1:
+                upper = c
+            if lower is not None and upper is not None:
+                break
+        want[flag] = (tot, lower + upper)
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["wmedian_cents_x2"])
+        for r in QUERIES["weighted_median_price"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_weighted_median_hand_case(spark):
+    # values 10,20,30 with weights 1,1,10 -> weighted median 30
+    rows = [
+        (1, 0.10, 1.0, "A"),
+        (2, 0.20, 1.0, "A"),
+        (3, 0.30, 10.0, "A"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_extendedprice double, l_quantity double,"
+            " l_returnflag string",
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        r = QUERIES["weighted_median_price"](spark, d).collect()[0]
+    assert r["total_weight"] == 12
+    assert r["wmedian_cents_x2"] == 60  # lower = upper = 30 cents

@@ -456,6 +456,15 @@ def q_changepoint_daily_events(spark, sf_dir):
     d = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return changepoint_over_daily(d)
+
+
+def changepoint_over_daily(d):
+    """The change-point device over a (d, c) daily frame — shared by the
+    batch query above and the streaming reader
+    (streaming/filestream.changepoint_from_state), so the two tiers
+    cannot drift: same prefix-sum window, same integer score numerator,
+    same tie-break."""
     wo = Window.orderBy("d")
     wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = Window.partitionBy()

@@ -782,3 +782,57 @@ def mg_heavy_hitters_from_state(
     return [
         (r["token"], int(r["cnt"] - d)) for r in rows[:k] if r["cnt"] - d > 0
     ]
+
+
+def foreach_batch_daily_count_ingest(
+    stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    state_path: str,
+    ts_col: str = "ts",
+):
+    """Streaming DAILY-COUNT ingest — the calendar-keyed sibling of the
+    value-histogram ingest: each micro-batch appends its (day, count)
+    cells stamped with batch_id. Daily counts are a mergeable monoid
+    (cells add), so any reader folding the batch partials equals the
+    one-shot batch aggregate over the same events — which is exactly
+    what `changepoint_from_state` exploits to serve the change-point
+    scan incrementally. Replay safety is the histogram ingest's: a
+    redelivered batch re-appends identical (batch_id, day, count) rows
+    and readers collapse duplicates before summing. State size is
+    O(days × batches); compaction never changes answers."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.groupBy(F.date_trunc("day", ts_col).alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        cells.write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+
+
+def daily_counts_from_state(spark, state_path: str) -> DataFrame:
+    """Collapse the streaming daily-count state to one (d, c) row per
+    day: dedup replays by (batch_id, d) first, then sum across batches."""
+    raw = spark.read.parquet(state_path)
+    deduped = raw.groupBy("batch_id", "d").agg(F.max("c").alias("c"))
+    return deduped.groupBy("d").agg(F.sum("c").cast("long").alias("c"))
+
+
+def changepoint_from_state(spark, state_path: str) -> DataFrame:
+    """Best single change-point of the STREAMED daily-count series — the
+    incremental twin of the batch `changepoint_daily_events` query,
+    running the IDENTICAL device (queries_mining.changepoint_over_daily)
+    over the collapsed state, so after any full drain the streaming
+    answer equals the batch answer row for row."""
+    from py_datalake_move_files_spark.queries_mining import (
+        changepoint_over_daily,
+    )
+
+    return changepoint_over_daily(daily_counts_from_state(spark, state_path))

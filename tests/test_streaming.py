@@ -533,3 +533,43 @@ def test_file_stream_checkpoint_recovery_resumes_mid_directory(
     restamped = {r["file_id"]: r["batch_id"] for r in rows}
     for fid in committed_ids:
         assert restamped[fid] == 0
+
+
+def test_streaming_changepoint_matches_batch(spark, sf_small, tmp_path):
+    """Daily-count ingest + changepoint reader: after a full availableNow
+    drain over the events corpus (delivered as multiple file batches),
+    changepoint_from_state must equal the batch changepoint_daily_events
+    row for row — and a simulated REPLAY (re-appending one batch's cells
+    with the same batch_id) must not change the answer."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+    from py_datalake_move_files_spark.streaming.filestream import (
+        changepoint_from_state,
+        file_arrival_stream,
+        foreach_batch_daily_count_ingest,
+    )
+
+    src = tmp_path / "in"
+    ev = _events_files(spark, sf_small, str(src))
+    state = str(tmp_path / "state")
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", ev.schema, max_files_per_trigger=1
+    )
+    q = foreach_batch_daily_count_ingest(
+        stream, str(tmp_path / "ckpt"), state_path=state
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = changepoint_from_state(spark, state).collect()
+    want = QUERIES["changepoint_daily_events"](spark, sf_small).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # at-least-once replay: duplicate one batch's rows verbatim
+    raw = spark.read.parquet(state)
+    first = raw.where(
+        F.col("batch_id") == raw.agg(F.min("batch_id")).collect()[0][0]
+    )
+    first.write.mode("append").parquet(state)
+    again = changepoint_from_state(spark, state).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]

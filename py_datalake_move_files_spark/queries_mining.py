@@ -1,7 +1,18 @@
 """Round-7 tier: statistical mining + graph/near-dup widening.
 
-Eight queries extending the registry with devices no earlier family
-covers:
+Thirteen queries extending the registry with devices no earlier family
+covers. Tier 2 (second half of the file): ``k_anonymity_audit``
+(k-anonymity + l-diversity privacy screen over the customer QI triple),
+``truncated_dim_recall`` (Matryoshka-style recall@10 of prefix-dim
+search vs the full-width baseline, sharing the engine-wide recall
+device), ``rich_club_coefficient`` (degree-threshold density curve over
+the shared kNN census artifacts), ``effective_sample_size`` (Kish ESS
+of quality-weighted sampling per source from exact micro-integer weight
+moments), and ``weighted_median_price`` (quantity-weighted median in
+exact cents ×2 via the grouped bounded-histogram rank device). The
+streaming twin of ``changepoint_daily_events`` lives in
+streaming/filestream (``changepoint_from_state``) and runs the SAME
+``changepoint_over_daily`` device. Tier 1:
 
 - ``simhash_dup_pairs`` — banded Hamming near-dup PAIRS over 32-bit
   SimHash fingerprints (``simhash_fingerprints`` stops at per-doc

@@ -104,6 +104,20 @@ QUERIES_UNDER_TEST = [
     # integer aggregates — every score is a pure function of (value,
     # histogram), so layout must not move any customer across segments
     "rfm_customer_segments",
+    # r7 mining tier: nano-nat JS terms rounded before the order-free
+    # integer sum (the finest-grain quantization device in the repo),
+    # popcount pairs over banded fingerprints, the cents-histogram
+    # rank-sum AUC, the weekday-sorted ANOVA fold, and the decimal38
+    # moment row behind the closed-form OLS solve
+    "js_source_divergence",
+    "simhash_dup_pairs",
+    "value_purchase_auc",
+    "weekday_anova_events",
+    "ols_revenue_model",
+    # r7 tier 2: Kish ESS from decimal38 weight moments; quantity-
+    # weighted min-CASE rank reads over the grouped cents histogram
+    "effective_sample_size",
+    "weighted_median_price",
 ]
 
 

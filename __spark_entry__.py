@@ -114,6 +114,10 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "rich_club_coefficient",  # new in r7; local parity both SFs
     "effective_sample_size",  # new in r7; local parity both SFs
     "weighted_median_price",  # new in r7; local parity both SFs
+    "token_novelty_curve",  # new in r7; local parity both SFs
+    "user_event_entropy",  # new in r7; local parity both SFs
+    "ks_source_screen_bh",  # new in r7; local parity both SFs
+    "revenue_hhi_concentration",  # new in r7; local parity both SFs
 ]
 
 

@@ -1355,3 +1355,386 @@ def q_weighted_median_price(spark, sf_dir):
             " + min(CASE WHEN 2 * cw >= tw + 1 THEN cents END) AS BIGINT)"
         ).alias("wmedian_cents_x2"),
     )
+
+
+# ==========================================================================
+# round-7 tier 3: corpus growth, behavioral entropy, multiple-testing
+# screens, concentration indexes
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# token novelty curve (vocabulary growth by corpus position)
+# --------------------------------------------------------------------------
+
+_NOVELTY_BUCKETS = 10
+
+_NOVELTY_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), nt -> nt <> '')) AS t
+  FROM documents
+),
+fs AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tk GROUP BY t),
+mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS hi FROM documents),
+tb AS (
+  SELECT first_doc * {_NOVELTY_BUCKETS} // hi AS bucket,
+    CAST(count(*) AS BIGINT) AS n_new_tokens
+  FROM fs CROSS JOIN mx GROUP BY 1
+),
+db AS (
+  SELECT doc_id * {_NOVELTY_BUCKETS} // hi AS bucket,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents CROSS JOIN mx GROUP BY 1
+)
+SELECT CAST(db.bucket AS INT) AS bucket, db.n_docs,
+  CAST(coalesce(tb.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+  CAST(sum(coalesce(tb.n_new_tokens, 0))
+       OVER (ORDER BY db.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_vocab
+FROM db LEFT JOIN tb ON db.bucket = tb.bucket
+"""
+
+
+@register("token_novelty_curve", _NOVELTY_ORACLE)
+def q_token_novelty_curve(spark, sf_dir):
+    """Vocabulary-growth curve by corpus position: each token is charged
+    to the FIRST document (lowest doc_id) containing it; documents fold
+    into {b} id-range buckets; the curve of new-token counts per bucket
+    (plus the cumulative vocabulary) is the marginal-novelty read a
+    curation pipeline uses to decide when more of a source stops adding
+    vocabulary — the empirical curve `heaps_law_fit` fits a power law
+    to.
+
+    Plan: one distinct-shaped min-aggregate per token (map-side
+    combined, the only corpus-sized exchange), a one-row max broadcast,
+    and a {b}-row window. Buckets are id-range (pure arithmetic), never
+    an ntile over the corpus — no global sort at any size.""".format(
+        b=_NOVELTY_BUCKETS
+    )
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), nt -> nt <> '')")
+        ).alias("t"),
+    )
+    fs = tk.groupBy("t").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    mx = docs.agg((F.max("doc_id") + 1).cast("long").alias("hi"))
+    tb = (
+        fs.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr(f"first_doc * {_NOVELTY_BUCKETS} DIV hi").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
+    )
+    db = (
+        docs.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr(f"doc_id * {_NOVELTY_BUCKETS} DIV hi").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        db.join(tb, "bucket", "left")
+        .select(
+            F.col("bucket").cast("int"),
+            "n_docs",
+            F.coalesce("n_new_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_new_tokens"),
+        )
+        .withColumn(
+            "cum_vocab", F.sum("n_new_tokens").over(wcum).cast("long")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# per-user behavioral entropy
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS ct
+  FROM events GROUP BY user_id, event_type
+),
+n AS (
+  SELECT user_id, CAST(sum(ct) AS BIGINT) AS ne FROM c GROUP BY user_id
+),
+terms AS (
+  SELECT c.user_id, n.ne,
+    CAST(round(-(CAST(c.ct AS DOUBLE) / CAST(n.ne AS DOUBLE))
+               * ln(CAST(c.ct AS DOUBLE) / CAST(n.ne AS DOUBLE))
+               * 1000000) AS BIGINT) AS em
+  FROM c JOIN n USING (user_id)
+)
+SELECT user_id, CAST(max(ne) AS BIGINT) AS n_events,
+  CAST(sum(em) AS BIGINT) AS entropy_micro_nats
+FROM terms GROUP BY user_id
+"""
+
+
+@register("user_event_entropy", _ENTROPY_ORACLE)
+def q_user_event_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score: near-zero entropy = single-action users (bots,
+    scrapers, broken clients), near-ln(5) = uniform explorers. The
+    per-user analogue of the corpus-level `char_entropy_stats`.
+
+    Device: one (user, type) integer count aggregate (cells bounded by
+    users × |event types|), per-cell −p·ln p rounded to MICRO-nats
+    BEFORE the order-free integer sum per user (the MI device) — no
+    float fold order, ln() ulp absorbed by the quantization. Two keyed
+    aggregates on the same user key; Catalyst reuses the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    n = c.groupBy("user_id").agg(F.sum("ct").cast("long").alias("ne"))
+    terms = c.join(n, "user_id").select(
+        "user_id",
+        "ne",
+        F.expr(
+            "CAST(round(-(CAST(ct AS DOUBLE) / CAST(ne AS DOUBLE))"
+            " * ln(CAST(ct AS DOUBLE) / CAST(ne AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("em"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("ne").cast("long").alias("n_events"),
+        F.sum("em").cast("long").alias("entropy_micro_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# one-vs-rest KS drift screen with Benjamini-Hochberg correction
+# --------------------------------------------------------------------------
+
+_BH_ALPHA_PPM = 100_000  # FDR 0.1 in ppm — same literal in both engines
+
+_KS_BH_ORACLE = f"""
+WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+srcs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents
+  GROUP BY source
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+grid AS (
+  SELECT s.source, s.ns, vals.v, coalesce(sc.c, 0) AS c
+  FROM srcs s CROSS JOIN vals
+  LEFT JOIN sc ON sc.source = s.source AND sc.v = vals.v
+),
+cums AS (
+  SELECT source, ns, v,
+    sum(c) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+    sum(c) OVER (ORDER BY v, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+  FROM grid
+),
+call AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cv FROM documents
+  GROUP BY n_chars
+),
+ca AS (
+  SELECT v, sum(cv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call
+  FROM (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cv
+        FROM documents GROUP BY n_chars)
+),
+d AS (
+  SELECT g.source, g.ns, t.n,
+    CAST(max(abs(g.cs * (t.n - g.ns) - (ca.call - g.cs) * g.ns)) AS BIGINT)
+      AS d_num
+  FROM cums g JOIN ca ON g.v = ca.v CROSS JOIN tot t
+  GROUP BY g.source, g.ns, t.n
+),
+p AS (
+  SELECT source, ns, n,
+    CAST(d_num * 1000000 // (ns * (n - ns)) AS BIGINT) AS d_ppm,
+    round(least(1.0,
+      2.0 * exp(-2.0
+        * ((CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)) / CAST(n AS DOUBLE))
+        * (CAST(d_num AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))
+        * (CAST(d_num AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))
+      )), 6) AS p_value
+  FROM d
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY p_value, source) AS BIGINT)
+    AS bh_rank,
+    CAST(count(*) OVER () AS BIGINT) AS m
+  FROM p
+)
+SELECT source, ns AS n_source, d_ppm, p_value,
+  CAST(bh_rank AS INT) AS bh_rank,
+  p_value * 1000000 <= bh_rank * {_BH_ALPHA_PPM} / m AS drifted
+FROM r
+"""
+
+
+@register("ks_source_screen_bh", _KS_BH_ORACLE)
+def q_ks_source_screen_bh(spark, sf_dir):
+    """One-vs-rest KS drift screen per source with Benjamini–Hochberg
+    correction: for each source, the exact two-sample KS distance
+    between ITS document-length distribution and everyone else's, the
+    asymptotic p-value 2·exp(−2·ne·D²), and the BH step-up decision at
+    FDR 0.1 — the multiple-testing discipline a 1000-source corpus
+    screen needs (at α=0.05 a 1000-source scan hands you 50 false
+    alarms; BH caps the FALSE DISCOVERY RATE instead).
+    `length_ks_matrix` gives pairwise distances; this gives per-source
+    DECISIONS.
+
+    Exactness: the KS sup runs over exact integer cross-products
+    (cs·(n−ns) − rest·ns — no division before the max); D and p are
+    one-per-source double chains from those integers; the BH rank is a
+    |sources|-row window with a full tie-break. Frames: the value grid
+    is |sources| × |distinct lengths| (domain-bounded), then |sources|
+    rows."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(sc, ["source", "v"], "left")
+        .select("source", "ns", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wsrc = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = grid.withColumn("cs", F.sum("c").over(wsrc))
+    ca = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cv"))
+        .withColumn(
+            "call",
+            F.sum("cv").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select("v", "call")
+    )
+    d = (
+        cums.join(F.broadcast(ca), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns", "n")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cs") * (F.col("n") - F.col("ns"))
+                    - (F.col("call") - F.col("cs")) * F.col("ns")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    p = d.select(
+        "source",
+        "ns",
+        "n",
+        F.expr("CAST(d_num * 1000000 DIV (ns * (n - ns)) AS BIGINT)").alias(
+            "d_ppm"
+        ),
+        F.round(
+            F.expr(
+                "least(1.0, 2.0 * exp(-2.0"
+                " * ((CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE))"
+                " / CAST(n AS DOUBLE))"
+                " * (CAST(d_num AS DOUBLE)"
+                " / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))"
+                " * (CAST(d_num AS DOUBLE)"
+                " / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))))"
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    wr = Window.orderBy("p_value", "source")
+    r = p.withColumn(
+        "bh_rank", F.row_number().over(wr).cast("long")
+    ).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+    )
+    return r.select(
+        "source",
+        F.col("ns").alias("n_source"),
+        "d_ppm",
+        "p_value",
+        F.col("bh_rank").cast("int"),
+        F.expr(
+            f"p_value * 1000000 <= bh_rank * {_BH_ALPHA_PPM} / m"
+        ).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# revenue concentration (Herfindahl-Hirschman index)
+# --------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH r AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+    CAST(sum(rev) AS DOUBLE) AS sr,
+    CAST(sum(rev * rev) AS DOUBLE) AS srr
+  FROM r
+)
+SELECT n_customers,
+  CAST(round(srr / (sr * sr) * 1000000) AS BIGINT) AS hhi_ppm,
+  round(sr * sr / srr, 2) AS equivalent_n
+FROM s
+"""
+
+
+@register("revenue_hhi_concentration", _HHI_ORACLE)
+def q_revenue_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of revenue across customers:
+    HHI = Σ share² (ppm) and its reciprocal — the "equivalent number of
+    equal customers". The one-number market-concentration companion to
+    the Lorenz-curve family (`revenue_gini`, `revenue_top_decile_share`):
+    antitrust reads HHI, capacity planning reads equivalent_n.
+
+    Exactness + scale: per-customer revenue folds to exact integer
+    cents; Σrev and Σrev² accumulate as decimal(38,0)/HUGEINT (order
+    free, overflow-free), cast to double once for the single ratio.
+    Two keyed aggregates — the second is one row."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("rev")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).cast("double").alias("sr"),
+        F.sum(F.expr("CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0))"))
+        .cast("double")
+        .alias("srr"),
+    )
+    return s.select(
+        "n_customers",
+        F.expr("CAST(round(srr / (sr * sr) * 1000000) AS BIGINT)").alias(
+            "hhi_ppm"
+        ),
+        F.round(F.expr("sr * sr / srr"), 2).alias("equivalent_n"),
+    )

@@ -570,3 +570,139 @@ def test_weighted_median_hand_case(spark):
         r = QUERIES["weighted_median_price"](spark, d).collect()[0]
     assert r["total_weight"] == 12
     assert r["wmedian_cents_x2"] == 60  # lower = upper = 30 cents
+
+
+# ==========================================================================
+# tier 3
+# ==========================================================================
+
+
+def test_token_novelty_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    first: dict = {}
+    hi = max(r["doc_id"] for r in docs) + 1
+    n_docs_b: dict = {}
+    for r in docs:
+        b = r["doc_id"] * 10 // hi
+        n_docs_b[b] = n_docs_b.get(b, 0) + 1
+        for t in r["text"].split(" "):
+            if t and (t not in first or r["doc_id"] < first[t]):
+                first[t] = r["doc_id"]
+    new_b: dict = {}
+    for t, d in first.items():
+        b = d * 10 // hi
+        new_b[b] = new_b.get(b, 0) + 1
+    rows = sorted(
+        QUERIES["token_novelty_curve"](spark, SF_SMALL).collect(),
+        key=lambda r: r["bucket"],
+    )
+    cum = 0
+    for r in rows:
+        cum += new_b.get(r["bucket"], 0)
+        assert r["n_docs"] == n_docs_b[r["bucket"]]
+        assert r["n_new_tokens"] == new_b.get(r["bucket"], 0)
+        assert r["cum_vocab"] == cum
+    assert rows[-1]["cum_vocab"] == len(first)  # total vocabulary
+
+
+def test_user_entropy_extremes(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: single-type (entropy 0); user 2: 4 types uniform (ln 4)
+    rows = [(1, t0, "view", 1.0)] * 6 + [
+        (2, t0, et, 1.0) for et in ("view", "click", "purchase", "error")
+    ]
+    rows = [(u, ts, et, v) for (u, ts, et, v) in rows]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        got = {
+            r["user_id"]: (r["n_events"], r["entropy_micro_nats"])
+            for r in QUERIES["user_event_entropy"](spark, d).collect()
+        }
+    assert got[1] == (6, 0)
+    n2, e2 = got[2]
+    assert n2 == 4
+    # 4 * round(0.25 * ln 4 * 1e6) micro-nats
+    assert e2 == 4 * round(0.25 * math.log(4.0) * 1_000_000)
+
+
+def test_ks_bh_screen_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in docs:
+        per[r["source"]].append(r["n_chars"])
+    n = len(docs)
+    vals = sorted({r["n_chars"] for r in docs})
+    stats = {}
+    for s, xs in per.items():
+        ns = len(xs)
+        rest = [r["n_chars"] for r in docs if r["source"] != s]
+        d_num = 0
+        for v in vals:
+            cs = sum(1 for x in xs if x <= v)
+            cr = sum(1 for x in rest if x <= v)
+            d_num = max(d_num, abs(cs * (n - ns) - cr * ns))
+        dd = d_num / (ns * (n - ns))
+        ne = ns * (n - ns) / n
+        pv = round(min(1.0, 2.0 * math.exp(-2.0 * ne * dd * dd)), 6)
+        stats[s] = (ns, d_num * 1_000_000 // (ns * (n - ns)), pv)
+    order = sorted(stats, key=lambda s: (stats[s][2], s))
+    m = len(order)
+    rows = {
+        r["source"]: r
+        for r in QUERIES["ks_source_screen_bh"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(stats)
+    for i, s in enumerate(order, start=1):
+        r = rows[s]
+        ns, d_ppm, pv = stats[s]
+        assert r["n_source"] == ns
+        assert r["d_ppm"] == d_ppm
+        assert r["p_value"] == pytest.approx(pv, abs=2e-6)
+        assert r["bh_rank"] == i
+        assert r["drifted"] == (pv * 1_000_000 <= i * 100_000 / m)
+
+
+def test_hhi_matches_python_and_uniform_case(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).collect()
+    rev: dict = {}
+    for r in o:
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + r["cents"]
+    sr = float(sum(rev.values()))
+    srr = float(sum(v * v for v in rev.values()))
+    r = QUERIES["revenue_hhi_concentration"](spark, SF_SMALL).collect()[0]
+    assert r["n_customers"] == len(rev)
+    assert r["hhi_ppm"] == round(srr / (sr * sr) * 1_000_000)
+    assert r["equivalent_n"] == pytest.approx(sr * sr / srr, abs=0.01)
+    # bounds: 1/n <= HHI <= 1
+    assert 1_000_000 // len(rev) <= r["hhi_ppm"] <= 1_000_000
+
+    # uniform revenue -> equivalent_n == n exactly
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 100.0) for i in range(8)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        u = QUERIES["revenue_hhi_concentration"](spark, d).collect()[0]
+    assert u["hhi_ppm"] == 125_000
+    assert u["equivalent_n"] == 8.0

@@ -118,6 +118,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "user_event_entropy",  # new in r7; local parity both SFs
     "ks_source_screen_bh",  # new in r7; local parity both SFs
     "revenue_hhi_concentration",  # new in r7; local parity both SFs
+    "median_dkw_band",  # new in r7; local parity both SFs
+    "seasonal_adjusted_anomalies",  # new in r7; local parity both SFs
 ]
 
 

@@ -1738,3 +1738,245 @@ def q_revenue_hhi_concentration(spark, sf_dir):
         ),
         F.round(F.expr("sr * sr / srr"), 2).alias("equivalent_n"),
     )
+
+
+# ==========================================================================
+# round-7 tier 4: nonparametric confidence + seasonal anomaly detection
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# DKW confidence band around the median
+# --------------------------------------------------------------------------
+
+#: ln(2 / 0.05) as an exact literal chain both engines evaluate identically
+_DKW_LN_TERM = "ln(2.0 / 0.05)"
+
+_DKW_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+h AS (SELECT cents, CAST(count(*) AS BIGINT) AS hn FROM v GROUP BY cents),
+cum AS (
+  SELECT cents, hn,
+    sum(hn) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(hn) OVER () AS n
+  FROM h
+),
+eps AS (
+  SELECT max(n) AS n,
+    sqrt(({_DKW_LN_TERM}) / (2.0 * CAST(max(n) AS DOUBLE))) AS e
+  FROM cum
+)
+SELECT CAST(eps.n AS BIGINT) AS n,
+  CAST(round(eps.e * 1000000) AS BIGINT) AS dkw_eps_ppm,
+  CAST(min(CASE WHEN 2 * cum.cw >= eps.n THEN cents END)
+       + min(CASE WHEN 2 * cum.cw >= eps.n + 1 THEN cents END) AS BIGINT)
+    AS median_cents_x2,
+  CAST(min(CASE WHEN CAST(cum.cw AS DOUBLE)
+                     >= CAST(eps.n AS DOUBLE) * (0.5 - eps.e)
+                THEN cents END) AS BIGINT) AS band_lo_cents,
+  CAST(min(CASE WHEN CAST(cum.cw AS DOUBLE)
+                     >= CAST(eps.n AS DOUBLE) * (0.5 + eps.e)
+                THEN cents END) AS BIGINT) AS band_hi_cents
+FROM cum CROSS JOIN eps
+GROUP BY eps.n, eps.e
+"""
+
+
+@register("median_dkw_band", _DKW_ORACLE)
+def q_median_dkw_band(spark, sf_dir):
+    """95% Dvoretzky–Kiefer–Wolfowitz confidence band around the median
+    of order totals: ε = sqrt(ln(2/α)/(2n)) bounds the WHOLE empirical
+    CDF simultaneously, so [value at CDF 0.5−ε, value at CDF 0.5+ε] is a
+    distribution-free confidence interval for the median — the honest
+    error bar a profiling report should print next to every exact
+    percentile (`percentile_prices` gives the point; this gives the
+    uncertainty, with zero distributional assumptions and no bootstrap
+    resampling).
+
+    Device: the bounded cents-histogram cumulative window; band
+    endpoints are min-CASE rank reads against integer-vs-double
+    thresholds whose double chain (one sqrt from one exact integer n)
+    is shared textually with the oracle. One corpus exchange."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("hn"))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.withColumn("cw", F.sum("hn").over(wcum)).withColumn(
+        "n", F.sum("hn").over(Window.partitionBy())
+    )
+    return cum.groupBy("n").agg(
+        F.expr(
+            f"CAST(round(sqrt(({_DKW_LN_TERM}) / (2.0 * CAST(n AS DOUBLE)))"
+            f" * 1000000) AS BIGINT)"
+        ).alias("dkw_eps_ppm"),
+        F.expr(
+            "CAST(min(CASE WHEN 2 * cw >= n THEN cents END)"
+            " + min(CASE WHEN 2 * cw >= n + 1 THEN cents END) AS BIGINT)"
+        ).alias("median_cents_x2"),
+        F.expr(
+            f"CAST(min(CASE WHEN CAST(cw AS DOUBLE) >= CAST(n AS DOUBLE)"
+            f" * (0.5 - sqrt(({_DKW_LN_TERM}) / (2.0 * CAST(n AS DOUBLE))))"
+            f" THEN cents END) AS BIGINT)"
+        ).alias("band_lo_cents"),
+        F.expr(
+            f"CAST(min(CASE WHEN CAST(cw AS DOUBLE) >= CAST(n AS DOUBLE)"
+            f" * (0.5 + sqrt(({_DKW_LN_TERM}) / (2.0 * CAST(n AS DOUBLE))))"
+            f" THEN cents END) AS BIGINT)"
+        ).alias("band_hi_cents"),
+    ).select(
+        F.col("n").cast("long"),
+        "dkw_eps_ppm",
+        "median_cents_x2",
+        "band_lo_cents",
+        "band_hi_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal-adjusted robust anomaly flags over the daily series
+# --------------------------------------------------------------------------
+
+_SEAS_ANOM_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(isodow(d) AS BIGINT) AS wd,
+    CAST(sum(c) AS BIGINT) AS sg, CAST(count(*) AS BIGINT) AS ng
+  FROM d GROUP BY 1
+),
+dev AS (
+  SELECT d.d, d.c,
+    CAST(sg * 1000000 // ng AS BIGINT) AS expected_micro,
+    CAST(d.c * 1000000 - sg * 1000000 // ng AS BIGINT) AS dev_micro
+  FROM d JOIN g ON CAST(isodow(d.d) AS BIGINT) = g.wd
+),
+med AS (
+  SELECT CAST(min(CASE WHEN 2 * cw >= n THEN dev_micro END)
+       + min(CASE WHEN 2 * cw >= n + 1 THEN dev_micro END) AS BIGINT) AS m2
+  FROM (
+    SELECT dev_micro,
+      sum(hn) OVER (ORDER BY dev_micro
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      sum(hn) OVER () AS n
+    FROM (SELECT dev_micro, CAST(count(*) AS BIGINT) AS hn
+          FROM dev GROUP BY dev_micro)
+  )
+),
+ad AS (
+  SELECT dev.*, med.m2,
+    abs(2 * dev.dev_micro - med.m2) AS a2
+  FROM dev CROSS JOIN med
+),
+mad AS (
+  SELECT CAST(min(CASE WHEN 2 * cw >= n THEN a2 END)
+       + min(CASE WHEN 2 * cw >= n + 1 THEN a2 END) AS BIGINT) AS mad4
+  FROM (
+    SELECT a2,
+      sum(hn) OVER (ORDER BY a2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      sum(hn) OVER () AS n
+    FROM (SELECT a2, CAST(count(*) AS BIGINT) AS hn FROM ad GROUP BY a2)
+  )
+)
+SELECT strftime(ad.d, '%Y-%m-%d') AS day, ad.c AS n_events,
+  ad.expected_micro, ad.dev_micro,
+  round(CASE WHEN mad.mad4 = 0 THEN NULL
+             ELSE (2.0 * ad.dev_micro - ad.m2)
+                  / (1.4826 * (CAST(mad.mad4 AS DOUBLE) / 2.0)) END, 6)
+    AS robust_z,
+  CASE WHEN mad.mad4 = 0 THEN NULL
+       ELSE abs((2.0 * ad.dev_micro - ad.m2)
+                / (1.4826 * (CAST(mad.mad4 AS DOUBLE) / 2.0))) > 3.5 END
+    AS is_anomaly
+FROM ad CROSS JOIN mad
+"""
+
+
+@register("seasonal_adjusted_anomalies", _SEAS_ANOM_ORACLE)
+def q_seasonal_adjusted_anomalies(spark, sf_dir):
+    """Seasonal-adjusted robust anomaly flags over the daily event
+    series: deviations are measured against each day's WEEKDAY mean (so
+    a quiet Sunday is not an anomaly), then scored with the
+    median/MAD robust z — the composition drift monitors actually run
+    (`mad_outlier_events` scores raw values; `weekday_anova_events`
+    says the weekday effect is real; this removes it before flagging).
+    |z| > 3.5 is the standard Iglewicz–Hoaglin cut.
+
+    Exactness: weekday means and deviations are integer micro-units;
+    both medians (deviation and |deviation−median|) are x2/x4-scaled
+    min-CASE rank reads over the calendar-bounded daily frame — no
+    float until the single z chain, NULL-guarded for the MAD=0 corpus.
+    Frames never exceed |days| rows after the first keyed count."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d = d.localCheckpoint(eager=True)
+    g = d.groupBy(
+        F.expr("CAST(weekday(d) + 1 AS BIGINT)").alias("wd")
+    ).agg(
+        F.sum("c").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    dev = d.join(
+        F.broadcast(g),
+        F.expr("CAST(weekday(d) + 1 AS BIGINT)") == F.col("wd"),
+    ).select(
+        "d",
+        "c",
+        F.expr("CAST(sg * 1000000 DIV ng AS BIGINT)").alias(
+            "expected_micro"
+        ),
+        F.expr(
+            "CAST(c * 1000000 - sg * 1000000 DIV ng AS BIGINT)"
+        ).alias("dev_micro"),
+    )
+    dev = dev.localCheckpoint(eager=True)
+
+    def _med_x2(frame, col):
+        h = frame.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("hn"))
+        cum = h.withColumn(
+            "cw",
+            F.sum("hn").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).withColumn("n", F.sum("hn").over(Window.partitionBy()))
+        return cum.agg(
+            F.expr(
+                f"CAST(min(CASE WHEN 2 * cw >= n THEN {col} END)"
+                f" + min(CASE WHEN 2 * cw >= n + 1 THEN {col} END)"
+                f" AS BIGINT)"
+            ).alias("m")
+        )
+
+    med = _med_x2(dev, "dev_micro").withColumnRenamed("m", "m2")
+    ad = dev.crossJoin(F.broadcast(med)).withColumn(
+        "a2", F.abs(2 * F.col("dev_micro") - F.col("m2"))
+    )
+    ad = ad.localCheckpoint(eager=True)
+    mad = _med_x2(ad, "a2").withColumnRenamed("m", "mad4")
+    z = (
+        "(2.0 * dev_micro - m2)"
+        " / (1.4826 * (CAST(mad4 AS DOUBLE) / 2.0))"
+    )
+    return ad.crossJoin(F.broadcast(mad)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_events"),
+        "expected_micro",
+        "dev_micro",
+        F.round(
+            F.expr(f"CASE WHEN mad4 = 0 THEN NULL ELSE {z} END"), 6
+        ).alias("robust_z"),
+        F.expr(
+            f"CASE WHEN mad4 = 0 THEN NULL ELSE abs({z}) > 3.5 END"
+        ).alias("is_anomaly"),
+    )

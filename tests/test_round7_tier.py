@@ -706,3 +706,87 @@ def test_hhi_matches_python_and_uniform_case(spark):
         u = QUERIES["revenue_hhi_concentration"](spark, d).collect()[0]
     assert u["hhi_ppm"] == 125_000
     assert u["equivalent_n"] == 8.0
+
+
+# ==========================================================================
+# tier 4
+# ==========================================================================
+
+
+def test_dkw_band_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    cents = sorted(
+        r["c"]
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"))
+        .collect()
+    )
+    n = len(cents)
+    eps = math.sqrt(math.log(2 / 0.05) / (2 * n))
+    lower = cents[(n - 1) // 2]
+    upper = cents[n // 2]
+
+    def value_at(th):  # min value whose cumulative count >= th
+        from collections import Counter
+
+        hist = Counter(cents)
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum >= th:
+                return v
+        return None
+
+    r = QUERIES["median_dkw_band"](spark, SF_SMALL).collect()[0]
+    assert r["n"] == n
+    assert r["dkw_eps_ppm"] == round(eps * 1_000_000)
+    assert r["median_cents_x2"] == lower + upper
+    assert r["band_lo_cents"] == value_at(n * (0.5 - eps))
+    assert r["band_hi_cents"] == value_at(n * (0.5 + eps))
+    assert r["band_lo_cents"] <= lower <= upper <= r["band_hi_cents"]
+
+
+def test_seasonal_anomalies_match_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    daily = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_wd: dict = {}
+    for r in daily:
+        wd = r["d"].isoweekday()
+        sg, ng = per_wd.get(wd, (0, 0))
+        per_wd[wd] = (sg + r["c"], ng + 1)
+    devs = {}
+    for r in daily:
+        sg, ng = per_wd[r["d"].isoweekday()]
+        devs[r["d"].strftime("%Y-%m-%d")] = (
+            r["c"],
+            sg * 1_000_000 // ng,
+            r["c"] * 1_000_000 - sg * 1_000_000 // ng,
+        )
+
+    def med_x2(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) - 1) // 2] + xs[len(xs) // 2]
+
+    m2 = med_x2([d for _, _, d in devs.values()])
+    mad4 = med_x2([abs(2 * d - m2) for _, _, d in devs.values()])
+
+    rows = QUERIES["seasonal_adjusted_anomalies"](spark, SF_SMALL).collect()
+    assert len(rows) == len(devs)
+    for r in rows:
+        c, exp_micro, dev = devs[r["day"]]
+        assert r["n_events"] == c
+        assert r["expected_micro"] == exp_micro
+        assert r["dev_micro"] == dev
+        if mad4 == 0:
+            assert r["robust_z"] is None
+        else:
+            z = (2.0 * dev - m2) / (1.4826 * (mad4 / 2.0))
+            assert r["robust_z"] == pytest.approx(z, abs=1e-5)
+            assert r["is_anomaly"] == (abs(z) > 3.5)

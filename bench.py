@@ -198,6 +198,22 @@ HEADLINE = [
     "knn_link_prediction",
     "js_source_divergence",
     "weekday_anova_events",
+    # r7 tier 2: privacy audit, truncation recall, rich club, ESS,
+    # weighted median
+    "k_anonymity_audit",
+    "truncated_dim_recall",
+    "rich_club_coefficient",
+    "effective_sample_size",
+    "weighted_median_price",
+    # r7 tier 3: vocabulary growth, behavioral entropy, BH drift screen,
+    # revenue concentration
+    "token_novelty_curve",
+    "user_event_entropy",
+    "ks_source_screen_bh",
+    "revenue_hhi_concentration",
+    # r7 tier 4: DKW median band + seasonal-adjusted robust anomalies
+    "median_dkw_band",
+    "seasonal_adjusted_anomalies",
 ]
 
 

@@ -120,6 +120,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "revenue_hhi_concentration",  # new in r7; local parity both SFs
     "median_dkw_band",  # new in r7; local parity both SFs
     "seasonal_adjusted_anomalies",  # new in r7; local parity both SFs
+    "purchase_decile_lift",  # new in r7; local parity both SFs
 ]
 
 

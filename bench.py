@@ -214,6 +214,7 @@ HEADLINE = [
     # r7 tier 4: DKW median band + seasonal-adjusted robust anomalies
     "median_dkw_band",
     "seasonal_adjusted_anomalies",
+    "purchase_decile_lift",
 ]
 
 

@@ -831,6 +831,10 @@ def q_js_source_divergence(spark, sf_dir):
         "t",
         F.expr("CAST(c + 1 AS DOUBLE) / CAST(ds AS DOUBLE)").alias("pr"),
     )
+    # the pair join references p TWICE; without a lineage cut Catalyst
+    # re-derives the whole grid/denominator chain per side (measured 16
+    # exchanges vs 6 on metadata-sized frames). |sources|·V rows.
+    p = p.localCheckpoint(eager=True)
     a = p.select(
         F.col("source").alias("source_a"),
         "t",
@@ -1979,4 +1983,124 @@ def q_seasonal_adjusted_anomalies(spark, sf_dir):
         F.expr(
             f"CASE WHEN mad4 = 0 THEN NULL ELSE abs({z}) > 3.5 END"
         ).alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decile gains / lift table (the AUC's actionable companion)
+# --------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH lab AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v_cents,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+hist AS (
+  SELECT v_cents, CAST(count(*) AS BIGINT) AS hn,
+    CAST(sum(pos) AS BIGINT) AS hp
+  FROM lab GROUP BY v_cents
+),
+cum AS (
+  SELECT v_cents, hn, hp,
+    sum(hn) OVER (ORDER BY v_cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - hn
+      AS below,
+    sum(hn) OVER () AS tot
+  FROM hist
+),
+dm AS (
+  SELECT v_cents, least(9, below * 10 // tot) AS decile, hn, hp FROM cum
+),
+dec AS (
+  SELECT decile, CAST(sum(hn) AS BIGINT) AS n,
+    CAST(sum(hp) AS BIGINT) AS n_pos
+  FROM dm GROUP BY decile
+),
+tt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp
+  FROM dec
+)
+SELECT CAST(dec.decile AS INT) AS decile, dec.n, dec.n_pos,
+  CAST(dec.n_pos * 1000000 // dec.n AS BIGINT) AS response_ppm,
+  CAST(CASE WHEN tt.tp = 0 THEN NULL
+            ELSE dec.n_pos * tt.tn * 1000000 // (dec.n * tt.tp) END
+       AS BIGINT) AS lift_ppm,
+  CAST(sum(dec.n) OVER (ORDER BY dec.decile DESC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_n_from_top,
+  CAST(CASE WHEN tt.tp = 0 THEN NULL
+            ELSE sum(dec.n_pos) OVER (ORDER BY dec.decile DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000 // tt.tp END AS BIGINT) AS cum_gain_ppm
+FROM dec CROSS JOIN tt
+"""
+
+
+@register("purchase_decile_lift", _LIFT_ORACLE)
+def q_purchase_decile_lift(spark, sf_dir):
+    """Decile gains/lift table of the event value as a purchase
+    predictor — the ACTIONABLE companion of `value_purchase_auc`: AUC
+    says whether the score ranks at all; the lift table says what
+    targeting the top decile(s) actually buys (response rate per
+    decile, lift vs the base rate, cumulative gain from the top). The
+    same table every campaign-targeting and sample-prioritization
+    pipeline prints.
+
+    Device: the bounded cents histogram → exclusive-running-sum decile
+    map (quality_dup_calibration's device — every equal value lands in
+    one decile, no corpus row_number), decile aggregate, and a 10-row
+    top-down cumulative window. All integer ppm; NULL-guarded when no
+    positives exist."""
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    hist = lab.groupBy("v_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("hn"),
+        F.sum("pos").cast("long").alias("hp"),
+    )
+    wcum = Window.orderBy("v_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn(
+        "below", F.sum("hn").over(wcum) - F.col("hn")
+    ).withColumn("tot", F.sum("hn").over(Window.partitionBy()))
+    dm = cum.select(
+        F.expr("least(9, below * 10 DIV tot)").alias("decile"), "hn", "hp"
+    )
+    dec = dm.groupBy("decile").agg(
+        F.sum("hn").cast("long").alias("n"),
+        F.sum("hp").cast("long").alias("n_pos"),
+    )
+    tt = dec.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("n_pos").cast("long").alias("tp"),
+    )
+    wtop = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.crossJoin(F.broadcast(tt))
+        .select(
+            F.col("decile").cast("int"),
+            "n",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias(
+                "response_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN tp = 0 THEN NULL"
+                " ELSE n_pos * tn * 1000000 DIV (n * tp) END AS BIGINT)"
+            ).alias("lift_ppm"),
+            F.sum("n").over(wtop).cast("long").alias("cum_n_from_top"),
+            F.expr(
+                "CAST(CASE WHEN tp = 0 THEN NULL ELSE sum(n_pos) OVER ("
+                "ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+                " AND CURRENT ROW) * 1000000 DIV tp END AS BIGINT)"
+            ).alias("cum_gain_ppm"),
+        )
     )

@@ -790,3 +790,49 @@ def test_seasonal_anomalies_match_python(spark):
             z = (2.0 * dev - m2) / (1.4826 * (mad4 / 2.0))
             assert r["robust_z"] == pytest.approx(z, abs=1e-5)
             assert r["is_anomaly"] == (abs(z) > 3.5)
+
+
+def test_decile_lift_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    ).collect()
+    from collections import Counter
+
+    hist_n = Counter()
+    hist_p = Counter()
+    for r in ev:
+        hist_n[r["v"]] += 1
+        hist_p[r["v"]] += r["p"]
+    tot = sum(hist_n.values())
+    below = 0
+    dec_n = Counter()
+    dec_p = Counter()
+    for v in sorted(hist_n):
+        d = min(9, below * 10 // tot)
+        dec_n[d] += hist_n[v]
+        dec_p[d] += hist_p[v]
+        below += hist_n[v]
+    tp = sum(dec_p.values())
+    rows = {
+        r["decile"]: r
+        for r in QUERIES["purchase_decile_lift"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(dec_n)
+    cum_n = cum_p = 0
+    for d in sorted(dec_n, reverse=True):
+        cum_n += dec_n[d]
+        cum_p += dec_p[d]
+        r = rows[d]
+        assert r["n"] == dec_n[d]
+        assert r["n_pos"] == dec_p[d]
+        assert r["response_ppm"] == dec_p[d] * 1_000_000 // dec_n[d]
+        assert r["lift_ppm"] == dec_p[d] * tot * 1_000_000 // (
+            dec_n[d] * tp
+        )
+        assert r["cum_n_from_top"] == cum_n
+        assert r["cum_gain_ppm"] == cum_p * 1_000_000 // tp
+    # gains table invariant: the bottom row covers everything
+    assert cum_n == tot and cum_p == tp

@@ -573,3 +573,63 @@ def test_streaming_changepoint_matches_batch(spark, sf_small, tmp_path):
     first.write.mode("append").parquet(state)
     again = changepoint_from_state(spark, state).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in want]
+
+
+def test_watermark_drops_straggler_after_window_eviction(spark, tmp_path):
+    """The watermark contract, proven end-to-end at the point Spark
+    actually GUARANTEES it: a straggler arriving after its window has
+    been emitted-and-evicted is dropped (were it not, append mode would
+    emit a duplicate 09:00 window row — a sink correctness violation).
+    A straggler arriving while the window state is still live is merged
+    (batch 2's emission below includes nothing late, because the
+    watermark advanced past the window BEFORE batch 3 delivered one).
+
+    Batch 1 fills the 09:00 window and advances the watermark to 10:05;
+    batch 2's on-time row triggers the window's emission + eviction;
+    batch 3 delivers a 09:30 straggler — it must vanish: exactly ONE
+    09:00 row in the sink, counting the three on-time events."""
+    import datetime as dt
+    import time as _t
+
+    from py_datalake_move_files_spark.streaming.filestream import (
+        file_arrival_stream,
+        to_parquet_sink,
+        tumbling_event_stats,
+    )
+
+    src = tmp_path / "in"
+    day = dt.datetime(2024, 6, 1)
+
+    def ev(h, m, i):
+        return (i, day + dt.timedelta(hours=h, minutes=m), "view", 1.0)
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batches = [
+        # window 09:00 + a row pushing the watermark to 12:05-2h = 10:05
+        [ev(9, 10, 1), ev(9, 20, 2), ev(9, 40, 3), ev(12, 5, 4)],
+        [ev(12, 30, 5)],  # on-time; its batch emits + evicts window 09
+        [ev(9, 30, 6), ev(13, 0, 7)],  # straggler + on-time
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        _t.sleep(1.1)  # file source orders batches by modification time
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", spark.read.parquet(f"{src}/b0").schema,
+        max_files_per_trigger=1,
+    )
+    agg = tumbling_event_stats(stream, window="1 hour", watermark="2 hours")
+    q = to_parquet_sink(
+        agg, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    nine = [
+        r["n"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        if r["window_start"].hour == 9
+    ]
+    # exactly one emission of the 09:00 window, straggler excluded
+    assert nine == [3]

@@ -269,3 +269,53 @@ def test_containment_broadcasts_sizes(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r7_bounded_stat_queries_single_corpus_exchange(spark):
+    """The r7 histogram/moment statistics must touch the corpus with at
+    most ONE hash exchange — their whole design is that everything after
+    the first keyed aggregate is domain-bounded. Shuffle creep here
+    (e.g. a lost map-side combine or an ntile sneaking in) is the
+    100 TB regression this pins."""
+    for name in (
+        "value_purchase_auc",
+        "median_dkw_band",
+        "ols_revenue_model",
+        "k_anonymity_audit",
+        "revenue_hhi_concentration",
+    ):
+        plan = _plan(spark, name)
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex <= 2, f"{name}: {n_ex} hash exchanges"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_simhash_pairs_single_band_join(spark):
+    """Banded near-dup pairs: fingerprints are map-only (no exchange
+    below the band join), ONE equi-join on (band, value) generates the
+    candidates, and nothing sorts the corpus."""
+    plan = _plan(spark, "simhash_dup_pairs")
+    assert "CartesianProduct" not in plan
+    # exactly the candidate-join + distinct exchanges; a fingerprint
+    # stage that started shuffling would add more
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 2, f"simhash pairs plan grew to {n_ex} exchanges"
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_js_divergence_pair_join_rides_the_lineage_cut(spark):
+    """The JS pair join references the probability grid twice; the
+    lineage cut must keep the replicated subtree OUT of the plan (the
+    r7 fix: 16 exchanges -> 1 above the cut)."""
+    plan = _plan(spark, "js_source_divergence")
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 2, f"js_source_divergence re-derives the grid: {n_ex}"
+
+
+def test_truncated_recall_broadcasts_probes_never_shuffles_corpus(spark):
+    """Both brute-force arms broadcast the 5-query probe side; the
+    corpus must not hash-shuffle for the scans (only the tiny recall
+    fold may exchange)."""
+    plan = _plan(spark, "truncated_dim_recall")
+    assert len(re.findall(r"BroadcastExchange", plan)) >= 2
+    assert "CartesianProduct" not in plan

@@ -121,6 +121,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "median_dkw_band",  # new in r7; local parity both SFs
     "seasonal_adjusted_anomalies",  # new in r7; local parity both SFs
     "purchase_decile_lift",  # new in r7; local parity both SFs
+    "knn_hop_histogram",  # new in r7; local parity both SFs
+    "embedding_dim_quantile_clip",  # new in r7; local parity both SFs
 ]
 
 

@@ -215,6 +215,9 @@ HEADLINE = [
     "median_dkw_band",
     "seasonal_adjusted_anomalies",
     "purchase_decile_lift",
+    # r7 tier 5: BFS reachability census + SQ clip calibration
+    "knn_hop_histogram",
+    "embedding_dim_quantile_clip",
 ]
 
 

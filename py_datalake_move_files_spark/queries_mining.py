@@ -2104,3 +2104,232 @@ def q_purchase_decile_lift(spark, sf_dir):
             ).alias("cum_gain_ppm"),
         )
     )
+
+
+# ==========================================================================
+# round-7 tier 5: graph reachability census + robust quantization bounds
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# fixed-depth BFS hop histogram over the kNN graph
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def _hop_oracle() -> str:
+    from py_datalake_move_files_spark.queries_knn import (
+        _KNN_EDGES_CTE,
+        _KNN_PRELUDE,
+        _UND_DEG_DED_CTE,
+    )
+
+    # every chain CTE is MATERIALIZED: r{k} references r{k-1} two or
+    # three times, and without materialization DuckDB re-inlines the
+    # whole kNN prelude per reference — exponential re-evaluation that
+    # hangs even at sf0.001 (observed; the Spark side cuts lineage with
+    # localCheckpoint for exactly the same reason).
+    ctes = [
+        """,
+degm AS MATERIALIZED (SELECT node FROM deg),
+adj2 AS MATERIALIZED (
+  SELECT u AS ctr, v AS nb FROM und
+  UNION ALL SELECT v AS ctr, u AS nb FROM und
+),
+seed AS (SELECT min(node) AS s FROM degm),
+r0 AS MATERIALIZED (SELECT s AS node FROM seed)"""
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f""",
+n{k} AS MATERIALIZED (
+  SELECT DISTINCT a.nb AS node
+  FROM r{k - 1} f JOIN adj2 a ON a.ctr = f.node
+  WHERE a.nb NOT IN (SELECT node FROM r{k - 1})
+),
+r{k} AS MATERIALIZED (
+  SELECT node FROM r{k - 1} UNION SELECT node FROM n{k}
+)"""
+        )
+    unions = ["SELECT CAST(0 AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes FROM r0"]
+    for k in range(1, _BFS_HOPS + 1):
+        unions.append(
+            f"SELECT CAST({k} AS INT), CAST(count(*) AS BIGINT) FROM n{k}"
+        )
+    unions.append(
+        f"SELECT CAST(-1 AS INT), CAST("
+        f"(SELECT count(*) FROM degm) - (SELECT count(*) FROM r{_BFS_HOPS})"
+        f" AS BIGINT)"
+    )
+    return (
+        _KNN_PRELUDE
+        + _KNN_EDGES_CTE
+        + _UND_DEG_DED_CTE
+        + "".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(unions)
+    )
+
+
+@register("knn_hop_histogram", _hop_oracle())
+def q_knn_hop_histogram(spark, sf_dir):
+    """Fixed-depth BFS reachability census over the kNN graph: how many
+    nodes sit exactly 1, 2, 3, 4 hops from the seed (the lowest node
+    id), and how many are unreachable within {h} hops (hop = −1) — the
+    expansion profile that separates a well-mixed embedding graph (ball
+    grows geometrically, tiny tail) from a fragmented one (big −1 mass
+    = isolated islands the component census counts but does not
+    localize).
+
+    Plan: {h} chained frontier joins against the symmetric adjacency,
+    each frontier BROADCAST (ball sizes are ≪ corpus until the last
+    hop on any expander-like graph), each hop one distinct — a fixed,
+    non-iterative pipeline (no convergence loop, no driver round-trips)
+    with an exactly-mirrored chained-CTE oracle. The depth is a
+    constant: production reachability scans pick the hop budget up
+    front and pay |frontier|·k work per hop.""".format(h=_BFS_HOPS)
+    from py_datalake_move_files_spark.queries_knn import _und_deg_ded
+
+    und, deg, _ded = _und_deg_ded(spark, sf_dir)
+    adj = und.select(
+        F.col("u").alias("ctr"), F.col("v").alias("nb")
+    ).unionAll(und.select(F.col("v").alias("ctr"), F.col("u").alias("nb")))
+    adj = adj.localCheckpoint(eager=True)
+    r = deg.agg(F.min("node").alias("node"))  # seed frontier
+    r = r.localCheckpoint(eager=True)
+    counts = [(0, r)]
+    reached = r
+    for k in range(1, _BFS_HOPS + 1):
+        newk = (
+            F.broadcast(reached.withColumnRenamed("node", "ctr"))
+            .join(adj, "ctr")
+            .select(F.col("nb").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+        )
+        newk = newk.localCheckpoint(eager=True)
+        counts.append((k, newk))
+        reached = reached.unionAll(newk).localCheckpoint(eager=True)
+    out = None
+    for k, frame in counts:
+        row = frame.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
+            F.lit(k).cast("int").alias("hop"), "n_nodes"
+        )
+        out = row if out is None else out.unionAll(row)
+    unreached = (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .crossJoin(
+            reached.agg(F.count(F.lit(1)).cast("long").alias("rr"))
+        )
+        .select(
+            F.lit(-1).cast("int").alias("hop"),
+            (F.col("t") - F.col("rr")).cast("long").alias("n_nodes"),
+        )
+    )
+    return out.unionAll(unreached)
+
+
+# --------------------------------------------------------------------------
+# per-dimension robust clip bounds (SQ calibration)
+# --------------------------------------------------------------------------
+
+_CLIP_LO_PCT = 1
+_CLIP_HI_PCT = 99
+
+_CLIP_ORACLE = f"""
+WITH ex AS (
+  SELECT u.dim - 1 AS dim,
+    CAST(round(CAST(embedding[u.dim] AS DOUBLE) * 1000000.0) AS BIGINT)
+      AS vmu
+  FROM embeddings,
+       unnest(generate_series(1, 64)) AS u(dim)
+),
+h AS (
+  SELECT dim, vmu, CAST(count(*) AS BIGINT) AS hn FROM ex GROUP BY dim, vmu
+),
+cum AS (
+  SELECT dim, vmu, hn,
+    sum(hn) OVER (PARTITION BY dim ORDER BY vmu
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(hn) OVER (PARTITION BY dim) AS n
+  FROM h
+),
+b AS (
+  SELECT dim,
+    CAST(min(CASE WHEN cw * 100 >= n * {_CLIP_LO_PCT} THEN vmu END)
+         AS BIGINT) AS p01_micro,
+    CAST(min(CASE WHEN cw * 100 >= n * {_CLIP_HI_PCT} THEN vmu END)
+         AS BIGINT) AS p99_micro
+  FROM cum GROUP BY dim
+)
+SELECT CAST(b.dim AS INT) AS dim, b.p01_micro, b.p99_micro,
+  CAST(sum(CASE WHEN ex.vmu < b.p01_micro OR ex.vmu > b.p99_micro
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM ex JOIN b ON ex.dim = b.dim
+GROUP BY b.dim, b.p01_micro, b.p99_micro
+"""
+
+
+@register("embedding_dim_quantile_clip", _CLIP_ORACLE)
+def q_embedding_dim_quantile_clip(spark, sf_dir):
+    """Per-dimension robust clip bounds (p1/p99, nearest-rank) for the
+    embedding matrix, plus how many values each bound would clip — the
+    calibration table a scalar quantizer reads INSTEAD of min/max
+    (`sq_encode` scales by the max; one outlier dimension value wastes
+    the whole int8 range — clipping at p99 is the standard fix), and
+    the per-dim companion of `embedding_norm_outliers`.
+
+    Device: the GROUPED bounded-histogram rank read — posexplode to
+    (dim, micro-value) cells, per-dim cumulative window (64 groups
+    distribute), nearest-rank min-CASE reads, and one broadcast join
+    back for the clip counts. All integers end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.expr(
+            "CAST(round(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)"
+        ).alias("vmu"),
+    )
+    ex = ex.localCheckpoint(eager=True)
+    h = ex.groupBy("dim", "vmu").agg(
+        F.count(F.lit(1)).cast("long").alias("hn")
+    )
+    wc = Window.partitionBy("dim").orderBy("vmu").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.withColumn("cw", F.sum("hn").over(wc)).withColumn(
+        "n", F.sum("hn").over(Window.partitionBy("dim"))
+    )
+    b = cum.groupBy("dim").agg(
+        F.expr(
+            f"CAST(min(CASE WHEN cw * 100 >= n * {_CLIP_LO_PCT}"
+            f" THEN vmu END) AS BIGINT)"
+        ).alias("p01_micro"),
+        F.expr(
+            f"CAST(min(CASE WHEN cw * 100 >= n * {_CLIP_HI_PCT}"
+            f" THEN vmu END) AS BIGINT)"
+        ).alias("p99_micro"),
+    )
+    return (
+        ex.join(F.broadcast(b), "dim")
+        .groupBy("dim", "p01_micro", "p99_micro")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("vmu") < F.col("p01_micro"))
+                    | (F.col("vmu") > F.col("p99_micro")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped")
+        )
+        .select(
+            F.col("dim").cast("int"),
+            "p01_micro",
+            "p99_micro",
+            "n_clipped",
+        )
+    )

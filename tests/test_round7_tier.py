@@ -836,3 +836,68 @@ def test_decile_lift_matches_python(spark):
         assert r["cum_gain_ppm"] == cum_p * 1_000_000 // tp
     # gains table invariant: the bottom row covers everything
     assert cum_n == tot and cum_p == tp
+
+
+def test_hop_histogram_matches_python_bfs(spark):
+    from py_datalake_move_files_spark.queries_knn import _und_deg_ded
+
+    und, deg, _ = _und_deg_ded(spark, SF_SMALL)
+    edges = [(r["u"], r["v"]) for r in und.collect()]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seed = min(adj)
+    reached = {seed}
+    frontier = {seed}
+    want = {0: 1}
+    for k in range(1, 5):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj[n]
+        nxt -= reached
+        want[k] = len(nxt)
+        reached |= nxt
+        frontier = nxt
+    want[-1] = len(adj) - len(reached)
+    got = {
+        r["hop"]: r["n_nodes"]
+        for r in QUERIES["knn_hop_histogram"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # conservation: every node is either reached at some hop or unreached
+    assert sum(got.values()) == len(adj)
+
+
+def test_quantile_clip_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    rows = load_table(spark, SF_SMALL, "embeddings").select(
+        "embedding"
+    ).collect()
+    per_dim: dict = {}
+    for r in rows:
+        for d, v in enumerate(r["embedding"]):
+            per_dim.setdefault(d, []).append(round(float(v) * 1_000_000))
+    out = {
+        r["dim"]: (r["p01_micro"], r["p99_micro"], r["n_clipped"])
+        for r in QUERIES["embedding_dim_quantile_clip"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(out) == set(per_dim)
+    for d, xs in per_dim.items():
+        xs.sort()
+        n = len(xs)
+
+        def at(pct):
+            cum = 0
+            for v in xs:
+                cum += 1
+                if cum * 100 >= n * pct:
+                    return v
+
+        p01, p99 = at(1), at(99)
+        clipped = sum(1 for v in xs if v < p01 or v > p99)
+        assert out[d] == (p01, p99, clipped), d
+        assert p01 <= p99

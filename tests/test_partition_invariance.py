@@ -118,6 +118,16 @@ QUERIES_UNDER_TEST = [
     # weighted min-CASE rank reads over the grouped cents histogram
     "effective_sample_size",
     "weighted_median_price",
+    # r7 tiers 3-5: micro-nat entropy cells, integer KS cross-products
+    # feeding the BH rank window, layout-cut BFS frontiers, grouped
+    # micro-value histogram quantiles, histogram-decile lift cells,
+    # and the double-median seasonal robust z
+    "user_event_entropy",
+    "ks_source_screen_bh",
+    "knn_hop_histogram",
+    "embedding_dim_quantile_clip",
+    "purchase_decile_lift",
+    "seasonal_adjusted_anomalies",
 ]
 
 

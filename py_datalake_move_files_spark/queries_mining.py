@@ -1,7 +1,19 @@
 """Round-7 tier: statistical mining + graph/near-dup widening.
 
-Thirteen queries extending the registry with devices no earlier family
-covers. Tier 2 (second half of the file): ``k_anonymity_audit``
+Twenty-two queries extending the registry with devices no earlier
+family covers. Tier 3: ``token_novelty_curve`` (vocabulary growth by
+id-range corpus bucket), ``user_event_entropy`` (behavioral Shannon
+entropy, micro-nat cells), ``ks_source_screen_bh`` (one-vs-rest exact
+KS + Benjamini–Hochberg FDR decisions), ``revenue_hhi_concentration``
+(Herfindahl + equivalent-n). Tier 4: ``median_dkw_band``
+(distribution-free DKW confidence band around the median),
+``seasonal_adjusted_anomalies`` (weekday-adjusted median/MAD robust z),
+``purchase_decile_lift`` (gains/lift table — the AUC's actionable
+companion). Tier 5: ``knn_hop_histogram`` (fixed-depth BFS expansion
+profile; the DuckDB oracle REQUIRES materialized CTEs or the prelude
+re-inlines exponentially) and ``embedding_dim_quantile_clip``
+(nearest-rank p1/p99 SQ clip calibration per dimension).
+Tier 2 (middle of the file): ``k_anonymity_audit``
 (k-anonymity + l-diversity privacy screen over the customer QI triple),
 ``truncated_dim_recall`` (Matryoshka-style recall@10 of prefix-dim
 search vs the full-width baseline, sharing the engine-wide recall

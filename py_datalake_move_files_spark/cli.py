@@ -89,6 +89,22 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="exit 2 if any rule reports violations (admission-gate mode)",
     )
+
+    s = sub.add_parser(
+        "sql",
+        help="run ANSI SQL over the lake tables (registered as temp views)",
+    )
+    s.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="SQL text")
+    g.add_argument("--file", help="path to a file containing the SQL text")
+    s.add_argument(
+        "--output",
+        help="write the full result as parquet here instead of printing",
+    )
+    s.add_argument(
+        "--limit", type=int, default=20, help="rows to print (display mode)"
+    )
     return p
 
 
@@ -269,6 +285,29 @@ def cmd_audit(spark, args) -> int:
     return 0
 
 
+def cmd_sql(spark, args) -> int:
+    """Ad-hoc ANSI SQL over the lake: every table under --sf-dir is a temp
+    view (catalog.register_tables), the statement runs through Catalyst
+    like any registered query, and the result either prints (bounded by
+    --limit via TakeOrderedAndProject-free .show) or lands as parquet —
+    the distributed path for big results; the driver never collects them."""
+    from py_datalake_move_files_spark.catalog import register_tables
+
+    register_tables(spark, args.sf_dir)
+    text = (
+        args.query
+        if args.query is not None
+        else open(args.file, encoding="utf-8").read()
+    )
+    df = spark.sql(text)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def _execute_with_progress(spark, plan, *, mode: str, dry_run: bool):
     """execute_plan plus the reference's running tally (app/main.py:280-303):
     a reporter thread prints accumulator-backed ok/error counts once a second
@@ -324,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_optimize(spark, args)
         if args.cmd == "audit":
             return cmd_audit(spark, args)
+        if args.cmd == "sql":
+            return cmd_sql(spark, args)
         return cmd_move(spark, args)
     except Exception as exc:  # one clean line instead of a JVM traceback
         msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__

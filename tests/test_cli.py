@@ -160,3 +160,56 @@ def test_cli_optimize_zorder(spark, tmp_path):
     assert "z-ordered file(s)" in r.stdout
     back = spark.read.parquet(str(out))
     assert back.count() == orders.count()
+
+
+def test_cli_sql_query_and_parquet_output(spark, tmp_path):
+    """The ad-hoc SQL surface: a join over the registered lake views
+    prints bounded rows, and --output writes the FULL result as parquet
+    (the distributed path — verified by reading it back)."""
+    r = _run(
+        [
+            "sql",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--query",
+            "SELECT r_name, count(*) AS n FROM nation"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY r_name ORDER BY r_name",
+            "--limit",
+            "3",
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    assert "r_name" in r.stdout
+
+    out = tmp_path / "sqlout"
+    r2 = _run(
+        [
+            "sql",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--query",
+            "SELECT o_orderpriority, count(*) AS n FROM orders"
+            " GROUP BY o_orderpriority",
+            "--output",
+            str(out),
+        ]
+    )
+    assert r2.returncode == 0, r2.stderr
+    back = spark.read.parquet(str(out))
+    assert back.count() == 5
+    assert set(back.columns) == {"o_orderpriority", "n"}
+
+
+def test_cli_sql_bad_statement_fails_cleanly(tmp_path):
+    r = _run(
+        [
+            "sql",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--query",
+            "SELECT definitely_not_a_column FROM nation",
+        ]
+    )
+    assert r.returncode != 0
+    assert "error:" in r.stderr  # one clean line, not a JVM traceback

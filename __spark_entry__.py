@@ -123,6 +123,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "purchase_decile_lift",  # new in r7; local parity both SFs
     "knn_hop_histogram",  # new in r7; local parity both SFs
     "embedding_dim_quantile_clip",  # new in r7; local parity both SFs
+    "rolling_median_daily",  # new in r7; local parity both SFs
+    "modal_event_type_by_user",  # new in r7; local parity both SFs
 ]
 
 

@@ -218,6 +218,9 @@ HEADLINE = [
     # r7 tier 5: BFS reachability census + SQ clip calibration
     "knn_hop_histogram",
     "embedding_dim_quantile_clip",
+    # r7 tier 6: rolling robust smoother + grouped mode
+    "rolling_median_daily",
+    "modal_event_type_by_user",
 ]
 
 

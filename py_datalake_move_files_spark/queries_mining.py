@@ -2345,3 +2345,110 @@ def q_embedding_dim_quantile_clip(spark, sf_dir):
             "n_clipped",
         )
     )
+
+
+# ==========================================================================
+# round-7 tier 6: rolling robust smoother + grouped mode
+# ==========================================================================
+
+_ROLL_WIN = 7
+
+_ROLL_MED_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+fr AS (
+  SELECT d, c,
+    list(c) OVER (ORDER BY d
+                  ROWS BETWEEN {_ROLL_WIN - 1} PRECEDING AND CURRENT ROW)
+      AS w
+  FROM d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, c AS n_events,
+  CAST(len(w) AS INT) AS win_n,
+  CAST(list_sort(w)[(len(w) + 1) // 2]
+       + list_sort(w)[len(w) // 2 + 1] AS BIGINT) AS roll_median_x2
+FROM fr
+"""
+
+
+@register("rolling_median_daily", _ROLL_MED_ORACLE)
+def q_rolling_median_daily(spark, sf_dir):
+    """Trailing {w}-day MEDIAN of the daily event count — the robust
+    smoother dashboards should plot instead of the mean (one spike day
+    drags a rolling mean for a week; the median shrugs it off).
+    Reported ×2 in exact integers (lower+upper, the engine's median
+    convention).
+
+    Device: the EWMA frame trick pointed at rank statistics — a bounded
+    ROWS window collects ≤ {w} counts into an array, sorted per row
+    (constant work: the frame is a constant, not the corpus), and the
+    two middle elements read by index. One exchange to the daily frame;
+    window state is O(frame).""".format(w=_ROLL_WIN)
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wf = Window.orderBy("d").rowsBetween(-(_ROLL_WIN - 1), 0)
+    fr = d.withColumn("w", F.collect_list("c").over(wf))
+    return fr.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_events"),
+        F.size("w").cast("int").alias("win_n"),
+        F.expr(
+            "CAST(element_at(array_sort(w), CAST((size(w) + 1) DIV 2 AS INT))"
+            " + element_at(array_sort(w), CAST(size(w) DIV 2 + 1 AS INT))"
+            " AS BIGINT)"
+        ).alias("roll_median_x2"),
+    )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS ct
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ct DESC, event_type ASC) AS rn,
+    CAST(sum(ct) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM c
+)
+SELECT user_id, event_type AS modal_type, ct AS modal_count, n AS n_events,
+  CAST(ct * 1000000 // n AS BIGINT) AS modal_share_ppm
+FROM r WHERE rn = 1
+"""
+
+
+@register("modal_event_type_by_user", _MODE_ORACLE)
+def q_modal_event_type_by_user(spark, sf_dir):
+    """Statistical MODE per group: each user's most frequent event type
+    with its share — the categorical summary `user_event_entropy`
+    complements (entropy says HOW concentrated; the mode says ON WHAT).
+    Tie-break is pinned (count desc, type asc) so the result is a pure
+    function of the data.
+
+    Plan: one (user, type) integer count (cells bounded by users ×
+    |types|), one user-partitioned rank window over those cells —
+    both stages share the user key, and the window frame is ≤ |types|
+    rows per user at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ct").desc(), F.col("event_type").asc()
+    )
+    r = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.sum("ct").over(Window.partitionBy("user_id")).cast("long")
+    )
+    return r.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("modal_type"),
+        F.col("ct").alias("modal_count"),
+        F.col("n").alias("n_events"),
+        F.expr("CAST(ct * 1000000 DIV n AS BIGINT)").alias(
+            "modal_share_ppm"
+        ),
+    )

@@ -901,3 +901,59 @@ def test_quantile_clip_matches_python(spark):
         clipped = sum(1 for v in xs if v < p01 or v > p99)
         assert out[d] == (p01, p99, clipped), d
         assert p01 <= p99
+
+
+def test_rolling_median_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    daily = sorted(
+        (r["d"], r["c"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cs = [c for _, c in daily]
+    got = {
+        r["day"]: (r["win_n"], r["roll_median_x2"])
+        for r in QUERIES["rolling_median_daily"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(daily)
+    for i, (d, _) in enumerate(daily):
+        w = sorted(cs[max(0, i - 6) : i + 1])
+        m2 = w[(len(w) - 1) // 2] + w[len(w) // 2]
+        assert got[d.strftime("%Y-%m-%d")] == (len(w), m2), d
+
+
+def test_modal_type_matches_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for r in (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        per[r["user_id"]][r["event_type"]] += 1
+    got = {
+        r["user_id"]: (
+            r["modal_type"],
+            r["modal_count"],
+            r["n_events"],
+            r["modal_share_ppm"],
+        )
+        for r in QUERIES["modal_event_type_by_user"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for u, cnt in per.items():
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        n = sum(cnt.values())
+        assert got[u] == (
+            best[0],
+            best[1],
+            n,
+            best[1] * 1_000_000 // n,
+        ), u

@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import sys
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -101,6 +102,11 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--output",
         help="write the full result as parquet here instead of printing",
+    )
+    s.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="replace an existing --output directory (default: refuse)",
     )
     s.add_argument(
         "--limit", type=int, default=20, help="rows to print (display mode)"
@@ -297,11 +303,12 @@ def cmd_sql(spark, args) -> int:
     text = (
         args.query
         if args.query is not None
-        else open(args.file, encoding="utf-8").read()
+        else Path(args.file).read_text(encoding="utf-8")
     )
     df = spark.sql(text)
     if args.output:
-        df.write.mode("overwrite").parquet(args.output)
+        mode = "overwrite" if args.overwrite else "errorifexists"
+        df.write.mode(mode).parquet(args.output)
         print(f"wrote {args.output}")
     else:
         df.show(args.limit, truncate=False)

@@ -1575,13 +1575,14 @@ d AS (
 ),
 p AS (
   SELECT source, ns, n,
-    CAST(d_num * 1000000 // (ns * (n - ns)) AS BIGINT) AS d_ppm,
-    round(least(1.0,
+    CASE WHEN ns = n THEN NULL
+      ELSE CAST(d_num * 1000000 // (ns * (n - ns)) AS BIGINT) END AS d_ppm,
+    CASE WHEN ns = n THEN NULL ELSE round(least(1.0,
       2.0 * exp(-2.0
         * ((CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)) / CAST(n AS DOUBLE))
         * (CAST(d_num AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))
         * (CAST(d_num AS DOUBLE) / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))
-      )), 6) AS p_value
+      )), 6) END AS p_value
   FROM d
 ),
 r AS (
@@ -1589,11 +1590,17 @@ r AS (
     AS bh_rank,
     CAST(count(*) OVER () AS BIGINT) AS m
   FROM p
+),
+k AS (
+  SELECT *,
+    max(CASE WHEN p_value * 1000000 <= bh_rank * {_BH_ALPHA_PPM} / m
+             THEN bh_rank ELSE 0 END) OVER () AS kstar
+  FROM r
 )
 SELECT source, ns AS n_source, d_ppm, p_value,
   CAST(bh_rank AS INT) AS bh_rank,
-  p_value * 1000000 <= bh_rank * {_BH_ALPHA_PPM} / m AS drifted
-FROM r
+  bh_rank <= kstar AS drifted
+FROM k
 """
 
 
@@ -1661,41 +1668,57 @@ def q_ks_source_screen_bh(spark, sf_dir):
             .alias("d_num")
         )
     )
+    # ns = n means ONE source owns every document: the one-vs-rest
+    # "rest" sample is empty and D is undefined — NULL in both engines
+    # (the ab_conversion_ztest degenerate-z convention).
     p = d.select(
         "source",
         "ns",
         "n",
-        F.expr("CAST(d_num * 1000000 DIV (ns * (n - ns)) AS BIGINT)").alias(
-            "d_ppm"
-        ),
-        F.round(
-            F.expr(
-                "least(1.0, 2.0 * exp(-2.0"
-                " * ((CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE))"
-                " / CAST(n AS DOUBLE))"
-                " * (CAST(d_num AS DOUBLE)"
-                " / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))"
-                " * (CAST(d_num AS DOUBLE)"
-                " / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))))"
-            ),
-            6,
+        F.expr(
+            "CASE WHEN ns = n THEN NULL"
+            " ELSE CAST(d_num * 1000000 DIV (ns * (n - ns)) AS BIGINT) END"
+        ).alias("d_ppm"),
+        F.expr(
+            "CASE WHEN ns = n THEN NULL ELSE round("
+            "least(1.0, 2.0 * exp(-2.0"
+            " * ((CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE))"
+            " / CAST(n AS DOUBLE))"
+            " * (CAST(d_num AS DOUBLE)"
+            " / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)))"
+            " * (CAST(d_num AS DOUBLE)"
+            " / (CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE))))), 6) END"
         ).alias("p_value"),
     )
-    wr = Window.orderBy("p_value", "source")
+    # NULLS LAST explicitly: Spark defaults ASC to NULLS FIRST, DuckDB
+    # to NULLS LAST — the degenerate NULL p row must rank LAST in both.
+    wr = Window.orderBy(F.col("p_value").asc_nulls_last(), "source")
     r = p.withColumn(
         "bh_rank", F.row_number().over(wr).cast("long")
     ).withColumn(
         "m", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
     )
-    return r.select(
+    # BH is a STEP-UP rule: reject every rank <= k* where k* is the
+    # LARGEST rank with p_(i) <= i*alpha/m — not a per-row threshold
+    # test (a row below the step-up cutoff but above its own line must
+    # still be rejected). k* via a whole-set window max, same in both
+    # engines.
+    k = r.withColumn(
+        "kstar",
+        F.max(
+            F.expr(
+                f"CASE WHEN p_value * 1000000 <= bh_rank * {_BH_ALPHA_PPM} / m"
+                " THEN bh_rank ELSE 0 END"
+            )
+        ).over(Window.partitionBy()),
+    )
+    return k.select(
         "source",
         F.col("ns").alias("n_source"),
         "d_ppm",
         "p_value",
         F.col("bh_rank").cast("int"),
-        F.expr(
-            f"p_value * 1000000 <= bh_rank * {_BH_ALPHA_PPM} / m"
-        ).alias("drifted"),
+        (F.col("bh_rank") <= F.col("kstar")).alias("drifted"),
     )
 
 

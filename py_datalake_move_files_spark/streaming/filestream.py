@@ -769,8 +769,13 @@ def mg_heavy_hitters_from_state(
 
     try:
         raw = spark.read.parquet(state_path)
-    except AnalysisException:
-        return []
+    except AnalysisException as exc:
+        # Only a genuinely-absent state dir means "no batches kept a
+        # counter yet". A corrupt or schema-mismatched state directory
+        # must FAIL, not read as an empty heavy-hitter summary.
+        if exc.getCondition() == "PATH_NOT_FOUND":
+            return []
+        raise
     deduped = raw.groupBy("batch_id", "token").agg(F.max("cnt").alias("cnt"))
     merged = deduped.groupBy("token").agg(
         F.sum("cnt").cast("long").alias("cnt")

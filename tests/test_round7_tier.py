@@ -664,6 +664,16 @@ def test_ks_bh_screen_matches_python(spark):
         for r in QUERIES["ks_source_screen_bh"](spark, SF_SMALL).collect()
     }
     assert set(rows) == set(stats)
+    # BH step-up: reject ALL ranks <= k* = max{i: p_(i) <= i*alpha/m},
+    # not each row against its own line (ADVICE r7).
+    kstar = max(
+        (
+            i
+            for i, s in enumerate(order, start=1)
+            if stats[s][2] * 1_000_000 <= i * 100_000 / m
+        ),
+        default=0,
+    )
     for i, s in enumerate(order, start=1):
         r = rows[s]
         ns, d_ppm, pv = stats[s]
@@ -671,7 +681,7 @@ def test_ks_bh_screen_matches_python(spark):
         assert r["d_ppm"] == d_ppm
         assert r["p_value"] == pytest.approx(pv, abs=2e-6)
         assert r["bh_rank"] == i
-        assert r["drifted"] == (pv * 1_000_000 <= i * 100_000 / m)
+        assert r["drifted"] == (i <= kstar)
 
 
 def test_hhi_matches_python_and_uniform_case(spark):

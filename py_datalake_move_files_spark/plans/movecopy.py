@@ -19,10 +19,14 @@ blindly after upload, app/main.py:184-185 — SURVEY.md §7.3.2). Copy is
 idempotent: re-running a plan overwrites targets (upload ``overwrite=True``
 semantics, app/main.py:179-182).
 
-I/O here uses ``fsspec``-style local file ops through plain Python ``os`` /
-``shutil`` so it runs anywhere tests run; against a real lake the same
-partition function swaps in the Hadoop FileSystem / cloud SDK — the plan and
-audit contracts don't change.
+I/O is scheme-routed inside each task: bare and ``file:`` paths take a
+plain ``os``/``shutil`` fast path; any other scheme (``s3://``,
+``gs://``, ``hdfs://``, ``abfs://`` …) resolves a per-scheme filesystem
+handler — the ``filesystem_factory`` argument first (contract tests, or a
+client tuned for one store), then ``pyarrow.fs.FileSystem.from_uri`` as
+the generic production default. The plan and audit contracts don't
+change with the scheme, and ``tests/test_movecopy.py`` pins the contract
+under a non-``file://`` test scheme.
 """
 
 from __future__ import annotations
@@ -81,6 +85,7 @@ def execute_plan(
     target_col: str = "target_path",
     parallelism: int | None = None,
     progress: PlanProgress | None = None,
+    filesystem_factory=None,
     _stagger_s: float = 0.0,
     _fail_task_once: bool = False,
 ) -> DataFrame:
@@ -101,6 +106,17 @@ def execute_plan(
     retry-capable master (``local[N,2]``, any real cluster) re-runs the
     task against already-mutated storage — validating the idempotent-retry
     audit path under genuine Spark task retries, not just plan re-runs.
+
+    ``filesystem_factory``: optional ``scheme -> handler | None`` callable
+    (cloudpickled into the tasks, so define it inline or against
+    site-packages only). A handler owns every path of its scheme and must
+    expose ``exists(url)``, ``size(url)``, ``mkparents(url)``,
+    ``remove(url)``, ``open_read(url)`` and ``open_write(url)`` (binary
+    file-likes). Bare and ``file:`` paths always take the local
+    ``os``/``shutil`` fast path; other schemes fall back to
+    ``pyarrow.fs.FileSystem.from_uri`` when the factory is absent or
+    returns ``None`` — pass a factory to pin credentials/clients per
+    store (one client per scheme per task, not per file).
 
     ``verify=False`` is the reference's fire-and-forget copy contract
     (``start_copy_from_url`` launched and never awaited, app/app.py:62-64,
@@ -161,6 +177,7 @@ def execute_plan(
     ok_status = "ok" if verify else "initiated"
     acc_ok = progress._ok if progress is not None else None
     acc_error = progress._error if progress is not None else None
+    fs_factory = filesystem_factory
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained worker closure (stdlib/site-package imports + locals
@@ -168,6 +185,7 @@ def execute_plan(
         import os as _os
         import shutil as _shutil
         import time as _time
+        from urllib.parse import urlsplit as _urlsplit
 
         import pandas as _pd
 
@@ -179,40 +197,135 @@ def execute_plan(
         def local(p: str) -> str:
             return p[5:] if p.startswith("file:") else p
 
+        def scheme_of(p: str) -> str:
+            s = _urlsplit(p).scheme
+            return "" if s == "file" else s
+
+        class _LocalOps:
+            """os/shutil as the handler protocol, so mixed local↔remote
+            pairs stream through one code path."""
+
+            def exists(self, p):
+                return _os.path.exists(local(p))
+
+            def size(self, p):
+                return _os.path.getsize(local(p))
+
+            def mkparents(self, p):
+                _os.makedirs(_os.path.dirname(local(p)) or ".", exist_ok=True)
+
+            def remove(self, p):
+                _os.remove(local(p))
+
+            def open_read(self, p):
+                return open(local(p), "rb")
+
+            def open_write(self, p):
+                return open(local(p), "wb")
+
+        class _ArrowOps:
+            """Generic non-local default: pyarrow.fs resolves the scheme
+            (s3://, gs://, hdfs:// …) per URI. Heavy-client stores should
+            inject a filesystem_factory instead — this default re-resolves
+            per path, which is correct but not tuned."""
+
+            def _pair(self, p):
+                from pyarrow import fs as _pafs
+
+                return _pafs.FileSystem.from_uri(p)
+
+            def _info(self, p):
+                f, rel = self._pair(p)
+                return f.get_file_info(rel)
+
+            def exists(self, p):
+                from pyarrow import fs as _pafs
+
+                return self._info(p).type != _pafs.FileType.NotFound
+
+            def size(self, p):
+                return self._info(p).size
+
+            def mkparents(self, p):
+                f, rel = self._pair(p)
+                parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                if parent:
+                    f.create_dir(parent, recursive=True)
+
+            def remove(self, p):
+                f, rel = self._pair(p)
+                f.delete_file(rel)
+
+            def open_read(self, p):
+                f, rel = self._pair(p)
+                return f.open_input_stream(rel)
+
+            def open_write(self, p):
+                f, rel = self._pair(p)
+                return f.open_output_stream(rel)
+
+        _local_ops = _LocalOps()
+        _handlers: dict[str, object] = {"": _local_ops}
+
+        def ops_for(p: str):
+            s = scheme_of(p)
+            h = _handlers.get(s)
+            if h is None:
+                h = fs_factory(s) if fs_factory is not None else None
+                if h is None:
+                    h = _ArrowOps()
+                _handlers[s] = h
+            return h
+
+        def stream_copy(hs, src, hd, dst):
+            # same-scheme local pairs keep the shutil fast path (sendfile);
+            # everything else streams 1 MiB chunks handler→handler, which
+            # also covers cross-scheme pairs (lake → local staging etc.)
+            if hs is _local_ops and hd is _local_ops:
+                _shutil.copyfile(local(src), local(dst))
+                return
+            with hs.open_read(src) as r, hd.open_write(dst) as w:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    w.write(chunk)
+
         frames = []
         for batch in batches:
             out = []
             for src, dst in zip(batch["source_path"], batch["target_path"]):
                 try:
+                    hsrc = ops_for(src)
                     if do_delete:
                         # idempotent: a retried/re-run delete of an
                         # already-removed source is success, not error
-                        if not _os.path.exists(local(src)):
+                        if not hsrc.exists(src):
                             out.append((src, dst, mode, "ok", "already absent"))
                         else:
-                            _os.remove(local(src))
+                            hsrc.remove(src)
                             out.append((src, dst, mode, "ok", None))
                         continue
                     if dst is None:
                         raise ValueError("no target path (source not found)")
-                    lsrc, ldst = local(src), local(dst)
+                    hdst = ops_for(dst)
                     # idempotent retry: a Spark task retry (or a re-run of
                     # the same plan) may revisit a row whose move already
                     # completed — source gone, target in place is success,
                     # not a spurious FileNotFoundError
-                    if not _os.path.exists(lsrc) and _os.path.exists(ldst):
+                    if not hsrc.exists(src) and hdst.exists(dst):
                         out.append((src, dst, mode, "ok", "already completed"))
                         continue
-                    if not overwrite and _os.path.exists(ldst):
-                        raise FileExistsError(ldst)
+                    if not overwrite and hdst.exists(dst):
+                        raise FileExistsError(dst)
                     # mkdir-if-needed, ref app/main.py:167-172
-                    _os.makedirs(_os.path.dirname(ldst) or ".", exist_ok=True)
-                    _shutil.copyfile(lsrc, ldst)
+                    hdst.mkparents(dst)
+                    stream_copy(hsrc, src, hdst, dst)
                     if do_move:
                         # verified-write gate before delete (SURVEY §7.3.2)
-                        if _os.path.getsize(ldst) != _os.path.getsize(lsrc):
+                        if hdst.size(dst) != hsrc.size(src):
                             raise OSError(f"size mismatch after copy: {dst}")
-                        _os.remove(lsrc)
+                        hsrc.remove(src)
                     out.append((src, dst, mode, ok_status, None))
                 except Exception as exc:  # per-file error-as-status, ref app/main.py:190-192
                     out.append((src, dst, mode, "error", f"{type(exc).__name__}: {exc}"))

@@ -37,7 +37,8 @@ def test_bench_emits_one_compact_json_line_and_sidecar(tmp_path):
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert lines, proc.stderr[-500:]
     summary = json.loads(lines[-1])  # final line IS the summary
-    assert summary["metric"] == "headline_queries_total"
+    assert summary["metric"] == "registry_queries_total"
+    assert "headline_total" in summary  # the r1-r7 comparable series
     assert summary["unit"] == "sec"
     assert summary["queries_timed"] == 2
     assert summary["queries_headline"] == 2

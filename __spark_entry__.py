@@ -96,7 +96,18 @@ CURATED_FIRST = [
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry, and that every queued name actually runs at sf0.001
 #: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = []
+QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    "cumulative_distinct_users",  # new in r8; local parity both SFs
+    "event_order_violations",  # new in r8; local parity both SFs
+    "partition_compaction_plan",  # new in r8; local parity both SFs
+    "token_budget_waterfill",  # new in r8; local parity both SFs
+    "jackknife_mean_quality",  # new in r8; local parity both SFs
+    "markov_two_step_reach",  # new in r8; local parity both SFs
+    "elasticity_by_segment",  # new in r8; local parity both SFs
+    "simplified_silhouette",  # new in r8; local parity both SFs
+    "ql_dirichlet_retrieval",  # new in r8; local parity both SFs
+    "winnowing_fingerprints",  # new in r8; local parity both SFs
+]
 
 
 def _cumulative_green() -> set[str]:

@@ -201,3 +201,88 @@ def tfidf_pairs(
         .where(F.col("tfidf_cosine") >= threshold)
         .select("id_a", "id_b", "tfidf_cosine")
     )
+
+
+# --- query-likelihood language-model retrieval ------------------------------
+
+QL_MU = 2000.0
+
+
+def ql_term_sql(term_idx: int, *, mu: float = QL_MU) -> str:
+    """One term's query-likelihood contribution under Dirichlet smoothing
+    (Zhai & Lafferty 2001, the standard LM retrieval model):
+    ln((tf + μ·cf/|C|) / (dl + μ)). IDENTICAL text runs on Spark SQL and
+    DuckDB. Expects columns ``coll_tokens, dl, tf{i}, cf{i}`` in scope.
+    ``cf`` (collection term frequency) is never 0 for query terms drawn
+    from the corpus vocabulary; a zero-cf term would send the score to
+    -inf on every document equally, so ranking is unaffected either way."""
+    tf, cf = f"tf{term_idx}", f"cf{term_idx}"
+    return (
+        f"ln((CAST({tf} AS DOUBLE) + {mu} * (CAST({cf} AS DOUBLE) /"
+        f" CAST(coll_tokens AS DOUBLE))) / (CAST(dl AS DOUBLE) + {mu}))"
+    )
+
+
+def ql_score_sql(n_terms: int, *, mu: float = QL_MU) -> str:
+    """Σ over the fixed term list, left-associative in list order, rounded
+    to 6 dp before ranking (the bm25_score_sql discipline)."""
+    chain = None
+    for i in range(n_terms):
+        piece = ql_term_sql(i, mu=mu)
+        chain = piece if chain is None else f"({chain}) + ({piece})"
+    return f"round({chain}, 6)"
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = QL_MU,
+) -> DataFrame:
+    """Top-k documents by Dirichlet-smoothed query likelihood — the
+    language-model complement of :func:`bm25_topk` (RRF fusion of the two
+    is the classic hybrid). Same 100 TB shape as BM25: corpus statistics
+    (total token count, one collection frequency per term) are ONE
+    map-side-combined aggregate broadcast onto the scoring scan; the
+    per-document score is codegen column arithmetic; global top-k is
+    TakeOrderedAndProject. The corpus never shuffles."""
+    toks = ensure_parallelism(docs).withColumn(
+        "__toks", F.expr(f"split({text_col}, ' ')")
+    )
+    stats = toks.agg(
+        F.sum(F.size("__toks").cast("long")).cast("long").alias("coll_tokens"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CAST(size(filter(__toks, qlt{i} -> qlt{i} = '{t}'))"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias(f"cf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    perdoc = toks.select(
+        id_col,
+        F.size("__toks").cast("long").alias("dl"),
+        *[
+            F.expr(
+                f"CAST(size(filter(__toks, qld{i} -> qld{i} = '{t}')) AS BIGINT)"
+            ).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats)).select(
+        id_col, F.expr(ql_score_sql(len(terms), mu=mu)).alias("score")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.col(id_col).cast("long"), "score", F.col("rnk").cast("int")
+    )

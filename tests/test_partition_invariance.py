@@ -128,6 +128,17 @@ QUERIES_UNDER_TEST = [
     "embedding_dim_quantile_clip",
     "purchase_decile_lift",
     "seasonal_adjusted_anomalies",
+    # r8 pipeline tier: micro-rounded two-step Markov terms summed
+    # order-free, micro-quantized silhouettes over fixed-point
+    # centroids, decimal38 per-segment moment rows, integer jackknife
+    # influences, all-integer water-filling windows, and per-row HOF
+    # winnowing (checksums are order-free integer folds)
+    "markov_two_step_reach",
+    "simplified_silhouette",
+    "elasticity_by_segment",
+    "jackknife_mean_quality",
+    "token_budget_waterfill",
+    "winnowing_fingerprints",
 ]
 
 

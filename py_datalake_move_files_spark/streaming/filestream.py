@@ -841,3 +841,79 @@ def changepoint_from_state(spark, state_path: str) -> DataFrame:
     )
 
     return changepoint_over_daily(daily_counts_from_state(spark, state_path))
+
+
+def foreach_batch_first_touch_ingest(
+    stream: DataFrame,
+    checkpoint_path: str,
+    *,
+    state_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Streaming FIRST-TOUCH ingest — the incremental feed for
+    ``cumulative_distinct_users``: each micro-batch appends (a) one
+    min-first-day cell per user seen in the batch and (b) one
+    day-presence cell per event day, stamped with batch_id, in ONE
+    parquet write. Both cell kinds are mergeable monoids (min for first
+    days; set-union for the day grid), so any reader folding the batch
+    partials equals the one-shot batch aggregate over the same events —
+    the transition/daily-count ingest discipline. Replay safety: a
+    redelivered batch re-appends identical (batch_id, kind, key, d) rows
+    and readers collapse duplicates before merging. State size is
+    O(users + days·batches); never event-sized."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        users = (
+            batch_df.groupBy(F.col(user_col).alias("key"))
+            .agg(F.min(F.date_trunc("day", ts_col)).alias("d"))
+            .select(F.lit("u").alias("kind"), "key", "d")
+        )
+        days = (
+            batch_df.select(F.date_trunc("day", ts_col).alias("d"))
+            .distinct()
+            .select(F.lit("d").alias("kind"), F.lit(0).cast("long").alias("key"), "d")
+        )
+        users.unionByName(days).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+
+
+def cumulative_distinct_users_from_state(spark, state_path: str) -> DataFrame:
+    """Serve the running-distinct-users series from the streamed
+    first-touch state — the incremental twin of the batch
+    ``cumulative_distinct_users`` query: collapse replays by
+    (batch_id, kind, key, d), merge per-user first days with min across
+    batches, count first-touches per day over the streamed day grid, and
+    run the same calendar-bounded prefix sum. After any full drain the
+    streaming answer equals the batch answer row for row."""
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(state_path).dropDuplicates(
+        ["batch_id", "kind", "key", "d"]
+    )
+    first = (
+        raw.where(F.col("kind") == "u")
+        .groupBy("key")
+        .agg(F.min("d").alias("d0"))
+    )
+    nu = first.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    grid = raw.where(F.col("kind") == "d").select("d").distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(nu, "d", "left")
+        .select("d", F.coalesce("new_users", F.lit(0)).alias("nu"))
+        .select(
+            F.col("d").cast("date").alias("day"),
+            F.col("nu").cast("long").alias("new_users"),
+            F.sum("nu").over(w).cast("long").alias("cum_users"),
+        )
+    )

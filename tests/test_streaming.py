@@ -633,3 +633,60 @@ def test_watermark_drops_straggler_after_window_eviction(spark, tmp_path):
     ]
     # exactly one emission of the 09:00 window, straggler excluded
     assert nine == [3]
+
+
+def test_streaming_first_touch_matches_batch(spark, sf_small, tmp_path):
+    """First-touch ingest + reader: after a full availableNow drain over
+    the events corpus (multiple file batches), the streamed
+    cumulative-distinct-users series must equal the batch
+    cumulative_distinct_users query row for row — the first-touch min and
+    the day grid are both mergeable monoids. A simulated at-least-once
+    REPLAY (re-appending one batch's cells verbatim) must not change the
+    answer."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+    from py_datalake_move_files_spark.streaming.filestream import (
+        cumulative_distinct_users_from_state,
+        file_arrival_stream,
+        foreach_batch_first_touch_ingest,
+    )
+
+    src = tmp_path / "in"
+    ev = _events_files(spark, sf_small, str(src))
+    state = str(tmp_path / "state")
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", ev.schema, max_files_per_trigger=1
+    )
+    q = foreach_batch_first_touch_ingest(
+        stream, str(tmp_path / "ckpt"), state_path=state
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = [
+        tuple(r)
+        for r in QUERIES["cumulative_distinct_users"](spark, sf_small)
+        .orderBy("day")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in cumulative_distinct_users_from_state(spark, state)
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == want
+
+    # at-least-once replay: duplicate one batch's rows verbatim
+    raw = spark.read.parquet(state)
+    first = raw.where(
+        F.col("batch_id") == raw.agg(F.min("batch_id")).collect()[0][0]
+    )
+    first.write.mode("append").parquet(state)
+    again = [
+        tuple(r)
+        for r in cumulative_distinct_users_from_state(spark, state)
+        .orderBy("day")
+        .collect()
+    ]
+    assert again == want

@@ -107,6 +107,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "simplified_silhouette",  # new in r8; local parity both SFs
     "ql_dirichlet_retrieval",  # new in r8; local parity both SFs
     "winnowing_fingerprints",  # new in r8; local parity both SFs
+    "mmr_rerank_retrieval",  # new in r8; local parity both SFs
 ]
 
 

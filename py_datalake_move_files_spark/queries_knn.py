@@ -35,13 +35,15 @@ from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.operators import similarity as SIM
 from py_datalake_move_files_spark.oracle_frags import dd_cosine
-from py_datalake_move_files_spark.oracle_ivf import N_PROBE, ivf_prelude
+from py_datalake_move_files_spark.oracle_ivf import N_PROBE
+from py_datalake_move_files_spark.oracle_knn import (  # leaf module: the
+    KNN_EDGES_CTE as _KNN_EDGES_CTE,  # fragments are shared with
+    KNN_K,  # queries_mining's graph queries without a circular import
+    KNN_LISTS,
+    KNN_PRELUDE as _KNN_PRELUDE,
+    UND_DEG_DED_CTE as _UND_DEG_DED_CTE,
+)
 from py_datalake_move_files_spark.queries import _t, register
-
-KNN_K = 5
-KNN_LISTS = 16
-
-_KNN_PRELUDE = ivf_prelude(KNN_LISTS)
 
 
 def _knn_centroids(spark, sf_dir: str):
@@ -51,34 +53,6 @@ def _knn_centroids(spark, sf_dir: str):
     from py_datalake_move_files_spark.queries_ivf import _centroids
 
     return _centroids(spark, sf_dir, n_lists=KNN_LISTS)
-
-#: shared oracle chain: every vector probes its N_PROBE nearest lists,
-#: candidates join the (rn = 1) assignment on list_id, rounded cosine,
-#: per-query top-k with ties to the lowest neighbor id — mirroring
-#: operators/similarity.knn_graph step for step
-_KNN_EDGES_CTE = f""",
-probes AS (
-  SELECT vec_id AS query_id, embedding AS q_vec, cid AS list_id FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-    FROM sc
-  ) WHERE rn <= {N_PROBE}
-),
-scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-    {dd_cosine('p.q_vec', 'a.embedding')} AS cosine_sim
-  FROM probes p JOIN asg a USING (list_id)
-  WHERE a.vec_id <> p.query_id
-),
-edges AS (
-  SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rnk FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-    FROM scored
-  ) WHERE rn <= {KNN_K}
-)
-"""
-
 
 def _knn_edges(spark, sf_dir):
     """The kNN graph, built ONCE per (embeddings snapshot, graph params)
@@ -372,31 +346,6 @@ def _und_deg_ded(spark, sf_dir):
 
 
 # --- triangle census / clustering coefficient over the kNN graph ----------
-
-#: shared undirected-graph chain: distinct undirected edges, degrees from
-#: one union-all count, and every edge DIRECTED from its lower-(degree, id)
-#: endpoint — the degree-ordered node-iterator frame that the triangle
-#: census, the per-node clustering coefficient, and (und/deg only) the
-#: assortativity audit all consume.
-_UND_DEG_DED_CTE = """,
-und AS (
-  SELECT DISTINCT least(query_id, neighbor_id) AS u,
-                  greatest(query_id, neighbor_id) AS v
-  FROM edges
-),
-deg AS (
-  SELECT node, count(*) AS dg FROM (
-    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
-  ) GROUP BY node
-),
-ded AS (
-  SELECT
-    CASE WHEN a.dg <= b.dg THEN e.u ELSE e.v END AS lo,
-    CASE WHEN a.dg <= b.dg THEN e.v ELSE e.u END AS hi,
-    CASE WHEN a.dg <= b.dg THEN b.dg ELSE a.dg END AS hid
-  FROM und e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node
-)
-"""
 
 _TRI_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + _UND_DEG_DED_CTE + """,
 tri AS (

@@ -648,10 +648,10 @@ _LINK_TOP = 20
 
 
 def _link_oracle() -> str:
-    from py_datalake_move_files_spark.queries_knn import (
-        _KNN_EDGES_CTE,
-        _KNN_PRELUDE,
-        _UND_DEG_DED_CTE,
+    from py_datalake_move_files_spark.oracle_knn import (
+        KNN_EDGES_CTE as _KNN_EDGES_CTE,
+        KNN_PRELUDE as _KNN_PRELUDE,
+        UND_DEG_DED_CTE as _UND_DEG_DED_CTE,
     )
 
     return (
@@ -1152,10 +1152,10 @@ _RC_MAX_T = 12
 
 
 def _rich_club_oracle() -> str:
-    from py_datalake_move_files_spark.queries_knn import (
-        _KNN_EDGES_CTE,
-        _KNN_PRELUDE,
-        _UND_DEG_DED_CTE,
+    from py_datalake_move_files_spark.oracle_knn import (
+        KNN_EDGES_CTE as _KNN_EDGES_CTE,
+        KNN_PRELUDE as _KNN_PRELUDE,
+        UND_DEG_DED_CTE as _UND_DEG_DED_CTE,
     )
 
     return (
@@ -2153,10 +2153,10 @@ _BFS_HOPS = 4
 
 
 def _hop_oracle() -> str:
-    from py_datalake_move_files_spark.queries_knn import (
-        _KNN_EDGES_CTE,
-        _KNN_PRELUDE,
-        _UND_DEG_DED_CTE,
+    from py_datalake_move_files_spark.oracle_knn import (
+        KNN_EDGES_CTE as _KNN_EDGES_CTE,
+        KNN_PRELUDE as _KNN_PRELUDE,
+        UND_DEG_DED_CTE as _UND_DEG_DED_CTE,
     )
 
     # every chain CTE is MATERIALIZED: r{k} references r{k-1} two or

@@ -889,3 +889,208 @@ def q_winnowing_fingerprints(spark, sf_dir):
         .alias("fp_checksum"),
         F.array_min("__fps").cast("long").alias("min_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diverse re-ranking over the BM25 candidates
+# --------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_K = 10
+MMR_CANDIDATES = 20
+_MMR_TERMS = ("spark", "merge", "vector")  # the BM25/QL fixed query
+
+
+#: the greedy objective — ONE text: Spark F.expr and the DuckDB chain use
+#: it verbatim, so the double arithmetic cannot diverge
+_MMR_OBJECTIVE = (
+    f"round({MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 10)}"
+    " * (ms / 1000000.0), 6)"
+)
+
+
+def _mmr_chain_sql(k: int) -> str:
+    """The UNROLLED greedy MMR chain for the DUCKDB oracle (DuckDB
+    materializes multiply-referenced CTEs, so the chain stays linear;
+    Spark INLINES CTEs at analysis, which makes this same text grow
+    3^k subtrees and OOM the driver — the Spark side therefore runs the
+    identical greedy as a k-step DataFrame loop with per-step lineage
+    cuts instead, sharing ``_MMR_OBJECTIVE`` textually).
+    Expects two tables in scope: ``cand(doc_id, rel)`` (top-C candidates,
+    rel = round-6 BM25) and ``sim(a, b, j_ppm)`` (every ordered candidate
+    pair's token-Jaccard in integer ppm). Step i picks the argmax of
+    λ·rel − (1−λ)·max-sim-to-selected with a doc_id tie-break."""
+    # every sel{i} is MATERIALIZED (the knn_hop_histogram oracle device):
+    # each step references the previous selection THREE times (IN, NOT IN,
+    # UNION ALL), so without materialization DuckDB inlines the chain into
+    # a 3^k-subtree expression that re-opens the parquet per leaf
+    parts = [
+        "WITH pick1 AS (SELECT doc_id, rel AS mmr_score FROM cand"
+        " ORDER BY rel DESC, doc_id LIMIT 1),",
+        "sel1 AS MATERIALIZED (SELECT doc_id, mmr_score, 1 AS rnk FROM pick1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        parts.append(
+            f", scored{i} AS ("
+            f" SELECT c.doc_id, c.rel, max(s.j_ppm) AS ms"
+            f" FROM cand c JOIN sim s ON s.a = c.doc_id"
+            f" AND s.b IN (SELECT doc_id FROM {prev})"
+            f" WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})"
+            f" GROUP BY c.doc_id, c.rel)"
+            f", pick{i} AS (SELECT doc_id,"
+            f" {_MMR_OBJECTIVE} AS mmr_score"
+            f" FROM scored{i} ORDER BY mmr_score DESC, doc_id LIMIT 1)"
+            f", sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL"
+            f" SELECT doc_id, mmr_score, {i} AS rnk FROM pick{i})"
+        )
+    parts.append(
+        f" SELECT CAST(doc_id AS BIGINT) AS doc_id, mmr_score,"
+        f" CAST(rnk AS INT) AS rnk FROM sel{k}"
+    )
+    return "\n".join(parts)
+
+
+def _bm25_cand_oracle() -> str:
+    """DuckDB top-C BM25 candidates — regenerated locally from the leaf
+    operators/retrieval fragments (entry modules must not import each
+    other's preludes; tests/test_imports.py pins the rule)."""
+    from py_datalake_move_files_spark.operators.retrieval import bm25_score_sql
+
+    stats = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(string_split(text, ' '), '{t}')"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_MMR_TERMS)
+    )
+    tf = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), mmt{i} ->"
+        f" mmt{i} = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_MMR_TERMS)
+    )
+    return f"""
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS avgdl,
+    {stats}
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, {tf}
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, {bm25_score_sql(len(_MMR_TERMS))} AS rel
+  FROM perdoc CROSS JOIN stats
+  ORDER BY rel DESC, doc_id LIMIT {MMR_CANDIDATES}
+),
+toks AS MATERIALIZED (
+  SELECT d.doc_id, list_distinct(string_split(d.text, ' ')) AS ts
+  FROM documents d JOIN cand c ON d.doc_id = c.doc_id
+),
+sim AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(len(list_intersect(a.ts, b.ts)) * 1000000
+      // len(list_distinct(list_concat(a.ts, b.ts))) AS BIGINT) AS j_ppm
+  FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+)
+"""
+
+
+_MMR_ORACLE = (
+    "WITH "
+    + _bm25_cand_oracle().strip()
+    + ",\n"
+    + _mmr_chain_sql(MMR_K).removeprefix("WITH ")
+)
+
+
+@register("mmr_rerank_retrieval", _MMR_ORACLE)
+def q_mmr_rerank_retrieval(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily select k={k} of the top-{c} BM25 candidates maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversity-aware final stage of a retrieval pipeline (near-duplicate
+    hits waste context-window slots; MMR spends them on NEW information).
+
+    Exactness: relevance is the round-6 BM25 chain; pair similarity is
+    integer token-Jaccard ppm; each greedy step's objective is the ONE
+    shared double expression ``_MMR_OBJECTIVE`` with a doc_id tie-break.
+    The oracle runs the greedy as an unrolled CTE chain; Spark runs the
+    IDENTICAL greedy as a k-step loop over the ≤C-row frames with a
+    lineage cut per step (Spark inlines CTEs at analysis, so the chained
+    text grows 3^k subtrees there — the loop is the same algorithm with
+    a linear plan).
+
+    100 TB shape: the corpus is touched twice (one zero-shuffle BM25
+    scoring scan → TakeOrderedAndProject top-C; one broadcast semi join
+    to fetch C candidate token sets); everything after — the C² sim
+    pairs and k argmax steps — runs on ≤C-row frames, constant work at
+    any corpus size."""
+    from py_datalake_move_files_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = bm25_topk(docs, _MMR_TERMS, k=MMR_CANDIDATES).select(
+        "doc_id", F.col("score").alias("rel")
+    )
+    toks = (
+        docs.join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(F.split("text", " ")).alias("ts"),
+        )
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), F.col("ts").alias("tsa"))
+    tb = toks.select(F.col("doc_id").alias("b"), F.col("ts").alias("tsb"))
+    sim = (
+        ta.crossJoin(F.broadcast(tb))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(size(array_intersect(tsa, tsb)) * 1000000"
+                " DIV size(array_distinct(concat(tsa, tsb))) AS BIGINT)"
+            ).alias("j_ppm"),
+        )
+        .localCheckpoint(eager=True)  # C² tiny rows; cut so each greedy
+        # step reuses them instead of re-deriving the BM25 scan per step
+    )
+    cand = cand.localCheckpoint(eager=True)
+    sel = (
+        cand.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(1)
+        .select(
+            "doc_id",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("rnk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, MMR_K + 1):
+        picked = sel.select("doc_id")
+        scored = (
+            cand.join(picked, "doc_id", "left_anti")
+            .join(
+                sim.join(
+                    F.broadcast(picked.withColumnRenamed("doc_id", "b")), "b"
+                )
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.max("j_ppm").alias("ms")),
+                "doc_id",
+            )
+        )
+        pick = (
+            scored.select(
+                "doc_id", F.expr(_MMR_OBJECTIVE).alias("mmr_score")
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("doc_id"))
+            .limit(1)
+            .select("doc_id", "mmr_score", F.lit(i).alias("rnk"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("doc_id").cast("long"),
+        "mmr_score",
+        F.col("rnk").cast("int"),
+    )

@@ -22,6 +22,12 @@ MODULES = [
     "queries_pq",
     "queries_tpch",
     "queries_scale",
+    "queries_retrieval",
+    "queries_knn",
+    "queries_insights",
+    "queries_stats",
+    "queries_mining",
+    "queries_pipeline",
     "oracle_ivf",
 ]
 

@@ -139,6 +139,9 @@ QUERIES_UNDER_TEST = [
     "jackknife_mean_quality",
     "token_budget_waterfill",
     "winnowing_fingerprints",
+    # round-6-quantized greedy argmax chain over checkpointed <=C-row
+    # frames (ties broken on doc_id at every step)
+    "mmr_rerank_retrieval",
 ]
 
 

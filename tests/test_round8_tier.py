@@ -413,3 +413,73 @@ def test_winnowing_matches_python_and_covers_every_window(spark):
         ]
         for i in range(max(1, len(gh) - 3)):
             assert fpset & set(gh[i : i + 4]), "window without fingerprint"
+
+
+# --------------------------------------------------------------------------
+# mmr_rerank_retrieval
+# --------------------------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy(spark):
+    """Full Python re-derivation: BM25 scores → top-20 candidates →
+    integer token-Jaccard ppm → greedy λ·rel − (1−λ)·max-sim selection
+    with doc_id tie-breaks, step by step."""
+    from py_datalake_move_files_spark.queries_pipeline import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA,
+        _MMR_TERMS,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        t: sum(1 for tok in toks.values() if t in tok) for t in _MMR_TERMS
+    }
+
+    def bm25(did):
+        s = None
+        dl = len(toks[did])
+        for t in _MMR_TERMS:
+            tf = toks[did].count(t)
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            term = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+            s = term if s is None else s + term
+        return round(s, 6)
+
+    cand = sorted(
+        ((bm25(d), d) for d in toks), key=lambda x: (-x[0], x[1])
+    )[:MMR_CANDIDATES]
+    rel = {d: s for s, d in cand}
+    sets = {d: set(toks[d]) for d in rel}
+
+    def jppm(a, b):
+        return len(sets[a] & sets[b]) * 1_000_000 // len(sets[a] | sets[b])
+
+    selected = []
+    first = max(rel, key=lambda d: (rel[d], -d))  # max rel, min doc_id tie
+    first = sorted(rel, key=lambda d: (-rel[d], d))[0]
+    selected.append((first, rel[first]))
+    while len(selected) < MMR_K:
+        best = None
+        for d in rel:
+            if any(d == s for s, _ in selected):
+                continue
+            ms = max(jppm(d, s) for s, _ in selected)
+            score = round(
+                MMR_LAMBDA * rel[d] - round(1 - MMR_LAMBDA, 10) * (ms / 1_000_000.0), 6
+            )
+            if best is None or (score, -d) > (best[1], -best[0]):
+                best = (d, score)
+        selected.append(best)
+    got = sorted(
+        QUERIES["mmr_rerank_retrieval"](spark, SF_SMALL).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["doc_id"], r["mmr_score"]) for r in got] == [
+        (d, pytest.approx(s, abs=2e-6)) for d, s in selected
+    ]

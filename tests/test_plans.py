@@ -319,3 +319,44 @@ def test_truncated_recall_broadcasts_probes_never_shuffles_corpus(spark):
     plan = _plan(spark, "truncated_dim_recall")
     assert len(re.findall(r"BroadcastExchange", plan)) >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ql_scoring_scan_never_shuffles(spark):
+    # the BM25 shape: one single-partition stats row broadcast onto a
+    # codegen scoring scan, TakeOrderedAndProject top-k, zero hash
+    # exchanges anywhere (operators/retrieval.ql_dirichlet_topk)
+    plan = _plan(spark, "ql_dirichlet_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_winnowing_is_map_only(spark):
+    # tokens -> grams -> hashes -> window minima -> distinct are all
+    # per-row HOF projections: no KEYED exchange at any scale (the one
+    # RoundRobin repartition is ensure_parallelism's small-input guard,
+    # which no-ops on inputs with enough splits)
+    plan = _plan(spark, "winnowing_fingerprints")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_waterfill_windows_run_on_pool_frame_only(spark):
+    # the corpus is touched by ONE map-side-combined (lang, source)
+    # token-count aggregate; every window after runs on the pool frame
+    plan = _plan(spark, "token_budget_waterfill")
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, f"waterfill corpus should shuffle once, got {n_ex}"
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_square_joins_only_the_count_matrix(spark):
+    # the pair join and row-sum joins run on the <=|event_type|^2 count
+    # matrix with broadcast row sums — events are shuffled once for the
+    # per-user lag window and once for the (a, b) count
+    plan = _plan(spark, "markov_two_step_reach")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -108,6 +108,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "ql_dirichlet_retrieval",  # new in r8; local parity both SFs
     "winnowing_fingerprints",  # new in r8; local parity both SFs
     "mmr_rerank_retrieval",  # new in r8; local parity both SFs
+    "consistent_hash_shards",  # new in r8; local parity both SFs
+    "quantile_normalize_lengths",  # new in r8; local parity both SFs
 ]
 
 

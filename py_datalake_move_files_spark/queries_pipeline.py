@@ -1094,3 +1094,143 @@ def q_mmr_rerank_retrieval(spark, sf_dir):
         "mmr_score",
         F.col("rnk").cast("int"),
     )
+
+
+# --------------------------------------------------------------------------
+# rendezvous (highest-random-weight) sharding
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+_HRW_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(range(0, {N_SHARDS}),
+      s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)))
+      AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_position(hs, list_max(hs)) - 1 AS INT) AS shard
+FROM h
+"""
+
+
+@register("consistent_hash_shards", _HRW_ORACLE)
+def q_consistent_hash_shards(spark, sf_dir):
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1996): every document goes to the shard with the LARGEST
+    md5(doc_id:shard) weight. The minimal-disruption property — removing
+    a shard moves ONLY that shard's documents (each survivor keeps its
+    argmax), unlike mod-N where ~(N−1)/N of ALL keys move — is what a
+    growing shard fleet needs, and is pinned by a drop-one test.
+
+    Pure per-row column math (one N_SHARDS-element HOF per row), zero
+    shuffles at any scale; md5 hex strings compare identically
+    (lexicographic ASCII) in both engines, ties impossible."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return docs.withColumn(
+        "__hrw",
+        F.expr(
+            f"transform(sequence(0, {N_SHARDS - 1}), s ->"
+            " md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(s AS STRING))))"
+        ),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(array_position(__hrw, array_max(__hrw)) - 1 AS INT)"
+        ).alias("shard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-source quantile normalization
+# --------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+         ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+    CAST(count(*) OVER () AS BIGINT) AS nn
+  FROM documents
+),
+hist AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM documents
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM hist
+),
+tgt AS (
+  SELECT doc_id, source, n_chars,
+    (rn * nn + ns - 1) // ns AS idx
+  FROM ranked
+)
+SELECT t.doc_id, t.source, t.n_chars,
+  CAST(c.v AS BIGINT) AS norm_chars
+FROM tgt t JOIN cum c ON c.cc - c.c < t.idx AND t.idx <= c.cc
+"""
+
+
+@register("quantile_normalize_lengths", _QNORM_ORACLE)
+def q_quantile_normalize_lengths(spark, sf_dir):
+    """Cross-source quantile normalization of document lengths — map each
+    document's WITHIN-SOURCE rank onto the POOLED length distribution at
+    the same relative rank (nearest-rank, ceil((rn·N)/ns) in pure
+    integers). The batch-effect corrector: after it, every source has the
+    same length distribution, so a length-based quality gate cannot
+    systematically starve one source.
+
+    Scale devices: the per-source rank window shuffles on the natural
+    source key; the pooled distribution is NOT a corpus-sized global
+    sort but a DOMAIN-BOUNDED cumulative histogram (one row per distinct
+    length), and the rank→value lookup is a broadcast range join of each
+    doc's target index into that tiny histogram — the unpartitioned
+    window only ever sees |distinct lengths| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("ns"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("nn"),
+    )
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.select(
+        "v",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cc"),
+    )
+    tgt = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(rn * nn + ns - 1) DIV ns").alias("idx"),
+    )
+    return tgt.join(
+        F.broadcast(cum),
+        (F.col("cc") - F.col("c") < F.col("idx"))
+        & (F.col("idx") <= F.col("cc")),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("v").cast("long").alias("norm_chars"),
+    )

@@ -142,6 +142,9 @@ QUERIES_UNDER_TEST = [
     # round-6-quantized greedy argmax chain over checkpointed <=C-row
     # frames (ties broken on doc_id at every step)
     "mmr_rerank_retrieval",
+    # md5-argmax shard assignment; integer rank->histogram-value lookup
+    "consistent_hash_shards",
+    "quantile_normalize_lengths",
 ]
 
 

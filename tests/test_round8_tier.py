@@ -483,3 +483,71 @@ def test_mmr_matches_python_greedy(spark):
     assert [(r["doc_id"], r["mmr_score"]) for r in got] == [
         (d, pytest.approx(s, abs=2e-6)) for d, s in selected
     ]
+
+
+# --------------------------------------------------------------------------
+# consistent_hash_shards
+# --------------------------------------------------------------------------
+
+
+def test_hrw_matches_python_and_minimal_disruption(spark):
+    """Per-doc argmax recount, plus the rendezvous property that justifies
+    the operator: dropping one shard moves ONLY that shard's documents
+    (every other document keeps its argmax)."""
+    import hashlib
+
+    from py_datalake_move_files_spark.queries_pipeline import N_SHARDS
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id").collect()
+
+    def weights(did, n):
+        return [
+            hashlib.md5(f"{did}:{s}".encode()).hexdigest() for s in range(n)
+        ]
+
+    want = {}
+    for r in docs:
+        hs = weights(r["doc_id"], N_SHARDS)
+        want[r["doc_id"]] = hs.index(max(hs))
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in QUERIES["consistent_hash_shards"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # minimal disruption: recompute with the LAST shard removed
+    for did, shard in want.items():
+        hs = weights(did, N_SHARDS - 1)
+        new_shard = hs.index(max(hs))
+        if shard != N_SHARDS - 1:
+            assert new_shard == shard, "survivor document moved"
+
+
+# --------------------------------------------------------------------------
+# quantile_normalize_lengths
+# --------------------------------------------------------------------------
+
+
+def test_quantile_normalization_matches_python(spark):
+    """Recount: each doc's within-source rank maps to the pooled sorted
+    value at ceil(rn*N/ns); after normalization every source's value
+    multiset is a nearest-rank resample of the pooled distribution."""
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    pooled = sorted(r["n_chars"] for r in docs)
+    nn = len(pooled)
+    per = defaultdict(list)
+    for r in docs:
+        per[r["source"]].append((r["n_chars"], r["doc_id"]))
+    want = {}
+    for src, rows in per.items():
+        rows.sort()
+        ns = len(rows)
+        for rn, (_, did) in enumerate(rows, start=1):
+            idx = (rn * nn + ns - 1) // ns  # 1-based pooled index
+            want[did] = pooled[idx - 1]
+    got = {
+        r["doc_id"]: r["norm_chars"]
+        for r in QUERIES["quantile_normalize_lengths"](spark, SF_SMALL).collect()
+    }
+    assert got == want

@@ -1149,13 +1149,25 @@ def q_consistent_hash_shards(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _QNORM_ORACLE = """
-WITH ranked AS (
-  SELECT doc_id, source, n_chars,
-    CAST(row_number() OVER (PARTITION BY source
-         ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
-    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
-    CAST(count(*) OVER () AS BIGINT) AS nn
-  FROM documents
+WITH sh AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+scum AS (
+  SELECT source, v, c,
+    CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT)
+      AS below,
+    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM sh
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+    s.below + CAST(row_number() OVER (PARTITION BY d.source, d.n_chars
+         ORDER BY d.doc_id) AS BIGINT) AS rn,
+    s.ns,
+    CAST((SELECT count(*) FROM documents) AS BIGINT) AS nn
+  FROM documents d JOIN scum s ON d.source = s.source AND d.n_chars = s.v
 ),
 hist AS (
   SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c FROM documents
@@ -1186,24 +1198,48 @@ def q_quantile_normalize_lengths(spark, sf_dir):
     same length distribution, so a length-based quality gate cannot
     systematically starve one source.
 
-    Scale devices: the per-source rank window shuffles on the natural
-    source key; the pooled distribution is NOT a corpus-sized global
-    sort but a DOMAIN-BOUNDED cumulative histogram (one row per distinct
-    length), and the rank→value lookup is a broadcast range join of each
-    doc's target index into that tiny histogram — the unpartitioned
-    window only ever sees |distinct lengths| rows."""
+    Scale devices: the within-source rank is NOT one
+    row_number-per-source window (one reducer per source = giant-
+    partition skew when a source owns half the corpus) — it decomposes
+    into a per-(source, length) COUNT histogram (map-side combined),
+    a per-source cumulative over the DOMAIN-BOUNDED length frame, and a
+    row_number only WITHIN each (source, length) tie group (fine-grained
+    keys). The pooled distribution is likewise a domain-bounded
+    cumulative histogram, and the rank→value lookup is a broadcast range
+    join of each doc's target index into that tiny histogram — no
+    corpus-sized sort or single-reducer window anywhere."""
     docs = _t(spark, sf_dir, "documents")
-    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id",
+    sh = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wsv = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scum = sh.select(
         "source",
-        "n_chars",
-        F.row_number().over(wsrc).cast("long").alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("source"))
-        .cast("long")
-        .alias("ns"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("nn"),
+        "v",
+        (F.sum("c").over(wsv) - F.col("c")).cast("long").alias("below"),
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias("ns"),
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    wtie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    ranked = (
+        docs.join(
+            F.broadcast(scum),
+            (docs.source == scum.source) & (docs.n_chars == scum.v),
+        )
+        .drop(scum.source)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("below") + F.row_number().over(wtie).cast("long")).alias(
+                "rn"
+            ),
+            "ns",
+            "nn",
+        )
     )
     hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")

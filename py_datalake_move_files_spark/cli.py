@@ -91,6 +91,30 @@ def _build_parser() -> argparse.ArgumentParser:
         help="exit 2 if any rule reports violations (admission-gate mode)",
     )
 
+    d = sub.add_parser(
+        "dedup",
+        help="duplicate report over the documents table (exact or near-dup)",
+    )
+    d.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
+    d.add_argument(
+        "--mode",
+        choices=["exact", "minhash", "simhash"],
+        default="exact",
+        help="exact hash groups, MinHash-LSH near-dups, or SimHash near-dups",
+    )
+    d.add_argument(
+        "--output",
+        help="write the full pair/cluster report as parquet instead of printing",
+    )
+    d.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="replace an existing --output directory (default: refuse)",
+    )
+    d.add_argument(
+        "--limit", type=int, default=20, help="rows to print (display mode)"
+    )
+
     s = sub.add_parser(
         "sql",
         help="run ANSI SQL over the lake tables (registered as temp views)",
@@ -315,6 +339,29 @@ def cmd_sql(spark, args) -> int:
     return 0
 
 
+def cmd_dedup(spark, args) -> int:
+    """Duplicate report over `documents`: the LLM-curation tier as a one-
+    command product surface. `exact` groups identical texts (md5 groupBy),
+    `minhash` reports MinHash-LSH near-dup pairs, `simhash` reports banded
+    SimHash pairs — the same registry queries the driver verifies, so the
+    CLI output is oracle-checked by construction."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    name = {
+        "exact": "dedup_exact",
+        "minhash": "dedup_minhash_lsh",
+        "simhash": "simhash_dup_pairs",
+    }[args.mode]
+    df = QUERIES[name](spark, args.sf_dir)
+    if args.output:
+        mode = "overwrite" if args.overwrite else "errorifexists"
+        df.write.mode(mode).parquet(args.output)
+        print(f"wrote {args.output} ({args.mode}: {df.count()} rows)")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def _execute_with_progress(spark, plan, *, mode: str, dry_run: bool):
     """execute_plan plus the reference's running tally (app/main.py:280-303):
     a reporter thread prints accumulator-backed ok/error counts once a second
@@ -372,6 +419,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_audit(spark, args)
         if args.cmd == "sql":
             return cmd_sql(spark, args)
+        if args.cmd == "dedup":
+            return cmd_dedup(spark, args)
         return cmd_move(spark, args)
     except Exception as exc:  # one clean line instead of a JVM traceback
         msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__

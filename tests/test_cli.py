@@ -213,3 +213,29 @@ def test_cli_sql_bad_statement_fails_cleanly(tmp_path):
     )
     assert r.returncode != 0
     assert "error:" in r.stderr  # one clean line, not a JVM traceback
+
+
+def test_cli_dedup_exact_and_near(tmp_path):
+    """The dedup subcommand surfaces the curation-tier registry queries:
+    exact mode prints, minhash mode writes parquet, and --output refuses
+    to clobber without --overwrite."""
+    out = tmp_path / "pairs"
+    r = _run(
+        ["dedup", "--sf-dir", "/root/testdata/sf0.001",
+         "--mode", "exact", "--limit", "3"]
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "+" in r.stdout  # a rendered table
+
+    r = _run(
+        ["dedup", "--sf-dir", "/root/testdata/sf0.001",
+         "--mode", "minhash", "--output", str(out)]
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert out.exists()
+
+    r = _run(
+        ["dedup", "--sf-dir", "/root/testdata/sf0.001",
+         "--mode", "minhash", "--output", str(out)]
+    )
+    assert r.returncode == 1  # errorifexists without --overwrite

@@ -110,6 +110,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "mmr_rerank_retrieval",  # new in r8; local parity both SFs
     "consistent_hash_shards",  # new in r8; local parity both SFs
     "quantile_normalize_lengths",  # new in r8; local parity both SFs
+    "prf_query_expansion",  # new in r8; local parity both SFs
+    "seasonal_naive_backtest",  # new in r8; local parity both SFs
 ]
 
 

@@ -951,7 +951,7 @@ def _mmr_chain_sql(k: int) -> str:
     return "\n".join(parts)
 
 
-def _bm25_cand_oracle() -> str:
+def _bm25_cand_oracle(limit: int = MMR_CANDIDATES) -> str:
     """DuckDB top-C BM25 candidates — regenerated locally from the leaf
     operators/retrieval fragments (entry modules must not import each
     other's preludes; tests/test_imports.py pins the rule)."""
@@ -982,7 +982,7 @@ perdoc AS (
 cand AS MATERIALIZED (
   SELECT doc_id, {bm25_score_sql(len(_MMR_TERMS))} AS rel
   FROM perdoc CROSS JOIN stats
-  ORDER BY rel DESC, doc_id LIMIT {MMR_CANDIDATES}
+  ORDER BY rel DESC, doc_id LIMIT {limit}
 ),
 toks AS MATERIALIZED (
   SELECT d.doc_id, list_distinct(string_split(d.text, ' ')) AS ts
@@ -1269,4 +1269,165 @@ def q_quantile_normalize_lengths(spark, sf_dir):
         "source",
         "n_chars",
         F.col("v").cast("long").alias("norm_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion (RM1-lite)
+# --------------------------------------------------------------------------
+
+PRF_FEEDBACK_DOCS = 5
+PRF_TOPK = 10
+
+_PRF_ORACLE = (
+    "WITH "
+    + _bm25_cand_oracle(PRF_FEEDBACK_DOCS).strip()
+    + f""",
+tok AS (
+  SELECT d.doc_id, len(string_split(d.text, ' ')) AS dl,
+    unnest(string_split(d.text, ' ')) AS token
+  FROM documents d JOIN cand c ON d.doc_id = c.doc_id
+),
+tfd AS (
+  SELECT token, doc_id, CAST(any_value(dl) AS BIGINT) AS dl,
+    CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY token, doc_id
+),
+w AS (
+  SELECT token,
+    CAST(sum(CAST(round(1000000.0 * (CAST(tf AS DOUBLE)
+         / CAST(dl AS DOUBLE))) AS BIGINT)) AS BIGINT) AS weight_micro
+  FROM tfd
+  WHERE token NOT IN ('{"', '".join(_MMR_TERMS)}')
+  GROUP BY token
+),
+r AS (
+  SELECT token, weight_micro,
+    row_number() OVER (ORDER BY weight_micro DESC, token) AS rn
+  FROM w
+)
+SELECT token, weight_micro, CAST(rn AS INT) AS rnk
+FROM r WHERE rn <= {PRF_TOPK}
+"""
+)
+
+
+@register("prf_query_expansion", _PRF_ORACLE)
+def q_prf_query_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (RM1-lite, Lavrenko &
+    Croft 2001): take the BM25 top-{n} documents for the fixed query,
+    weight every term by Σ tf/dl over those feedback docs, and return the
+    top-{k} NEW terms (original query terms excluded) — the classic
+    automatic query-expansion stage between first-pass retrieval and
+    re-ranking.
+
+    Exactness: per-(term, doc) tf/dl quantizes to integer micro-units
+    BEFORE the order-free per-term sum; ranking breaks ties on the term.
+    Scale: one zero-shuffle BM25 scan → TakeOrderedAndProject top-{n};
+    everything after runs on the ≤{n}-doc token multiset (thousands of
+    rows), so the expansion stage is constant work at any corpus size."""
+    from py_datalake_move_files_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = bm25_topk(docs, _MMR_TERMS, k=PRF_FEEDBACK_DOCS).select("doc_id")
+    fb = docs.join(F.broadcast(cand), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("__toks")
+    )
+    tok = fb.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("token"),
+    ).where(F.col("token") != "")
+    tfd = tok.groupBy("token", "doc_id").agg(
+        F.max("dl").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+    terms_list = ", ".join(f"'{t}'" for t in _MMR_TERMS)
+    w = (
+        tfd.where(F.expr(f"token NOT IN ({terms_list})"))
+        .groupBy("token")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(1000000.0 * (CAST(tf AS DOUBLE)"
+                    " / CAST(dl AS DOUBLE))) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("weight_micro")
+        )
+    )
+    wr = Window.orderBy(F.col("weight_micro").desc(), F.col("token"))
+    top = w.orderBy(F.col("weight_micro").desc(), F.col("token")).limit(
+        PRF_TOPK
+    )
+    return top.withColumn("rnk", F.row_number().over(wr).cast("int")).select(
+        "token", "weight_micro", "rnk"
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY date_trunc('day', ts)
+),
+scored AS (
+  SELECT a.d, a.cnt AS actual, b.cnt AS predicted,
+    abs(a.cnt - b.cnt) AS ae
+  FROM daily a JOIN daily b ON a.d = b.d + INTERVAL 7 DAY
+)
+SELECT
+  CAST(((datediff('day', DATE '2024-01-01', d) % 7) + 7) % 7 AS INT)
+    AS dow_idx,
+  CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(actual) AS BIGINT) AS total_actual,
+  CAST(sum(ae) AS BIGINT) AS total_abs_err,
+  CAST(sum(ae) * 1000000 // sum(actual) AS BIGINT) AS wape_ppm
+FROM scored GROUP BY 1
+"""
+
+
+@register("seasonal_naive_backtest", _SNAIVE_ORACLE)
+def q_seasonal_naive_backtest(spark, sf_dir):
+    """Backtest of the seasonal-naive forecaster (predict today = same
+    weekday last week) over the daily event counts, reporting per-weekday
+    WAPE in integer ppm — the baseline every capacity-planning forecast
+    must beat, and the honest denominator-weighted error (plain MAPE
+    explodes on near-zero days).
+
+    All-integer: daily counts, a self equi-join on d = d−7 (the
+    calendar-bounded daily frame joins itself — never events), absolute
+    integer errors, WAPE via integer DIV. The weekday index derives from
+    an epoch-anchored day difference mod 7, identical in both engines
+    (dayofweek() conventions differ: Spark 1=Sunday, DuckDB 0=Sunday)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = daily.select(F.col("d"), F.col("cnt").alias("actual"))
+    b = daily.select(
+        F.expr("d + INTERVAL 7 DAY").alias("d"),
+        F.col("cnt").alias("predicted"),
+    )
+    scored = a.join(b, "d").select(
+        "d",
+        "actual",
+        "predicted",
+        F.abs(F.col("actual") - F.col("predicted")).alias("ae"),
+    )
+    return scored.groupBy(
+        F.expr(
+            "CAST(((datediff(d, DATE '2024-01-01') % 7) + 7) % 7 AS INT)"
+        ).alias("dow_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("actual").cast("long").alias("total_actual"),
+        F.sum("ae").cast("long").alias("total_abs_err"),
+        F.expr(
+            "CAST(sum(ae) * 1000000 DIV sum(actual) AS BIGINT)"
+        ).alias("wape_ppm"),
     )

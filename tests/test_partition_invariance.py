@@ -145,6 +145,9 @@ QUERIES_UNDER_TEST = [
     # md5-argmax shard assignment; integer rank->histogram-value lookup
     "consistent_hash_shards",
     "quantile_normalize_lengths",
+    # micro-quantized RM1 term weights; all-integer lag-7 WAPE cells
+    "prf_query_expansion",
+    "seasonal_naive_backtest",
 ]
 
 

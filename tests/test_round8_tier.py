@@ -551,3 +551,94 @@ def test_quantile_normalization_matches_python(spark):
         for r in QUERIES["quantile_normalize_lengths"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# prf_query_expansion
+# --------------------------------------------------------------------------
+
+
+def test_prf_expansion_matches_python_rm1(spark):
+    from py_datalake_move_files_spark.queries_pipeline import (
+        PRF_FEEDBACK_DOCS,
+        PRF_TOPK,
+        _MMR_TERMS,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {t: sum(1 for tok in toks.values() if t in tok) for t in _MMR_TERMS}
+
+    def bm25(did):
+        s = None
+        dl = len(toks[did])
+        for t in _MMR_TERMS:
+            tf = toks[did].count(t)
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            term = idf * (tf * 2.2) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))
+            )
+            s = term if s is None else s + term
+        return round(s, 6)
+
+    fb = [
+        d
+        for _, d in sorted(
+            ((bm25(d), d) for d in toks), key=lambda x: (-x[0], x[1])
+        )[:PRF_FEEDBACK_DOCS]
+    ]
+    weights = defaultdict(int)
+    for d in fb:
+        dl = len(toks[d])
+        tf = defaultdict(int)
+        for t in toks[d]:
+            if t:
+                tf[t] += 1
+        for t, c in tf.items():
+            if t not in _MMR_TERMS:
+                weights[t] += round(1_000_000.0 * (c / dl))
+    want = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_TOPK]
+    got = sorted(
+        QUERIES["prf_query_expansion"](spark, SF_SMALL).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["token"], r["weight_micro"]) for r in got] == want
+
+
+# --------------------------------------------------------------------------
+# seasonal_naive_backtest
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_naive_backtest_matches_python(spark):
+    import datetime as dt
+
+    ev = load_table(spark, SF_SMALL, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["ts"].date()] += 1
+    anchor = dt.date(2024, 1, 1)
+    agg = defaultdict(lambda: [0, 0, 0])  # n, actual, abs_err
+    for d, c in daily.items():
+        prev = d - dt.timedelta(days=7)
+        if prev in daily:
+            dow = ((d - anchor).days % 7 + 7) % 7
+            g = agg[dow]
+            g[0] += 1
+            g[1] += c
+            g[2] += abs(c - daily[prev])
+    rows = {
+        r["dow_idx"]: r
+        for r in QUERIES["seasonal_naive_backtest"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(agg)
+    for dow, (n, ta, tae) in agg.items():
+        r = rows[dow]
+        assert (r["n_days"], r["total_actual"], r["total_abs_err"]) == (
+            n, ta, tae,
+        )
+        assert r["wape_ppm"] == tae * 1_000_000 // ta

@@ -112,6 +112,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "quantile_normalize_lengths",  # new in r8; local parity both SFs
     "prf_query_expansion",  # new in r8; local parity both SFs
     "seasonal_naive_backtest",  # new in r8; local parity both SFs
+    "readability_scores",  # new in r8; local parity both SFs
+    "ctr_wilson_bounds",  # new in r8; local parity both SFs
 ]
 
 

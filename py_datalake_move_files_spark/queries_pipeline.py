@@ -1431,3 +1431,143 @@ def q_seasonal_naive_backtest(spark, sf_dir):
             "CAST(sum(ae) * 1000000 DIV sum(actual) AS BIGINT)"
         ).alias("wape_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease readability scores
+# --------------------------------------------------------------------------
+
+#: one shared double chain — identical text in both engines
+_FLESCH_EXPR = (
+    "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE)"
+    " / CAST(n_sentences AS DOUBLE))"
+    " - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)"
+)
+
+_READABILITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(greatest(1, length(text) - length(replace(text, '.', '')))
+      AS BIGINT) AS n_sentences,
+    CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+')))
+      AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  {_FLESCH_EXPR} AS flesch
+FROM m
+"""
+
+
+@register("readability_scores", _READABILITY_ORACLE)
+def q_readability_scores(spark, sf_dir):
+    """Flesch reading-ease per document (Flesch 1948 — the standard
+    readability screen in corpus curation: very low scores flag
+    boilerplate/legalese, impossibly high scores flag token soup).
+    Syllables are approximated by VOWEL-GROUP counts (the standard
+    dictionary-free heuristic; spaces break groups, so one whole-text
+    regexp count equals the per-word sum), sentences by period count.
+
+    Pure per-row column math — integers (word/sentence/syllable counts,
+    greatest-1 guarded) into ONE shared double chain rounded to 4 dp;
+    zero shuffles at any scale."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    m = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.expr(
+            "CAST(greatest(1, length(text)"
+            " - length(replace(text, '.', ''))) AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(greatest(1, size(regexp_extract_all(text,"
+            " '[aeiouyAEIOUY]+', 0))) AS BIGINT)"
+        ).alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(_FLESCH_EXPR).alias("flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilson score intervals for group proportions
+# --------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # 95% — same literal in both engines
+
+_WILSON_CHAIN = f"""
+  round((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+    - {_WILSON_Z} * sqrt(p * (1.0 - p) / n
+      + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+    / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+  round((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+    + {_WILSON_Z} * sqrt(p * (1.0 - p) / n
+      + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+    / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+"""
+
+_WILSON_ORACLE = f"""
+WITH c AS (
+  SELECT o_orderpriority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_filled
+  FROM orders GROUP BY o_orderpriority
+),
+p AS (
+  SELECT o_orderpriority, n_orders, n_filled,
+    CAST(n_orders AS DOUBLE) AS n,
+    CAST(n_filled AS DOUBLE) / CAST(n_orders AS DOUBLE) AS p
+  FROM c
+)
+SELECT o_orderpriority, n_orders, n_filled,
+  round(p, 6) AS p_hat,
+  {_WILSON_CHAIN}
+FROM p
+"""
+
+
+@register("ctr_wilson_bounds", _WILSON_ORACLE)
+def q_ctr_wilson_bounds(spark, sf_dir):
+    """Wilson score 95% interval for each order-priority class's
+    fill rate (Wilson 1927) — the proportion interval that behaves at
+    small n and extreme p where the naive normal interval fails (never
+    escapes [0, 1], never collapses to a point at p̂ ∈ {{0, 1}}). The
+    ranking-by-lower-bound pattern is the standard fix for sorting
+    groups by a rate when group sizes differ wildly.
+
+    Exactness: (k, n) are exact integer aggregates; the interval is ONE
+    shared double chain (`_WILSON_CHAIN`, identical text both engines)
+    rounded to 6 dp. One map-side-combined aggregate — the frame after
+    it is |priority classes| rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_filled"),
+    )
+    p = c.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_filled",
+        F.expr("CAST(n_orders AS DOUBLE)").alias("n"),
+        F.expr(
+            "CAST(n_filled AS DOUBLE) / CAST(n_orders AS DOUBLE)"
+        ).alias("p"),
+    )
+    return p.selectExpr(
+        "o_orderpriority",
+        "n_orders",
+        "n_filled",
+        "round(p, 6) AS p_hat",
+        *[
+            e.strip().rstrip(",")
+            for e in _WILSON_CHAIN.strip().split(",\n")
+        ],
+    )

@@ -148,6 +148,8 @@ QUERIES_UNDER_TEST = [
     # micro-quantized RM1 term weights; all-integer lag-7 WAPE cells
     "prf_query_expansion",
     "seasonal_naive_backtest",
+    # shared Wilson double chain from exact integer (k, n)
+    "ctr_wilson_bounds",
 ]
 
 

@@ -642,3 +642,68 @@ def test_seasonal_naive_backtest_matches_python(spark):
             n, ta, tae,
         )
         assert r["wape_ppm"] == tae * 1_000_000 // ta
+
+
+# --------------------------------------------------------------------------
+# readability_scores
+# --------------------------------------------------------------------------
+
+
+def test_readability_matches_python(spark):
+    import re
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["readability_scores"](spark, SF_SMALL).collect()
+    }
+    for r in docs:
+        t = r["text"]
+        w = len(t.split(" "))
+        s = max(1, t.count("."))
+        sy = max(1, len(re.findall(r"[aeiouyAEIOUY]+", t)))
+        got = rows[r["doc_id"]]
+        assert (got["n_words"], got["n_sentences"], got["n_syllables"]) == (
+            w, s, sy,
+        )
+        assert got["flesch"] == pytest.approx(
+            round(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 4), abs=2e-4
+        )
+
+
+# --------------------------------------------------------------------------
+# ctr_wilson_bounds
+# --------------------------------------------------------------------------
+
+
+def test_wilson_bounds_match_python_and_bracket_p(spark):
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in o:
+        g = agg[r["o_orderpriority"]]
+        g[0] += 1
+        g[1] += 1 if r["o_orderstatus"] == "F" else 0
+    rows = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["ctr_wilson_bounds"](spark, SF_SMALL).collect()
+    }
+    z = 1.96
+    for pri, (n, k) in agg.items():
+        r = rows[pri]
+        assert (r["n_orders"], r["n_filled"]) == (n, k)
+        p = k / n
+        denom = 1.0 + z * z / n
+        center = p + z * z / (2.0 * n)
+        half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        assert r["wilson_lo"] == pytest.approx(
+            round((center - half) / denom, 6), abs=2e-6
+        )
+        assert r["wilson_hi"] == pytest.approx(
+            round((center + half) / denom, 6), abs=2e-6
+        )
+        # the interval must bracket p-hat and stay inside [0, 1]
+        assert 0.0 <= r["wilson_lo"] <= round(p, 6) <= r["wilson_hi"] <= 1.0

@@ -21,100 +21,85 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-8 window:
+#: The driver hash-checks the FIRST 50 registered queries. Round-9 window:
 #: the ledger (CORRECTNESS_CUMULATIVE.json, regenerated at round start by
-#: tools/make_cumulative.py — the single source of truth) holds 227
-#: cumulatively driver-green queries after folding round 7's 50/50 green
-#: artifact. The only registered queries without a driver row are the 24
-#: round-7 additions that were queued last round; ALL 24 fill this window
-#: (listed first), alongside 26 cumulative-green anchors covering every
-#: §2 family. A green round 8 means 251/251 registered queries own a
-#: driver-green row. Queries ADDED in round 8 land in
-#: QUEUED_FOR_NEXT_WINDOW and rotate in next round; until then they are
-#: covered by the local DuckDB parity mirror (tests/test_oracle_parity.py
-#: runs EVERY registered query at BOTH sf0.001 and sf0.01).
-#: tests/test_rotation_accounting.py asserts the three lists exactly tile
-#: the registry, so a query can never silently drop out of the accounting.
+#: tools/make_cumulative.py — the single source of truth) holds 251
+#: cumulatively driver-green queries after folding round 8's 50/50 green
+#: artifact. The only registered queries without a driver row are the 17
+#: round-8 additions that were queued last round; ALL 17 fill this window
+#: (listed first), alongside 33 cumulative-green anchors covering every
+#: §2 family (rotated to different representatives than round 8's anchor
+#: set, so the ledger keeps getting re-verified breadth-first). A green
+#: round 9 means 268/268 registered-through-r8 queries own a driver-green
+#: row. Queries ADDED in round 9 land in QUEUED_FOR_NEXT_WINDOW and
+#: rotate in next round; until then they are covered by the local DuckDB
+#: parity mirror (tests/test_oracle_parity.py runs EVERY registered query
+#: at BOTH sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts
+#: the three lists exactly tile the registry, so a query can never
+#: silently drop out of the accounting.
 CURATED_FIRST = [
-    # round-7 additions, never driver-checked (queued last round) — all 24
-    "simhash_dup_pairs",
-    "value_purchase_auc",
-    "mann_kendall_trend",
-    "changepoint_daily_events",
-    "ols_revenue_model",
-    "knn_link_prediction",
-    "js_source_divergence",
-    "weekday_anova_events",
-    "k_anonymity_audit",
-    "truncated_dim_recall",
-    "rich_club_coefficient",
-    "effective_sample_size",
-    "weighted_median_price",
-    "token_novelty_curve",
-    "user_event_entropy",
-    "ks_source_screen_bh",
-    "revenue_hhi_concentration",
-    "median_dkw_band",
-    "seasonal_adjusted_anomalies",
-    "purchase_decile_lift",
-    "knn_hop_histogram",
-    "embedding_dim_quantile_clip",
-    "rolling_median_daily",
-    "modal_event_type_by_user",
-    # anchors — re-verify representatives across every §2 family (all green)
+    # round-8 additions, never driver-checked (queued last round) — all 17
+    "cumulative_distinct_users",
+    "event_order_violations",
+    "partition_compaction_plan",
+    "token_budget_waterfill",
+    "jackknife_mean_quality",
+    "markov_two_step_reach",
+    "elasticity_by_segment",
+    "simplified_silhouette",
+    "ql_dirichlet_retrieval",
+    "winnowing_fingerprints",
+    "mmr_rerank_retrieval",
+    "consistent_hash_shards",
+    "quantile_normalize_lengths",
+    "prf_query_expansion",
+    "seasonal_naive_backtest",
+    "readability_scores",
+    "ctr_wilson_bounds",
+    # anchors — re-verify representatives across every §2 family (all in
+    # the cumulative ledger; rotated vs the round-8 anchor set)
     "manifest_archive_plan",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "asof_purchase_prior_view",
-    "dedup_minhash_lsh",
-    "ann_ivf_topk",
-    "corpus_curation_pipeline",
-    "bm25_doc_retrieval",
-    "bloom_decontamination",
-    "cms_token_frequencies",
-    "quality_scores",
-    "semantic_dedup_summary",
-    "json_probe_exact",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "range_join_value_buckets",
-    "skew_salted_event_join",
-    "top_customers",
-    "set_ops_segments",
-    "string_funcs_suite",
-    "fuzzy_customer_pairs",
-    "dedup_cluster_assignment",
-    "url_canonical_dedup",
-    "ann_ivfpq_topk",
-    "filter_reason_cascade",
-    "simhash_fingerprints",
+    "manifest_status_counts",
+    "path_rewrite_ops",
+    "date_range_filter",
+    "json_content_predicate",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q18_big_orders",
+    "hll_overlap_estimate",
+    "window_running_revenue",
+    "window_rank_suite",
+    "sliding_window_counts",
+    "left_outer_customer_orders",
+    "not_in_null_semantics",
+    "interval_attribution_bucketed",
+    "asof_salted_hot_keys",
+    "rollup_nation_region",
+    "grouping_sets_orders",
+    "pivot_event_type_counts",
+    "percentile_prices",
+    "multimodal_decode_features",
+    "array_funcs_suite",
+    "map_funcs_suite",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "lang_id",
+    "token_counts",
+    "ann_brute_force",
+    "ann_lsh_multiprobe",
+    "ann_pq_topk",
+    "web_corpus_pipeline",
+    "hybrid_rrf_retrieval",
+    "knn_components",
 ]
 
-#: Queries registered DURING round 8 (after this window was fixed). They
+#: Queries registered DURING round 9 (after this window was fixed). They
 #: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-9 window. tests/test_rotation_accounting.py enforces
+#: into the round-10 window. tests/test_rotation_accounting.py enforces
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry, and that every queued name actually runs at sf0.001
 #: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = [
-    "cumulative_distinct_users",  # new in r8; local parity both SFs
-    "event_order_violations",  # new in r8; local parity both SFs
-    "partition_compaction_plan",  # new in r8; local parity both SFs
-    "token_budget_waterfill",  # new in r8; local parity both SFs
-    "jackknife_mean_quality",  # new in r8; local parity both SFs
-    "markov_two_step_reach",  # new in r8; local parity both SFs
-    "elasticity_by_segment",  # new in r8; local parity both SFs
-    "simplified_silhouette",  # new in r8; local parity both SFs
-    "ql_dirichlet_retrieval",  # new in r8; local parity both SFs
-    "winnowing_fingerprints",  # new in r8; local parity both SFs
-    "mmr_rerank_retrieval",  # new in r8; local parity both SFs
-    "consistent_hash_shards",  # new in r8; local parity both SFs
-    "quantile_normalize_lengths",  # new in r8; local parity both SFs
-    "prf_query_expansion",  # new in r8; local parity both SFs
-    "seasonal_naive_backtest",  # new in r8; local parity both SFs
-    "readability_scores",  # new in r8; local parity both SFs
-    "ctr_wilson_bounds",  # new in r8; local parity both SFs
-]
+QUEUED_FOR_NEXT_WINDOW: list[str] = []
 
 
 def _cumulative_green() -> set[str]:

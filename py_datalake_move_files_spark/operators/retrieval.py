@@ -226,6 +226,8 @@ def ql_term_sql(term_idx: int, *, mu: float = QL_MU) -> str:
 def ql_score_sql(n_terms: int, *, mu: float = QL_MU) -> str:
     """Σ over the fixed term list, left-associative in list order, rounded
     to 6 dp before ranking (the bm25_score_sql discipline)."""
+    if n_terms < 1:  # else the SQL is the invalid 'round(None, 6)' (ADVICE r8)
+        raise ValueError("at least one term required")
     chain = None
     for i in range(n_terms):
         piece = ql_term_sql(i, mu=mu)
@@ -249,6 +251,8 @@ def ql_dirichlet_topk(
     map-side-combined aggregate broadcast onto the scoring scan; the
     per-document score is codegen column arithmetic; global top-k is
     TakeOrderedAndProject. The corpus never shuffles."""
+    if not terms:  # fail fast, not an opaque parse error at execution (ADVICE r8)
+        raise ValueError("at least one term required")
     toks = ensure_parallelism(docs).withColumn(
         "__toks", F.expr(f"split({text_col}, ' ')")
     )

@@ -74,6 +74,132 @@ class PlanProgress:
         return self._ok.value, self._error.value
 
 
+def _fs_kit() -> dict:
+    """Scheme-routing + per-scheme I/O handlers for :func:`execute_plan`
+    workers. Everything is defined INSIDE this function body on purpose:
+    cloudpickle serializes dynamically-defined functions/classes by value,
+    so capturing the kit in the worker closure keeps executors free of any
+    dependency on this package (stdlib + site-package imports only), while
+    the driver-side tests can still call ``_fs_kit()`` and unit-test the
+    routing and caching logic directly."""
+    import os as _os
+    from urllib.parse import urlsplit as _urlsplit
+
+    def local(p: str) -> str:
+        return p[5:] if p.startswith("file:") else p
+
+    def scheme_of(p: str) -> str:
+        # A parsed scheme counts as remote only when the path carries an
+        # explicit "://" marker (or is a file: URI). A bare relative local
+        # path whose first segment contains a colon — e.g.
+        # "backup:2024/file.bin" — would otherwise urlsplit to scheme
+        # "backup" and be mis-routed to pyarrow from_uri (ADVICE r8).
+        if "://" not in p and not p.startswith("file:"):
+            return ""
+        s = _urlsplit(p).scheme
+        return "" if s == "file" else s
+
+    class LocalOps:
+        """os/shutil as the handler protocol, so mixed local↔remote
+        pairs stream through one code path."""
+
+        def exists(self, p):
+            return _os.path.exists(local(p))
+
+        def size(self, p):
+            return _os.path.getsize(local(p))
+
+        def mkparents(self, p):
+            _os.makedirs(_os.path.dirname(local(p)) or ".", exist_ok=True)
+
+        def remove(self, p):
+            _os.remove(local(p))
+
+        def open_read(self, p):
+            return open(local(p), "rb")
+
+        def open_write(self, p):
+            return open(local(p), "wb")
+
+    class ArrowOps:
+        """Generic non-local default: pyarrow.fs resolves the scheme
+        (s3://, gs://, hdfs:// …). The resolved filesystem is cached
+        per (scheme, authority) — one move touches a path ~6 times
+        (exists×2, mkparents, open_read, open_write, size) and
+        re-resolving each call re-authenticates on some stores
+        (ADVICE r8). Only the relative path is recomputed per call;
+        the rel-path convention (bucket-in-path for s3/gs vs
+        authority-in-fs for hdfs) is learned from the first from_uri
+        result per authority, with a per-path from_uri fallback for
+        anything that matches neither convention. Heavy-client stores
+        should still inject a filesystem_factory instead."""
+
+        def __init__(self):
+            # (scheme, netloc) -> (filesystem, rel_style)
+            self._fs_cache: dict[tuple, tuple] = {}
+
+        def _pair(self, p):
+            from pyarrow import fs as _pafs
+
+            parts = _urlsplit(p)
+            key = (parts.scheme, parts.netloc)
+            hit = self._fs_cache.get(key)
+            if hit is not None:
+                f, style = hit
+                if style == "netloc+path":  # s3://bucket/k -> "bucket/k"
+                    return f, parts.netloc + parts.path
+                if style == "path":  # hdfs://host/p -> "/p"
+                    return f, parts.path
+                # unknown convention: fall through to per-path resolve
+            f, rel = _pafs.FileSystem.from_uri(p)
+            if hit is None:
+                if rel == parts.netloc + parts.path:
+                    style = "netloc+path"
+                elif rel == parts.path:
+                    style = "path"
+                else:
+                    style = None
+                self._fs_cache[key] = (f, style)
+            return f, rel
+
+        def _info(self, p):
+            f, rel = self._pair(p)
+            return f.get_file_info(rel)
+
+        def exists(self, p):
+            from pyarrow import fs as _pafs
+
+            return self._info(p).type != _pafs.FileType.NotFound
+
+        def size(self, p):
+            return self._info(p).size
+
+        def mkparents(self, p):
+            f, rel = self._pair(p)
+            parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            if parent:
+                f.create_dir(parent, recursive=True)
+
+        def remove(self, p):
+            f, rel = self._pair(p)
+            f.delete_file(rel)
+
+        def open_read(self, p):
+            f, rel = self._pair(p)
+            return f.open_input_stream(rel)
+
+        def open_write(self, p):
+            f, rel = self._pair(p)
+            return f.open_output_stream(rel)
+
+    return {
+        "local": local,
+        "scheme_of": scheme_of,
+        "LocalOps": LocalOps,
+        "ArrowOps": ArrowOps,
+    }
+
+
 def execute_plan(
     plan: DataFrame,
     *,
@@ -179,13 +305,21 @@ def execute_plan(
     acc_error = progress._error if progress is not None else None
     fs_factory = filesystem_factory
 
+    # The fs kit is built ONCE here on the driver; its functions/classes are
+    # defined inside _fs_kit's body, so cloudpickle ships them BY VALUE with
+    # the closure — the worker never needs to import this package — while
+    # the same kit stays unit-testable on the driver (tests/test_movecopy.py).
+    _kit = _fs_kit()
+    local = _kit["local"]
+    scheme_of = _kit["scheme_of"]
+    _LocalOps = _kit["LocalOps"]
+    _ArrowOps = _kit["ArrowOps"]
+
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained worker closure (stdlib/site-package imports + locals
         # only) so it deserializes on executors that cannot import this package
-        import os as _os
         import shutil as _shutil
         import time as _time
-        from urllib.parse import urlsplit as _urlsplit
 
         import pandas as _pd
 
@@ -193,76 +327,6 @@ def execute_plan(
             from pyspark import TaskContext as _TaskContext
 
             _time.sleep(_stagger_s * _TaskContext.get().partitionId())
-
-        def local(p: str) -> str:
-            return p[5:] if p.startswith("file:") else p
-
-        def scheme_of(p: str) -> str:
-            s = _urlsplit(p).scheme
-            return "" if s == "file" else s
-
-        class _LocalOps:
-            """os/shutil as the handler protocol, so mixed local↔remote
-            pairs stream through one code path."""
-
-            def exists(self, p):
-                return _os.path.exists(local(p))
-
-            def size(self, p):
-                return _os.path.getsize(local(p))
-
-            def mkparents(self, p):
-                _os.makedirs(_os.path.dirname(local(p)) or ".", exist_ok=True)
-
-            def remove(self, p):
-                _os.remove(local(p))
-
-            def open_read(self, p):
-                return open(local(p), "rb")
-
-            def open_write(self, p):
-                return open(local(p), "wb")
-
-        class _ArrowOps:
-            """Generic non-local default: pyarrow.fs resolves the scheme
-            (s3://, gs://, hdfs:// …) per URI. Heavy-client stores should
-            inject a filesystem_factory instead — this default re-resolves
-            per path, which is correct but not tuned."""
-
-            def _pair(self, p):
-                from pyarrow import fs as _pafs
-
-                return _pafs.FileSystem.from_uri(p)
-
-            def _info(self, p):
-                f, rel = self._pair(p)
-                return f.get_file_info(rel)
-
-            def exists(self, p):
-                from pyarrow import fs as _pafs
-
-                return self._info(p).type != _pafs.FileType.NotFound
-
-            def size(self, p):
-                return self._info(p).size
-
-            def mkparents(self, p):
-                f, rel = self._pair(p)
-                parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
-                if parent:
-                    f.create_dir(parent, recursive=True)
-
-            def remove(self, p):
-                f, rel = self._pair(p)
-                f.delete_file(rel)
-
-            def open_read(self, p):
-                f, rel = self._pair(p)
-                return f.open_input_stream(rel)
-
-            def open_write(self, p):
-                f, rel = self._pair(p)
-                return f.open_output_stream(rel)
 
         _local_ops = _LocalOps()
         _handlers: dict[str, object] = {"": _local_ops}

@@ -864,15 +864,22 @@ def foreach_batch_first_touch_ingest(
     O(users + days·batches); never event-sized."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # key is cast to string so the state schema is user_id-type
+        # independent: a long user_id and the day rows' sentinel key
+        # union cleanly whether a deployment's id column is numeric or
+        # string (ADVICE r8 — unionByName would otherwise type-mismatch
+        # at the first micro-batch on string-id deployments)
         users = (
-            batch_df.groupBy(F.col(user_col).alias("key"))
+            batch_df.groupBy(F.col(user_col).cast("string").alias("key"))
             .agg(F.min(F.date_trunc("day", ts_col)).alias("d"))
             .select(F.lit("u").alias("kind"), "key", "d")
         )
         days = (
             batch_df.select(F.date_trunc("day", ts_col).alias("d"))
             .distinct()
-            .select(F.lit("d").alias("kind"), F.lit(0).cast("long").alias("key"), "d")
+            .select(
+                F.lit("d").alias("kind"), F.lit("0").cast("string").alias("key"), "d"
+            )
         )
         users.unionByName(days).withColumn(
             "batch_id", F.lit(batch_id)

@@ -409,3 +409,98 @@ def test_unknown_scheme_without_pyarrow_support_is_error_status(spark, tmp_path)
     )
     audit = execute_plan(plan, mode="copy").collect()
     assert audit[0].status == "error"
+
+
+# --- fs-kit unit tests (ADVICE r8) ------------------------------------------
+
+
+def test_scheme_of_bare_colon_segment_is_local():
+    """A bare relative path whose first segment contains a colon
+    ('backup:2024/file.bin') is a legal LOCAL path, not a 'backup' scheme:
+    remote routing requires an explicit '://' (or a file: URI)."""
+    from py_datalake_move_files_spark.plans.movecopy import _fs_kit
+
+    scheme_of = _fs_kit()["scheme_of"]
+    assert scheme_of("backup:2024/file.bin") == ""
+    assert scheme_of("plain/relative/path.txt") == ""
+    assert scheme_of("/abs/with:colon/later.txt") == ""
+    assert scheme_of("file:/tmp/x") == ""
+    assert scheme_of("file:///tmp/x") == ""
+    assert scheme_of("s3://bucket/key") == "s3"
+    assert scheme_of("abfss://c@acct.dfs.example/path") == "abfss"
+
+
+def test_bare_colon_segment_path_copies_via_local_handler(spark, tmp_path):
+    """E2E: a plan row whose source is a relative path with a colon in its
+    first segment rides the os/shutil local handler (green status), not a
+    pyarrow from_uri error. The relative path is created under the WORKER
+    cwd, discovered at runtime (local mode shares the driver JVM cwd)."""
+    import os
+    import shutil
+    import uuid
+
+    worker_cwd = (
+        spark.range(1)
+        .mapInPandas(
+            lambda it: (
+                __import__("pandas").DataFrame({"cwd": [__import__("os").getcwd()]})
+                for _ in it
+            ),
+            "cwd string",
+        )
+        .collect()[0][0]
+    )
+    reldir = f"colon:seg-{uuid.uuid4().hex[:8]}"
+    absdir = os.path.join(worker_cwd, reldir)
+    os.makedirs(absdir)
+    try:
+        with open(os.path.join(absdir, "f.bin"), "wb") as fh:
+            fh.write(b"payload")
+        dst = tmp_path / "out" / "f.bin"
+        plan = _plan_df(spark, [(f"{reldir}/f.bin", str(dst))])
+        audit = execute_plan(plan, mode="copy").collect()
+        assert audit[0].status == "ok", audit[0].reason
+        assert dst.read_bytes() == b"payload"
+    finally:
+        shutil.rmtree(absdir, ignore_errors=True)
+
+
+def test_arrowops_caches_filesystem_per_authority(tmp_path):
+    """The pyarrow default resolves FileSystem.from_uri ONCE per
+    (scheme, authority): the second path on the same authority reuses the
+    cached filesystem instance and only recomputes the relative path."""
+    from py_datalake_move_files_spark.plans.movecopy import _fs_kit
+
+    ops = _fs_kit()["ArrowOps"]()
+    (tmp_path / "a.txt").write_bytes(b"A")
+    (tmp_path / "b.txt").write_bytes(b"BB")
+
+    f1, rel1 = ops._pair(f"file://{tmp_path}/a.txt")
+    f2, rel2 = ops._pair(f"file://{tmp_path}/b.txt")
+    assert f1 is f2  # cached instance, not a re-resolve
+    assert len(ops._fs_cache) == 1
+    assert rel1.endswith("/a.txt") and rel2.endswith("/b.txt")
+    # the cached handler still does real I/O correctly
+    assert ops.exists(f"file://{tmp_path}/a.txt")
+    assert ops.size(f"file://{tmp_path}/b.txt") == 2
+    assert not ops.exists(f"file://{tmp_path}/missing.txt")
+    assert len(ops._fs_cache) == 1
+
+
+def test_arrowops_bucket_style_rel_paths():
+    """Bucket-in-path stores (s3/gs: from_uri rel == netloc + path) get the
+    right relative path from the cache without re-resolving — pinned with a
+    pre-seeded cache entry so no cloud SDK/network is touched."""
+    from py_datalake_move_files_spark.plans.movecopy import _fs_kit
+
+    ops = _fs_kit()["ArrowOps"]()
+    sentinel = object()
+    ops._fs_cache[("s3", "bucket")] = (sentinel, "netloc+path")
+    f, rel = ops._pair("s3://bucket/prefix/key.parquet")
+    assert f is sentinel
+    assert rel == "bucket/prefix/key.parquet"
+    # authority-in-fs stores (hdfs) keep the bare path
+    ops._fs_cache[("hdfs", "nn:8020")] = (sentinel, "path")
+    f, rel = ops._pair("hdfs://nn:8020/data/x.parquet")
+    assert f is sentinel
+    assert rel == "/data/x.parquet"

@@ -456,3 +456,23 @@ def test_sizes_broadcast_is_conditional_on_corpus_size(spark, monkeypatch):
     monkeypatch.setattr(DD, "BROADCAST_SIZES_MAX_DOCS", 0)
     via_plain_join = run()
     assert via_broadcast == via_plain_join and via_broadcast
+
+
+def test_ql_retrieval_rejects_empty_terms(spark):
+    """ADVICE r8: zero query terms must fail fast with a clear ValueError,
+    not emit 'round(None, 6)' and die with an opaque parse error at
+    execution time."""
+    import pytest
+
+    from py_datalake_move_files_spark.operators.retrieval import (
+        ql_dirichlet_topk,
+        ql_score_sql,
+    )
+
+    with pytest.raises(ValueError, match="at least one term"):
+        ql_score_sql(0)
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="at least one term"):
+        ql_dirichlet_topk(docs, ())
+    with pytest.raises(ValueError, match="at least one term"):
+        ql_dirichlet_topk(docs, [])

@@ -690,3 +690,48 @@ def test_streaming_first_touch_matches_batch(spark, sf_small, tmp_path):
         .collect()
     ]
     assert again == want
+
+
+def test_streaming_first_touch_string_user_ids(spark, sf_small, tmp_path):
+    """ADVICE r8: a deployment whose user_id column is a STRING must ingest
+    cleanly — the state key is cast to string on both the user rows and the
+    day-grid sentinel rows, so unionByName cannot type-mismatch at the
+    first micro-batch. The served series must still equal the batch answer
+    (distinct-count is invariant under the injective id relabel)."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries import QUERIES
+    from py_datalake_move_files_spark.streaming.filestream import (
+        cumulative_distinct_users_from_state,
+        file_arrival_stream,
+        foreach_batch_first_touch_ingest,
+    )
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "user_id", F.concat(F.lit("u-"), F.col("user_id").cast("string"))
+    )
+    src = tmp_path / "in"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b0")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b1")
+    state = str(tmp_path / "state")
+
+    stream = file_arrival_stream(
+        spark, f"{src}/*", ev.schema, max_files_per_trigger=1
+    )
+    q = foreach_batch_first_touch_ingest(
+        stream, str(tmp_path / "ckpt"), state_path=state
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    want = [
+        tuple(r)
+        for r in QUERIES["cumulative_distinct_users"](spark, sf_small)
+        .orderBy("day")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in cumulative_distinct_users_from_state(spark, state)
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == want

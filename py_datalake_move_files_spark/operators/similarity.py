@@ -169,7 +169,17 @@ def hyperplanes(n_planes: int, dim: int, *, table: int = 0) -> list[list[int]]:
     return planes
 
 
-def _cap_bucket_size(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+#: Unique suffix for the always-on cap metric so several capped stages can
+#: coexist in one query plan (observed-metric names must be plan-unique).
+_CAP_OBS = iter(range(10**9))
+
+
+def _cap_bucket_size(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    observation=None,
+) -> DataFrame:
     """Hard guard for degenerate buckets: drop rows in buckets larger than
     ``max_bucket`` BEFORE the self/bucket join, bounding candidate counts at
     O(max_bucket²) per bucket instead of O(N²) when a corpus collapses into
@@ -177,15 +187,40 @@ def _cap_bucket_size(df: DataFrame, keys: list[str], max_bucket: int | None) -> 
     same keys the join shuffles on — co-partitioned, no extra exchange
     pattern. AQE skew-split is the soft complement (it splits oversized
     partitions); this cap is the semantic bound. Oversized buckets should be
-    handled upstream (exact dedup collapses identical payloads first)."""
+    handled upstream (exact dedup collapses identical payloads first).
+
+    No-silent-caps (VERDICT r8 #3): the drop is never invisible — a
+    ``CollectMetrics`` node is ALWAYS attached between the bucket count and
+    the filter, emitting ``rows_dropped`` / ``buckets_capped`` /
+    ``max_bucket_n`` with every action on the frame. Pass a
+    :class:`pyspark.sql.Observation` as ``observation`` to read the values
+    directly (``obs.get`` after the action — how tests assert it); without
+    one the metric still fires under an auto-unique ``bucket_cap:<n>`` name,
+    visible to any ``QueryExecutionListener``/metrics sink in production.
+    The node is a pass-through: result schema, row set, and exchange count
+    are unchanged (the ``ann_recall_*`` queries quantify the recall side)."""
     if max_bucket is None:
         return df
     w = Window.partitionBy(*[F.col(k) for k in keys])
-    return (
-        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("__bucket_n") <= max_bucket)
-        .drop("__bucket_n")
+    flagged = df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+    dropped = F.col("__bucket_n") > F.lit(max_bucket)
+    obs = observation if observation is not None else f"bucket_cap:{next(_CAP_OBS)}"
+    flagged = flagged.observe(
+        obs,
+        F.sum(dropped.cast("long")).alias("rows_dropped"),
+        # DISTINCT is illegal in observed metrics; each dropped bucket's
+        # rows sum 1/bucket_n → exactly 1 per bucket (round() absorbs FP)
+        F.round(
+            F.coalesce(
+                F.sum(F.when(dropped, F.lit(1.0) / F.col("__bucket_n"))),
+                F.lit(0.0),
+            )
+        )
+        .cast("long")
+        .alias("buckets_capped"),
+        F.max("__bucket_n").alias("max_bucket_n"),
     )
+    return flagged.where(~dropped).drop("__bucket_n")
 
 
 def bucket_expr(vec_col: str, planes: list[list[int]]) -> Column:

@@ -2160,7 +2160,18 @@ def q_lsh_threshold_curve(spark, sf_dir):
     frame — per-threshold counts are one grouped aggregate, never a
     re-scan. Precision denominator is the candidate count (constant in
     t), recall denominator the ≥t truth; both integer ppm, NULL when the
-    denominator is empty."""
+    denominator is empty.
+
+    Scale policy (sf1 stress: 0.78 of 10×-linear, the closest-to-linear
+    query in the registry): the cost driver is the EXACT truth arm — every
+    pair ≥ the floor scored over full shingle sets. That is the point of a
+    tuning curve (it calibrates the approximation against ground truth),
+    so it is exact by choice and NOT a 100 TB query: at production scale
+    run it on a uniform document SAMPLE (1–10 M docs bounds the inverted
+    join the same way the bucket caps do — precision/recall are ratio
+    estimates, so a sample estimates them unbiasedly), pick bands/hashes
+    from the curve, then run only the LSH candidate path
+    (``dedup_minhash_lsh``) over the full corpus."""
     docs = _t(spark, sf_dir, "documents")
     from py_datalake_move_files_spark.queries import BANDS, MINHASHES
 

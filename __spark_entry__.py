@@ -101,6 +101,17 @@ CURATED_FIRST = [
 #: (the r6 snapshot-commit gate).
 QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "table_profile_orders_approx",
+    # round-9 evaluation/measurement tier (queries_eval.py)
+    "ndcg_retrieval_eval",
+    "ks_test_doc_lengths",
+    "zipf_slope_tokens",
+    "temporal_decay_weights",
+    "profile_drift_report",
+    "l_diversity_audit",
+    "stratified_kfold_assignment",
+    "token_burstiness",
+    "bootstrap_ci_mean",
+    "permutation_test_events",
 ]
 
 

@@ -28,6 +28,7 @@ MODULES = [
     "queries_stats",
     "queries_mining",
     "queries_pipeline",
+    "queries_eval",
     "oracle_ivf",
 ]
 

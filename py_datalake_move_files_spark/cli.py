@@ -115,6 +115,31 @@ def _build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=20, help="rows to print (display mode)"
     )
 
+    pr = sub.add_parser(
+        "profile",
+        help="column profile of a lake table (nulls, distincts, min/max)",
+    )
+    pr.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
+    pr.add_argument("--table", required=True, help="table name under --sf-dir")
+    pr.add_argument(
+        "--columns", help="comma-separated column subset (default: all columns)"
+    )
+    pr.add_argument(
+        "--approx",
+        action="store_true",
+        help="HLL approx_count_distinct instead of exact distincts — the"
+        " 100 TB path: one sketch per column per partition, no Expand pass",
+    )
+    pr.add_argument(
+        "--output",
+        help="write the profile as parquet instead of printing",
+    )
+    pr.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="replace an existing --output directory (default: refuse)",
+    )
+
     s = sub.add_parser(
         "sql",
         help="run ANSI SQL over the lake tables (registered as temp views)",
@@ -315,6 +340,44 @@ def cmd_audit(spark, args) -> int:
     return 0
 
 
+def cmd_profile(spark, args) -> int:
+    """Column profile of one lake table — the ``table_profile_orders``
+    device as a product surface. Exact mode compiles the multi-distinct
+    into a single Expand pass (one shuffle); ``--approx`` swaps in HLL
+    sketches (rsd 5%), the sanctioned 100 TB path per the scale policy on
+    ``table_profile_orders`` / ``table_profile_orders_approx``. Unknown
+    columns fail fast with the available names."""
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.operators.profile import profile_table
+
+    df = load_table(spark, args.sf_dir, args.table)
+    cols = None
+    if args.columns:
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            print(
+                f"unknown column(s) {missing}; {args.table} has {df.columns}",
+                file=sys.stderr,
+            )
+            return 2
+    prof = profile_table(df, cols, approx=args.approx)
+    if args.output:
+        mode = "overwrite" if args.overwrite else "errorifexists"
+        prof.write.mode(mode).parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        kind = "approx (HLL, rsd 5%)" if args.approx else "exact"
+        print(f"profile of {args.table} ({kind} distincts):")
+        for r in prof.collect():  # one row per profiled column — bounded
+            print(
+                f"  {r['column']}: rows={r['n_rows']} nulls={r['n_nulls']}"
+                f" distinct={r['n_distinct']}"
+                f" min={r['min_repr']} max={r['max_repr']}"
+            )
+    return 0
+
+
 def cmd_sql(spark, args) -> int:
     """Ad-hoc ANSI SQL over the lake: every table under --sf-dir is a temp
     view (catalog.register_tables), the statement runs through Catalyst
@@ -419,6 +482,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_audit(spark, args)
         if args.cmd == "sql":
             return cmd_sql(spark, args)
+        if args.cmd == "profile":
+            return cmd_profile(spark, args)
         if args.cmd == "dedup":
             return cmd_dedup(spark, args)
         return cmd_move(spark, args)

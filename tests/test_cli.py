@@ -239,3 +239,52 @@ def test_cli_dedup_exact_and_near(tmp_path):
          "--mode", "minhash", "--output", str(out)]
     )
     assert r.returncode == 1  # errorifexists without --overwrite
+
+
+def test_cli_profile_exact_approx_and_bad_column(tmp_path):
+    """The profile subcommand surfaces profile_table: exact and --approx
+    modes agree on rows/nulls/min/max (only distincts may differ), an
+    unknown column fails fast with the available names, and --output
+    writes parquet."""
+    r = _run(
+        ["profile", "--sf-dir", "/root/testdata/sf0.001",
+         "--table", "orders", "--columns", "o_orderstatus,o_totalprice"]
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "o_orderstatus:" in r.stdout and "o_totalprice:" in r.stdout
+    assert "exact distincts" in r.stdout
+
+    r2 = _run(
+        ["profile", "--sf-dir", "/root/testdata/sf0.001",
+         "--table", "orders", "--columns", "o_orderstatus,o_totalprice",
+         "--approx"]
+    )
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert "approx (HLL" in r2.stdout
+
+    def fields(out, col):
+        line = next(l for l in out.splitlines() if l.strip().startswith(col))
+        return {
+            kv.split("=")[0]: kv.split("=", 1)[1]
+            for kv in line.split(": ", 1)[1].split(" ")
+        }
+
+    for col in ["o_orderstatus", "o_totalprice"]:
+        ex, ap = fields(r.stdout, col), fields(r2.stdout, col)
+        for k in ["rows", "nulls", "min", "max"]:
+            assert ex[k] == ap[k], (col, k, ex, ap)
+
+    r3 = _run(
+        ["profile", "--sf-dir", "/root/testdata/sf0.001",
+         "--table", "orders", "--columns", "nope"]
+    )
+    assert r3.returncode == 2
+    assert "unknown column(s)" in r3.stderr and "o_orderkey" in r3.stderr
+
+    out = tmp_path / "prof"
+    r4 = _run(
+        ["profile", "--sf-dir", "/root/testdata/sf0.001",
+         "--table", "documents", "--output", str(out)]
+    )
+    assert r4.returncode == 0, r4.stderr[-500:]
+    assert out.exists()

@@ -112,6 +112,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "token_burstiness",
     "bootstrap_ci_mean",
     "permutation_test_events",
+    "bigram_conditional_entropy",
 ]
 
 

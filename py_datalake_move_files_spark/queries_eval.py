@@ -1090,3 +1090,119 @@ def q_permutation_test_events(spark, sf_dir):
             " AS BIGINT)"
         ).alias("p_value_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus bigram conditional entropy (entropy rate)
+# --------------------------------------------------------------------------
+
+_BCE_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY 1),
+n AS (SELECT sum(c) AS n FROM c12),
+uni AS (
+  SELECT CAST(sum(CAST(round(c1 * ln(CAST((SELECT n FROM n) AS DOUBLE) / c1)
+                             * 1000000) AS BIGINT)) AS BIGINT) AS s_uni,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM c1
+),
+cond AS (
+  SELECT CAST(sum(CAST(round(c12.c * ln(CAST(c1.c1 AS DOUBLE) / c12.c)
+                             * 1000000) AS BIGINT)) AS BIGINT) AS s_cond,
+         CAST(count(*) AS BIGINT) AS n_bigram_types
+  FROM c12 JOIN c1 USING (w1)
+)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_bigrams,
+  (SELECT vocab FROM uni) AS vocab,
+  (SELECT n_bigram_types FROM cond) AS n_bigram_types,
+  CAST((SELECT s_uni FROM uni) // (SELECT n FROM n) AS BIGINT)
+    AS h_unigram_micro_nats,
+  CAST((SELECT s_cond FROM cond) // (SELECT n FROM n) AS BIGINT)
+    AS h_cond_micro_nats,
+  CAST(((SELECT s_cond FROM cond) * 1000000)
+       // (SELECT s_uni FROM uni) AS BIGINT) AS entropy_ratio_ppm
+"""
+
+
+@register("bigram_conditional_entropy", _BCE_ORACLE)
+def q_bigram_conditional_entropy(spark, sf_dir):
+    """Corpus entropy rate: conditional entropy H(W₂|W₁) of the bigram
+    model next to the unigram entropy H(W) over the SAME bigram-position
+    marginals — the information-theoretic redundancy audit (Shannon 1951):
+    natural text shows H(W₂|W₁) well below H(W); a ratio near 1 means the
+    corpus has no sequential structure (shuffled/templated tokens), near 0
+    means heavy boilerplate. Complements per-doc ``bigram_lm_scores``
+    (this is the corpus-level constant) and ``char_entropy_stats``
+    (character- vs word-level).
+
+    Determinism (the ``dim_label_mutual_info`` device): every per-type
+    term c·ln(·) is micro-rounded BEFORE the order-free integer sum;
+    entropies are integer micro-nats via one final div. Marginals come
+    from the bigram table itself (Σ_w₂ c(w₁,w₂)), so H(W) and H(W₂|W₁)
+    are measured on the identical sample space.
+
+    100 TB shape: the bigram explode is a per-row HOF (small-doc
+    CASE-guarded — the descending-``sequence`` gotcha), then two
+    map-side-combined aggregates ((w1,w2) → w1) whose widths are VOCAB²
+    -bounded type counts, not token counts; the final entropy is a
+    one-row reduce."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    t = docs.select(F.split("text", " ").alias("__toks"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) < 2 THEN"
+                " array() ELSE transform(sequence(0, size(__toks) - 2),"
+                " i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2)) END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    n = c12.agg(F.sum("c").cast("long").alias("n"))
+    uni = c1.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.round(
+                F.col("c1")
+                * F.log(F.col("n").cast("double") / F.col("c1"))
+                * 1_000_000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s_uni"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    cond = (
+        c12.join(c1, "w1")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c")
+                    * F.log(F.col("c1").cast("double") / F.col("c"))
+                    * 1_000_000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_cond"),
+            F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(uni))
+        .crossJoin(F.broadcast(cond))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "vocab",
+            "n_bigram_types",
+            F.expr("CAST(s_uni div n AS BIGINT)").alias("h_unigram_micro_nats"),
+            F.expr("CAST(s_cond div n AS BIGINT)").alias("h_cond_micro_nats"),
+            F.expr("CAST((s_cond * 1000000) div s_uni AS BIGINT)").alias(
+                "entropy_ratio_ppm"
+            ),
+        )
+    )

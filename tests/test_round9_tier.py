@@ -316,3 +316,37 @@ def test_permutation_p_value_is_valid_and_observed_matches(spark):
     lo = (1 + got["n_ge_observed"]) * 1_000_000 // 200
     assert got["p_value_ppm"] == lo
     assert 5_000 <= got["p_value_ppm"] <= 1_000_000  # add-one floor = 1/200
+
+
+# --------------------------------------------------------------------------
+# bigram_conditional_entropy
+# --------------------------------------------------------------------------
+
+
+def test_bigram_entropy_matches_python_and_bounds(spark):
+    rows = load_table(spark, SF_SMALL, "documents").collect()
+    c12 = Counter()
+    for r in rows:
+        toks = r["text"].split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    for (a, _), c in c12.items():
+        c1[a] += c
+    n = sum(c12.values())
+    s_uni = sum(
+        math.floor(c * math.log(n / c) * 1e6 + 0.5) for c in c1.values()
+    )
+    s_cond = sum(
+        math.floor(c * math.log(c1[a] / c) * 1e6 + 0.5)
+        for (a, _), c in c12.items()
+    )
+    got = QUERIES["bigram_conditional_entropy"](spark, SF_SMALL).collect()[0]
+    assert got["n_bigrams"] == n
+    assert got["vocab"] == len(c1)
+    assert got["n_bigram_types"] == len(c12)
+    assert got["h_unigram_micro_nats"] == s_uni // n
+    assert got["h_cond_micro_nats"] == s_cond // n
+    # conditioning can only reduce entropy: H(W2|W1) <= H(W)
+    assert 0 <= got["h_cond_micro_nats"] <= got["h_unigram_micro_nats"]
+    assert 0 <= got["entropy_ratio_ppm"] <= 1_000_000

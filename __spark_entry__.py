@@ -113,6 +113,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "bootstrap_ci_mean",
     "permutation_test_events",
     "bigram_conditional_entropy",
+    "embedding_mean_shift_mmd",
 ]
 
 

@@ -1206,3 +1206,113 @@ def q_bigram_conditional_entropy(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# linear-kernel MMD between two label groups' embedding distributions
+# --------------------------------------------------------------------------
+
+_MMD_A = 0
+_MMD_B = 1
+
+_MMD_ORACLE = f"""
+WITH e AS (
+  SELECT label, i AS dim,
+         CAST(CASE WHEN x >= 0 THEN floor(x * 1000000 + 0.5)
+              ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT) AS v
+  FROM (
+    SELECT label, unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings WHERE label IN ({_MMD_A}, {_MMD_B})
+  )
+),
+s AS (
+  SELECT dim,
+    sum(CASE WHEN label = {_MMD_A} THEN v ELSE 0 END) AS sa,
+    sum(CASE WHEN label = {_MMD_A} THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN label = {_MMD_B} THEN v ELSE 0 END) AS sb,
+    sum(CASE WHEN label = {_MMD_B} THEN 1 ELSE 0 END) AS nb
+  FROM e GROUP BY dim
+),
+d AS (
+  SELECT dim,
+    CAST(CASE WHEN sa >= 0 THEN sa // na
+         ELSE -((-sa) // na) END
+       - CASE WHEN sb >= 0 THEN sb // nb
+         ELSE -((-sb) // nb) END AS BIGINT) AS diff
+  FROM s
+)
+SELECT CAST((SELECT max(na) FROM s) AS BIGINT) AS n_a,
+  CAST((SELECT max(nb) FROM s) AS BIGINT) AS n_b,
+  CAST(sum(diff * diff) AS BIGINT) AS mmd2_micro2,
+  CAST((SELECT dim FROM d ORDER BY abs(diff) DESC, dim ASC LIMIT 1) AS INT)
+    AS top_dim,
+  CAST((SELECT diff FROM d ORDER BY abs(diff) DESC, dim ASC LIMIT 1)
+       AS BIGINT) AS top_dim_diff_micro
+FROM d
+"""
+
+
+@register("embedding_mean_shift_mmd", _MMD_ORACLE)
+def q_embedding_mean_shift_mmd(spark, sf_dir):
+    """Linear-kernel MMD² between two label groups' embedding
+    distributions: ‖μ_A − μ_B‖² over the per-dimension means — the
+    cheapest member of the kernel two-sample family (Gretton et al. 2012)
+    and the standard embedding-space drift monitor between corpus slices
+    (``ks_test_doc_lengths`` watches a scalar; this watches the vector
+    space). Also names the most-shifted dimension.
+
+    Determinism: coordinates go to fixed-point micros HALF-AWAY-FROM-ZERO
+    (the ``gram_moments`` encoding) so per-dim sums are exact BIGINTs;
+    per-dim means use truncating integer division (mirrored sign-split in
+    the oracle — Spark ``div`` truncates, DuckDB ``//`` floors, so
+    negative sums must be sign-split); MMD² is an exact integer Σdiff².
+
+    100 TB shape: one posexplode (×dim, map-side) + one combined
+    aggregate to |dims| rows + a |dims|-row reduce. No join touches row
+    count; the shuffle carries dims × partials regardless of corpus
+    size."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("label").isin(_MMD_A, _MMD_B)
+    )
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr(
+            "CAST(CASE WHEN x >= 0 THEN floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+            " ELSE -floor(-CAST(x AS DOUBLE) * 1000000 + 0.5) END AS BIGINT)"
+        ).alias("v"),
+    )
+    s = e.groupBy("dim").agg(
+        F.sum(F.when(F.col("label") == _MMD_A, F.col("v")).otherwise(0)).alias(
+            "sa"
+        ),
+        F.sum(F.when(F.col("label") == _MMD_A, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("label") == _MMD_B, F.col("v")).otherwise(0)).alias(
+            "sb"
+        ),
+        F.sum(F.when(F.col("label") == _MMD_B, 1).otherwise(0)).alias("nb"),
+    )
+    d = s.select(
+        "dim",
+        "na",
+        "nb",
+        # Spark div truncates toward zero — matches the oracle's sign-split
+        F.expr("CAST(sa div na - sb div nb AS BIGINT)").alias("diff"),
+    )
+    top = d.orderBy(F.abs(F.col("diff")).desc(), F.col("dim").asc()).limit(1)
+    agg = d.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("diff") * F.col("diff")).cast("long").alias("mmd2_micro2"),
+    )
+    return agg.crossJoin(
+        F.broadcast(
+            top.select(
+                F.col("dim").cast("int").alias("top_dim"),
+                F.col("diff").cast("long").alias("top_dim_diff_micro"),
+            )
+        )
+    )

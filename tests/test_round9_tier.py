@@ -350,3 +350,44 @@ def test_bigram_entropy_matches_python_and_bounds(spark):
     # conditioning can only reduce entropy: H(W2|W1) <= H(W)
     assert 0 <= got["h_cond_micro_nats"] <= got["h_unigram_micro_nats"]
     assert 0 <= got["entropy_ratio_ppm"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# embedding_mean_shift_mmd
+# --------------------------------------------------------------------------
+
+
+def test_mmd_matches_python_and_self_is_zero(spark):
+    rows = load_table(spark, SF_SMALL, "embeddings").collect()
+
+    def fx(x):
+        y = x * 1_000_000
+        return math.floor(y + 0.5) if y >= 0 else -math.floor(-y + 0.5)
+
+    def tdiv(a, b):  # truncation toward zero, like Spark div
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    sums = defaultdict(lambda: [0, 0, 0, 0])  # sa, na, sb, nb per dim
+    for r in rows:
+        if r["label"] not in (0, 1):
+            continue
+        for i, x in enumerate(r["embedding"]):
+            s = sums[i + 1]
+            if r["label"] == 0:
+                s[0] += fx(x)
+                s[1] += 1
+            else:
+                s[2] += fx(x)
+                s[3] += 1
+    diffs = {
+        d: tdiv(sa, na) - tdiv(sb, nb) for d, (sa, na, sb, nb) in sums.items()
+    }
+    mmd2 = sum(v * v for v in diffs.values())
+    top = min(diffs, key=lambda d: (-abs(diffs[d]), d))
+    got = QUERIES["embedding_mean_shift_mmd"](spark, SF_SMALL).collect()[0]
+    assert got["mmd2_micro2"] == mmd2
+    assert (got["top_dim"], got["top_dim_diff_micro"]) == (top, diffs[top])
+    # MMD of a group against itself is exactly zero (same means)
+    na = next(iter(sums.values()))[1]
+    assert na == got["n_a"]

@@ -360,3 +360,28 @@ def test_markov_square_joins_only_the_count_matrix(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temporal_decay_single_exchange(spark):
+    # map-side arithmetic + ONE combined aggregate keyed by event type —
+    # the recency weighting must never add a join or second shuffle
+    plan = _plan(spark, "temporal_decay_weights")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_bootstrap_fanout_stays_mapside(spark):
+    # the B-replicate explode happens BEFORE the only row-count-scale
+    # shuffle (groupBy b): no SMJ, no cartesian, and the explode feeds a
+    # partial (map-side-combined) aggregate
+    plan = _plan(spark, "bootstrap_ci_mean")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_ks_and_mmd_have_no_sort_merge_join(spark):
+    for name in ["ks_test_doc_lengths", "embedding_mean_shift_mmd"]:
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -44,7 +44,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
-from py_datalake_move_files_spark.operators.retrieval import bm25_topk
 from py_datalake_move_files_spark.queries import _t, register
 
 # --------------------------------------------------------------------------
@@ -199,104 +198,139 @@ def q_ndcg_retrieval_eval(spark, sf_dir):
     BM25 score itself is the shared round-before-rank chain of
     ``operators/retrieval.bm25_score_sql``).
 
-    100 TB shape: each run is the bm25_topk plan (one broadcast stats row
-    + TakeOrderedAndProject); relevance grading is a map-side expression;
-    IDCG's ideal ranking is a per-query top-10 over the graded scan.
-    Ranking eval runs on the labeled eval slice, not the train corpus —
-    the fixed three-query set here stands in for that slice."""
-    docs = _t(spark, sf_dir, "documents")
+    100 TB shape — SINGLE-PASS multi-query: one wide per-doc projection
+    computes every query's term frequencies and relevance grade, ONE
+    corpus-stats aggregate broadcasts all dfs back, and a 3-way struct
+    explode yields (query_id, score, rel) rows; ranks (by score), ideal
+    ranks (by rel), and the cumulative-hit counter are three windows over
+    the SAME query_id partitioning (one exchange), folded by one grouped
+    aggregate. The first cut ran each query as its own bm25_topk subtree
+    and Catalyst re-derived the corpus scan per branch — 33 FileScans; this
+    shape plans 2 (stats + main) at any query-set size. Ranking eval runs
+    on the labeled eval slice, not the train corpus — the fixed three-query
+    set stands in for that slice. Per-query results are bit-identical to
+    chaining ``operators/retrieval.bm25_topk`` (same score text, same
+    round-before-rank, same tie-breaks — pinned by the tier test)."""
+    from py_datalake_move_files_spark.operators.retrieval import bm25_score_sql
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     disc_arr = "array(" + ", ".join(str(d) for d in _DISC_MICRO) + ")"
     gain_arr = "array(" + ", ".join(str(g) for g in _GAIN) + ")"
 
-    runs = None
-    rels = None
+    toks = docs.withColumn("__toks", F.split("text", " "))
+    wide_cols = [
+        F.col("doc_id"),
+        F.size("__toks").cast("long").alias("dl"),
+    ]
+    stat_aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size("__toks").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    ]
     for qid, terms in EVAL_QUERIES.items():
-        r = bm25_topk(docs, terms, k=EVAL_K).select(
-            F.lit(qid).alias("query_id"), "doc_id", "rnk"
+        for i, t in enumerate(terms):
+            wide_cols.append(
+                F.expr(
+                    f"CAST(size(filter(__toks, q{qid}t{i} -> q{qid}t{i} = '{t}'))"
+                    " AS BIGINT)"
+                ).alias(f"tf_q{qid}_{i}")
+            )
+            stat_aggs.append(
+                F.sum(F.when(F.array_contains("__toks", t), 1).otherwise(0))
+                .cast("long")
+                .alias(f"df_q{qid}_{i}")
+            )
+        wide_cols.append(
+            F.expr(
+                _rel_sql(terms, "array_contains(__toks, '{term}')")
+            ).alias(f"rel_q{qid}")
         )
-        runs = r if runs is None else runs.unionByName(r)
-        rel_expr = _rel_sql(terms, _SP_HAS_TERM)
-        g = docs.select(
-            F.lit(qid).alias("query_id"),
+    wide = toks.select(*wide_cols)
+    stats = toks.agg(*stat_aggs)
+
+    structs = []
+    for qid, terms in EVAL_QUERIES.items():
+        score = bm25_score_sql(len(terms))
+        for i in range(len(terms)):
+            score = score.replace(f"tf{i}", f"tf_q{qid}_{i}").replace(
+                f"df{i}", f"df_q{qid}_{i}"
+            )
+        structs.append(
+            f"struct({qid} AS query_id, ({score}) AS score,"
+            f" rel_q{qid} AS rel)"
+        )
+    e = (
+        wide.crossJoin(F.broadcast(stats))
+        .select(
             "doc_id",
-            F.expr(rel_expr).alias("rel"),
+            F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("q"),
         )
-        rels = g if rels is None else rels.unionByName(g)
-
-    run_g = runs.join(rels, ["query_id", "doc_id"]).select(
-        "query_id",
-        "rnk",
-        F.expr(f"element_at({gain_arr}, rel + 1)").alias("g"),
-        F.expr(f"element_at({disc_arr}, rnk)").alias("d"),
-        F.when(F.col("rel") > 0, 1).otherwise(0).alias("hit"),
+        .select("doc_id", "q.query_id", "q.score", "q.rel")
+        .withColumn("hit", F.when(F.col("rel") > 0, 1).otherwise(0))
     )
-    dcg = run_g.groupBy("query_id").agg(
-        F.sum(F.col("g") * F.col("d")).cast("long").alias("dcg_micro")
+    w_rnk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
     )
-
-    iw = Window.partitionBy("query_id").orderBy(
+    w_irn = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("doc_id").asc()
     )
-    idcg = (
-        rels.withColumn("irn", F.row_number().over(iw))
-        .where(F.col("irn") <= EVAL_K)
-        .groupBy("query_id")
-        .agg(
-            F.sum(
+    e = e.withColumn("rnk", F.row_number().over(w_rnk)).withColumn(
+        "irn", F.row_number().over(w_irn)
+    )
+    w_hat = Window.partitionBy("query_id").orderBy("rnk")
+    e = e.withColumn(
+        "h_at",
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("rnk") <= EVAL_K), 1).otherwise(0)
+        ).over(w_hat),
+    )
+    in_run = F.col("rnk") <= EVAL_K
+    agg = e.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                in_run,
                 F.expr(f"element_at({gain_arr}, rel + 1)")
-                * F.expr(f"element_at({disc_arr}, irn)")
-            )
-            .cast("long")
-            .alias("idcg_micro")
+                * F.expr(f"element_at({disc_arr}, rnk)"),
+            ).otherwise(0)
         )
-    )
-
-    mrr = (
-        run_g.groupBy("query_id")
-        .agg(F.min(F.when(F.col("hit") == 1, F.col("rnk"))).alias("__mr"))
-        .select(
-            "query_id",
-            # integer div (not double /) so the ppm mirrors DuckDB's //
-            F.expr("CAST(coalesce(1000000 div __mr, 0) AS BIGINT)").alias(
-                "mrr_ppm"
-            ),
+        .cast("long")
+        .alias("dcg_micro"),
+        F.sum(
+            F.when(
+                F.col("irn") <= EVAL_K,
+                F.expr(f"element_at({gain_arr}, rel + 1)")
+                * F.expr(f"element_at({disc_arr}, irn)"),
+            ).otherwise(0)
         )
-    )
-
-    hw = Window.partitionBy("query_id").orderBy("rnk")
-    n_rel = rels.where(F.col("rel") > 0).groupBy("query_id").agg(
-        F.least(F.count(F.lit(1)), F.lit(EVAL_K).cast("long")).alias("__r")
-    )
-    ap = (
-        run_g.withColumn("h_at", F.sum("hit").over(hw))
-        .groupBy("query_id")
-        .agg(
-            F.sum(
+        .cast("long")
+        .alias("idcg_micro"),
+        F.min(F.when(in_run & (F.col("hit") == 1), F.col("rnk"))).alias("__mr"),
+        F.sum(
+            F.when(
+                in_run,
                 F.expr(
-                    "CASE WHEN hit = 1 THEN (1000000 * h_at) div rnk "
-                    "ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("__s")
-        )
-        .join(F.broadcast(n_rel), "query_id")
-        .select("query_id", F.expr("CAST(__s div __r AS BIGINT)").alias("ap_ppm"))
+                    "CASE WHEN hit = 1 THEN (1000000 * h_at) div rnk"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("__s"),
+        F.least(F.sum("hit"), F.lit(EVAL_K).cast("long")).alias("__r"),
     )
-
-    return (
-        dcg.join(idcg, "query_id")
-        .join(mrr, "query_id")
-        .join(ap, "query_id")
-        .select(
-            F.col("query_id").cast("int"),
-            "dcg_micro",
-            "idcg_micro",
-            F.expr(
-                "CAST(CASE WHEN idcg_micro > 0 THEN (dcg_micro * 1000000)"
-                " div idcg_micro ELSE 0 END AS BIGINT)"
-            ).alias("ndcg_ppm"),
-            "mrr_ppm",
-            "ap_ppm",
-        )
+    return agg.select(
+        F.col("query_id").cast("int"),
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CAST(CASE WHEN idcg_micro > 0 THEN (dcg_micro * 1000000)"
+            " div idcg_micro ELSE 0 END AS BIGINT)"
+        ).alias("ndcg_ppm"),
+        # integer div (not double /) so the ppm mirrors DuckDB's //
+        F.expr("CAST(coalesce(1000000 div __mr, 0) AS BIGINT)").alias(
+            "mrr_ppm"
+        ),
+        F.expr("CAST(__s div __r AS BIGINT)").alias("ap_ppm"),
     )
 
 

@@ -385,3 +385,13 @@ def test_ks_and_mmd_have_no_sort_merge_join(spark):
         plan = _plan(spark, name)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_ndcg_eval_is_single_pass(spark):
+    # multi-query eval must NOT re-derive the corpus per query/branch:
+    # one stats scan + one main scan, one exchange (all windows share the
+    # query_id partitioning). The first cut planned 33 FileScans.
+    plan = _plan(spark, "ndcg_retrieval_eval")
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") == 1

@@ -1131,35 +1131,37 @@ def q_permutation_test_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _BCE_ORACLE = """
-WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+WITH n AS (
+  SELECT CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 2
+                  THEN len(string_split(text, ' ')) - 1 ELSE 0 END)
+              AS BIGINT) AS n
+  FROM documents
+),
+t AS (SELECT string_split(text, ' ') AS toks FROM documents),
 idx AS (
   SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
 ),
 bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
 c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
-c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY 1),
-n AS (SELECT sum(c) AS n FROM c12),
-uni AS (
-  SELECT CAST(sum(CAST(round(c1 * ln(CAST((SELECT n FROM n) AS DOUBLE) / c1)
-                             * 1000000) AS BIGINT)) AS BIGINT) AS s_uni,
-         CAST(count(*) AS BIGINT) AS vocab
-  FROM c1
+wc AS (
+  SELECT w1, c, sum(c) OVER (PARTITION BY w1) AS c1 FROM c12
 ),
-cond AS (
-  SELECT CAST(sum(CAST(round(c12.c * ln(CAST(c1.c1 AS DOUBLE) / c12.c)
-                             * 1000000) AS BIGINT)) AS BIGINT) AS s_cond,
-         CAST(count(*) AS BIGINT) AS n_bigram_types
-  FROM c12 JOIN c1 USING (w1)
+agg AS (
+  SELECT
+    CAST(sum(CAST(round(c * ln(CAST(c1 AS DOUBLE) / c) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS s_cond,
+    CAST(sum(CAST(round(c * ln(CAST((SELECT n FROM n) AS DOUBLE) / c1)
+                        * 1000000) AS BIGINT)) AS BIGINT) AS s_uni,
+    CAST(count(*) AS BIGINT) AS n_bigram_types,
+    CAST(count(DISTINCT w1) AS BIGINT) AS vocab
+  FROM wc
 )
-SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_bigrams,
-  (SELECT vocab FROM uni) AS vocab,
-  (SELECT n_bigram_types FROM cond) AS n_bigram_types,
-  CAST((SELECT s_uni FROM uni) // (SELECT n FROM n) AS BIGINT)
-    AS h_unigram_micro_nats,
-  CAST((SELECT s_cond FROM cond) // (SELECT n FROM n) AS BIGINT)
-    AS h_cond_micro_nats,
-  CAST(((SELECT s_cond FROM cond) * 1000000)
-       // (SELECT s_uni FROM uni) AS BIGINT) AS entropy_ratio_ppm
+SELECT (SELECT n FROM n) AS n_bigrams,
+  vocab, n_bigram_types,
+  CAST(s_uni // (SELECT n FROM n) AS BIGINT) AS h_unigram_micro_nats,
+  CAST(s_cond // (SELECT n FROM n) AS BIGINT) AS h_cond_micro_nats,
+  CAST((s_cond * 1000000) // s_uni AS BIGINT) AS entropy_ratio_ppm
+FROM agg
 """
 
 
@@ -1177,16 +1179,28 @@ def q_bigram_conditional_entropy(spark, sf_dir):
     Determinism (the ``dim_label_mutual_info`` device): every per-type
     term c·ln(·) is micro-rounded BEFORE the order-free integer sum;
     entropies are integer micro-nats via one final div. Marginals come
-    from the bigram table itself (Σ_w₂ c(w₁,w₂)), so H(W) and H(W₂|W₁)
-    are measured on the identical sample space.
+    from the bigram table itself (Σ_w₂ c(w₁,w₂) via a window over the
+    type counts), so H(W) and H(W₂|W₁) are measured on the identical
+    sample space, and the unigram sum is carried row-level
+    (Σ_rows c·ln(N/c1) ≡ Σ_w1 c1·ln(N/c1) since Σ_w₂ c = c1).
 
-    100 TB shape: the bigram explode is a per-row HOF (small-doc
-    CASE-guarded — the descending-``sequence`` gotcha), then two
-    map-side-combined aggregates ((w1,w2) → w1) whose widths are VOCAB²
-    -bounded type counts, not token counts; the final entropy is a
-    one-row reduce."""
+    100 TB shape — two corpus scans, no type-table re-derivation: N is a
+    plain no-explode scan aggregate (Σ max(len−1, 0)); the main tree is
+    explode (per-row HOF, small-doc CASE-guarded — the
+    descending-``sequence`` gotcha) → ONE (w1,w2) map-side-combined
+    aggregate → marginals as a window co-partitioned on w1 → a one-row
+    reduce. The first cut hung c1/N/uni/cond off the c12 subtree and
+    Catalyst re-derived the explode per branch (5 scans, 7 exchanges);
+    this shape is 2 scans, 3 exchanges at any corpus size."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = docs.select(F.split("text", " ").alias("__toks"))
+    n = t.agg(
+        F.sum(
+            F.when(F.size("__toks") >= 2, F.size("__toks") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n")
+    )
     bg = t.select(
         F.explode(
             F.expr(
@@ -1197,48 +1211,45 @@ def q_bigram_conditional_entropy(spark, sf_dir):
         ).alias("b")
     ).select("b.w1", "b.w2")
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
-    n = c12.agg(F.sum("c").cast("long").alias("n"))
-    uni = c1.crossJoin(F.broadcast(n)).agg(
+    wc = c12.withColumn(
+        "c1", F.sum("c").over(Window.partitionBy("w1")).cast("long")
+    )
+    agg = wc.crossJoin(F.broadcast(n)).agg(
         F.sum(
             F.round(
-                F.col("c1")
+                F.col("c")
+                * F.log(F.col("c1").cast("double") / F.col("c"))
+                * 1_000_000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s_cond"),
+        F.sum(
+            F.round(
+                F.col("c")
                 * F.log(F.col("n").cast("double") / F.col("c1"))
                 * 1_000_000
             ).cast("long")
         )
         .cast("long")
         .alias("s_uni"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        F.countDistinct("w1").cast("long").alias("vocab"),
+        F.max("n").cast("long").alias("n_bigrams"),
     )
-    cond = (
-        c12.join(c1, "w1")
-        .agg(
-            F.sum(
-                F.round(
-                    F.col("c")
-                    * F.log(F.col("c1").cast("double") / F.col("c"))
-                    * 1_000_000
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("s_cond"),
-            F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
-        )
-    )
-    return (
-        n.crossJoin(F.broadcast(uni))
-        .crossJoin(F.broadcast(cond))
-        .select(
-            F.col("n").alias("n_bigrams"),
-            "vocab",
-            "n_bigram_types",
-            F.expr("CAST(s_uni div n AS BIGINT)").alias("h_unigram_micro_nats"),
-            F.expr("CAST(s_cond div n AS BIGINT)").alias("h_cond_micro_nats"),
-            F.expr("CAST((s_cond * 1000000) div s_uni AS BIGINT)").alias(
-                "entropy_ratio_ppm"
-            ),
-        )
+    return agg.select(
+        "n_bigrams",
+        "vocab",
+        "n_bigram_types",
+        F.expr("CAST(s_uni div n_bigrams AS BIGINT)").alias(
+            "h_unigram_micro_nats"
+        ),
+        F.expr("CAST(s_cond div n_bigrams AS BIGINT)").alias(
+            "h_cond_micro_nats"
+        ),
+        F.expr("CAST((s_cond * 1000000) div s_uni AS BIGINT)").alias(
+            "entropy_ratio_ppm"
+        ),
     )
 
 

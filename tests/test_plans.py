@@ -395,3 +395,12 @@ def test_ndcg_eval_is_single_pass(spark):
     assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("BroadcastExchange") == 1
+
+
+def test_bigram_entropy_two_scans(spark):
+    # N is a no-explode scan aggregate; marginals are a WINDOW over the
+    # (w1,w2) type counts, co-partitioned on w1 — Catalyst must never
+    # re-derive the explode subtree per branch (first cut: 5 scans)
+    plan = _plan(spark, "bigram_conditional_entropy")
+    assert plan.count("FileScan parquet") == 2
+    assert "SortMergeJoin" not in plan

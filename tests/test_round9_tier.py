@@ -334,8 +334,11 @@ def test_bigram_entropy_matches_python_and_bounds(spark):
     for (a, _), c in c12.items():
         c1[a] += c
     n = sum(c12.values())
+    # row-level unigram carry: sum over TYPES of c*ln(n/c1) == sum over w1
+    # of c1*ln(n/c1) exactly; the rounding happens per type on both sides
     s_uni = sum(
-        math.floor(c * math.log(n / c) * 1e6 + 0.5) for c in c1.values()
+        math.floor(c * math.log(n / c1[a]) * 1e6 + 0.5)
+        for (a, _), c in c12.items()
     )
     s_cond = sum(
         math.floor(c * math.log(c1[a] / c) * 1e6 + 0.5)

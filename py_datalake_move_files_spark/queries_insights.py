@@ -1348,7 +1348,13 @@ def q_rfm_customer_segments(spark, sf_dir):
     tie-order-free). The three score maps are metadata-sized and join
     back broadcast; everything else is one aggregate per customer and a
     ≤125-row final rollup. All quantities are exact integers (cents,
-    counts, days)."""
+    counts, days).
+
+    The per-customer RFM frame is lineage-cut (eager ``localCheckpoint``):
+    four branches (three score-map histograms + the scored join) reference
+    it, and without the cut Catalyst re-derives the orders scan+aggregate
+    per branch — 8 FileScans; with it, the orders table is read twice
+    (reference date + the aggregate)."""
     o = _t(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("refd"))
     base = o.groupBy("o_custkey").agg(
@@ -1367,6 +1373,7 @@ def q_rfm_customer_segments(spark, sf_dir):
             "mon_c",
             F.expr("mon_c div 10000").alias("mon_bin"),
         )
+        .localCheckpoint(eager=True)
     )
 
     def score_map(dim):

@@ -293,6 +293,12 @@ def q_theil_sen_revenue_trend(spark, sf_dir):
     most C(80,2) rows per nation REGARDLESS of corpus size — the
     value-buffering percentile is safe because the calendar bounds it,
     the same argument as the behavioral quartile family.
+
+    The monthly frame is lineage-cut (eager ``localCheckpoint`` — the
+    kNN-tier device): three downstream branches (both pair sides + the
+    month counts) reference it, and without the cut Catalyst re-derives
+    the 3-table join per branch — 9 FileScans for a metadata-sized
+    intermediate; with it, 3.
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -307,7 +313,7 @@ def q_theil_sen_revenue_trend(spark, sf_dir):
             .alias("mkey"),
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
-    )
+    ).localCheckpoint(eager=True)
     a = monthly.select(
         "n_name",
         F.col("mkey").alias("mkey_a"),

@@ -114,6 +114,8 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "permutation_test_events",
     "bigram_conditional_entropy",
     "embedding_mean_shift_mmd",
+    "doc_length_moments",
+    "neyman_allocation_plan",
 ]
 
 

@@ -1361,3 +1361,181 @@ def q_embedding_mean_shift_mmd(spark, sf_dir):
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# grouped higher-moment profile (skewness / excess kurtosis)
+# --------------------------------------------------------------------------
+
+#: shared double chain from the exact power sums — identical TEXT on both
+#: engines, so the float ops replay bit-for-bit (the q1 money rule, one
+#: level up): mean = s1/n, central moments by binomial expansion.
+_MOM_EXPR = {
+    "mean": "(s1 / n)",
+    "m2": "(s2 / n - (s1 / n) * (s1 / n))",
+    "m3": (
+        "(s3 / n - 3.0 * (s1 / n) * (s2 / n)"
+        " + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))"
+    ),
+    "m4": (
+        "(s4 / n - 4.0 * (s1 / n) * (s3 / n)"
+        " + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+    ),
+}
+
+_MOMENTS_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+    CAST(sum(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE)
+      AS s3,
+    CAST(sum(CAST(n_chars * n_chars * n_chars * n_chars AS DECIMAL(38,0)))
+         AS DOUBLE) AS s4
+  FROM documents GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+  round({_MOM_EXPR['mean']}, 6) AS mean_chars,
+  round(sqrt({_MOM_EXPR['m2']}), 6) AS stddev_pop,
+  round({_MOM_EXPR['m3']} / pow({_MOM_EXPR['m2']}, 1.5), 6) AS skewness,
+  round({_MOM_EXPR['m4']} / ({_MOM_EXPR['m2']} * {_MOM_EXPR['m2']}) - 3.0, 6)
+    AS excess_kurtosis
+FROM s
+"""
+
+
+@register("doc_length_moments", _MOMENTS_ORACLE)
+def q_doc_length_moments(spark, sf_dir):
+    """Per-language higher-moment profile of document lengths: population
+    mean, stddev, skewness, and excess kurtosis — the distribution-shape
+    screen behind length-based quality gates (heavy right skew = a
+    boilerplate/concatenation tail; negative kurtosis = truncation).
+
+    Determinism: the four power sums Σy..Σy⁴ accumulate EXACTLY in
+    DECIMAL(38,0) (y ≤ 10⁴ keeps even y⁴ terms well inside int64 and the
+    sums inside 38 digits through ~10¹² rows); the central-moment algebra
+    then runs in doubles from those exact sums through the SAME expression
+    text on both engines, so no partition order or fold order exists
+    anywhere. One map-side-combined aggregate, |langs| output rows."""
+    docs = _t(spark, sf_dir, "documents")
+    y = F.col("n_chars")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((y * y * y).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((y * y * y * y).cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(f"round({_MOM_EXPR['mean']}, 6)").alias("mean_chars"),
+        F.expr(f"round(sqrt({_MOM_EXPR['m2']}), 6)").alias("stddev_pop"),
+        F.expr(
+            f"round({_MOM_EXPR['m3']} / pow({_MOM_EXPR['m2']}, 1.5), 6)"
+        ).alias("skewness"),
+        F.expr(
+            f"round({_MOM_EXPR['m4']} / ({_MOM_EXPR['m2']} * {_MOM_EXPR['m2']})"
+            " - 3.0, 6)"
+        ).alias("excess_kurtosis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Neyman optimal sample allocation across strata
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 100
+
+_NEYMAN_ORACLE = f"""
+WITH s AS (
+  SELECT lang, count(*) AS nh,
+    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, nh,
+    nh * CAST(round(sqrt(s2 / nh - (s1 / nh) * (s1 / nh)) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM s
+),
+tot AS (SELECT sum(w_micro) AS wt FROM w),
+base AS (
+  SELECT lang, nh, w_micro,
+    ({_NEYMAN_BUDGET} * w_micro) // (SELECT wt FROM tot) AS n_base,
+    ({_NEYMAN_BUDGET} * w_micro) % (SELECT wt FROM tot) AS rem
+  FROM w
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS r,
+    (SELECT {_NEYMAN_BUDGET} - sum(n_base) FROM base) AS short
+  FROM base
+)
+SELECT lang, CAST(nh AS BIGINT) AS stratum_n,
+  CAST(w_micro AS BIGINT) AS weight_micro,
+  CAST(n_base + CASE WHEN r <= short THEN 1 ELSE 0 END AS BIGINT)
+    AS n_alloc
+FROM rk
+"""
+
+
+@register("neyman_allocation_plan", _NEYMAN_ORACLE)
+def q_neyman_allocation_plan(spark, sf_dir):
+    """Neyman optimal allocation of a {_NEYMAN_BUDGET}-doc sampling budget
+    across language strata: n_h ∝ N_h·S_h (big AND variable strata get
+    more) — the variance-minimizing design for stratified estimation, and
+    the principled upgrade to proportional sampling when planning
+    eval-set draws or annotation budgets over a corpus.
+
+    Determinism: per-stratum variance comes from exact DECIMAL power sums
+    (the ``doc_length_moments`` device); S_h is one mirrored sqrt
+    micro-rounded into an integer weight; integer shares use
+    largest-remainder apportionment (Hamilton's method — div base + the
+    top remainders take the shortfall, ties on stratum name), so the
+    allocations sum EXACTLY to the budget by construction.
+
+    100 TB shape: one map-side-combined aggregate to |strata| rows, then
+    all apportionment runs on that metadata-sized frame."""
+    docs = _t(spark, sf_dir, "documents")
+    y = F.col("n_chars")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("s2"),
+    )
+    w = s.select(
+        "lang",
+        "nh",
+        (
+            F.col("nh")
+            * F.round(
+                F.expr("sqrt(s2 / nh - (s1 / nh) * (s1 / nh))") * 1_000_000
+            ).cast("long")
+        ).alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("wt"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "nh",
+        "w_micro",
+        F.expr(f"({_NEYMAN_BUDGET} * w_micro) div wt").alias("n_base"),
+        F.expr(f"({_NEYMAN_BUDGET} * w_micro) % wt").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("n_base")).alias("short")
+    )
+    rk = base.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("lang"))),
+    ).crossJoin(F.broadcast(short))
+    return rk.select(
+        "lang",
+        F.col("nh").cast("long").alias("stratum_n"),
+        F.col("w_micro").cast("long").alias("weight_micro"),
+        (F.col("n_base") + F.when(F.col("r") <= F.col("short"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -394,3 +394,45 @@ def test_mmd_matches_python_and_self_is_zero(spark):
     # MMD of a group against itself is exactly zero (same means)
     na = next(iter(sums.values()))[1]
     assert na == got["n_a"]
+
+
+# --------------------------------------------------------------------------
+# doc_length_moments / neyman_allocation_plan
+# --------------------------------------------------------------------------
+
+
+def test_length_moments_match_python(spark):
+    rows = load_table(spark, SF_SMALL, "documents").collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r["n_chars"])
+    got = {r["lang"]: r for r in QUERIES["doc_length_moments"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_lang)
+    for lang, ys in by_lang.items():
+        n = float(len(ys))
+        s1, s2 = float(sum(ys)), float(sum(y * y for y in ys))
+        s3, s4 = float(sum(y**3 for y in ys)), float(sum(y**4 for y in ys))
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean**3
+        m4 = (
+            s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean**4
+        )
+        g = got[lang]
+        assert g["n_docs"] == len(ys)
+        assert abs(g["mean_chars"] - mean) < 1e-5
+        assert abs(g["stddev_pop"] - math.sqrt(m2)) < 1e-5
+        assert abs(g["skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(g["excess_kurtosis"] - (m4 / (m2 * m2) - 3.0)) < 1e-5
+
+
+def test_neyman_allocation_sums_to_budget_and_prefers_variance(spark):
+    rows = QUERIES["neyman_allocation_plan"](spark, SF_SMALL).collect()
+    assert sum(r["n_alloc"] for r in rows) == 100  # exact by construction
+    # allocation ordering follows the N_h * S_h weights (Neyman optimality)
+    by_w = sorted(rows, key=lambda r: -r["weight_micro"])
+    allocs = [r["n_alloc"] for r in by_w]
+    assert allocs[0] == max(allocs)
+    for r in rows:
+        assert r["n_alloc"] >= 0

@@ -1970,7 +1970,16 @@ def q_doc_novelty_scores(spark, sf_dir):
     with the aggregate's own exchange. Ratio rounds to 6 dp after an
     identical-op-order division. The digest table is checkpointed so the
     shingling pass runs once, not once per consumer (owner aggregate +
-    re-join)."""
+    re-join).
+
+    Scale policy (r9 stress: 0.84 of 10×-linear in a dedicated min-of-3
+    run — the registry's closest-to-linear; the cost driver is the
+    shingle explode, ~dl shingles per doc): the computation is already
+    one explode + two digest aggregates, so the 100 TB lever is VOLUME,
+    not shape — shingle-sample per doc (every k-th shingle by rolling
+    hash, novelty is a ratio so sampling estimates it unbiasedly) or
+    winnowing-select first (``winnowing_fingerprints`` keeps ~2/w of
+    grams with a shared-span guarantee) before the owner aggregate."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     s = DD.with_shingles(docs.select("doc_id", "text")).select(
         "doc_id", F.explode("shingle_set").alias("sh")

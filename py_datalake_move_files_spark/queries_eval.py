@@ -364,9 +364,11 @@ SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
        CAST(d_num AS BIGINT) AS d_num,
        CAST(d_num * 1000000 // ((SELECT na FROM n) * (SELECT nb FROM n))
             AS BIGINT) AS d_ppm,
-       d_num * d_num * 1000000 >=
-         {_KS_C2_PPM} * (SELECT na FROM n) * (SELECT nb FROM n)
-           * ((SELECT na FROM n) + (SELECT nb FROM n)) AS reject_95
+       CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >=
+         {_KS_C2_PPM / 1_000_000!r} * CAST((SELECT na FROM n) AS DOUBLE)
+           * CAST((SELECT nb FROM n) AS DOUBLE)
+           * (CAST((SELECT na FROM n) AS DOUBLE)
+              + CAST((SELECT nb FROM n) AS DOUBLE)) AS reject_95
 FROM d
 """
 
@@ -378,20 +380,22 @@ def q_ks_test_doc_lengths(spark, sf_dir):
     corpus pipeline runs per ingest batch (PSI's ``value_drift_psi``
     cousin, but bin-free and with an exact rejection rule).
 
-    ALL-INTEGER: both empirical CDFs live on the merged value spine as
-    cumulative counts; D's numerator is max|cumA·nB − cumB·nA| (the common
-    denominator nA·nB never divides until the final ppm render), and the
-    95% decision compares D_num² against c(0.05)²·nA·nB·(nA+nB) in ppm —
+    INTEGER STATISTIC: both empirical CDFs live on the merged value spine
+    as cumulative counts; D's numerator is max|cumA·nB − cumB·nA| (the
+    common denominator nA·nB never divides until the final ppm render) —
     no float CDF, so the statistic is partition-layout-invariant and
-    bit-identical across engines.
+    bit-identical across engines. The 95% DECISION compares D_num²
+    against c(0.05)²·nA·nB·(nA+nB) in doubles with identical op order on
+    both engines (the all-BIGINT form overflows int64 at ~3k docs per
+    group — an ANSI-mode query failure in Spark 4 while DuckDB promotes
+    to HUGEINT; fixed r9); exact integer
+    inputs < 2^53 make the comparison deterministic at any corpus size.
 
     100 TB shape: two filtered map-side count aggregates keyed by value
     (the spine is distinct LENGTHS, bounded by the value domain, not row
     count), one window cumsum over that spine, one max. The integer
-    rejection rule is exact while nA·nB·(nA+nB) fits int64 (fine through
-    ~10^6 docs per group; beyond that compare in double on the ppm
-    values — the docstring'd fallback, same decision away from the
-    measure-zero boundary)."""
+    d_ppm render is exact while D_num·10⁶ fits int64 (≈3·10⁶ docs per
+    group); beyond that render in double too."""
     docs = _t(spark, sf_dir, "documents")
     per_val = (
         docs.where(F.col("lang").isin(_KS_A, _KS_B))
@@ -426,12 +430,21 @@ def q_ks_test_doc_lengths(spark, sf_dir):
         F.expr("CAST((d_num * 1000000) div (n_a * n_b) AS BIGINT)").alias(
             "d_ppm"
         ),
+        # the decision runs in DOUBLE with identical op order on both
+        # engines: the all-BIGINT form (d_num² · 1e6 ≥ c²ppm·nA·nB·(nA+nB))
+        # overflows int64 at ~3k docs per group — under Spark 4's default
+        # ANSI mode that THROWS at stress scale (ANSI off would wrap and
+        # flip the boolean; DuckDB promotes to HUGEINT) — an
+        # engine-divergence bug either way. Exact-integer inputs < 2^53
+        # convert identically and the product chain rounds identically per
+        # IEEE, so the boolean stays deterministic cross-engine at any
+        # size.
         (
-            F.col("d_num") * F.col("d_num") * 1_000_000
-            >= F.lit(_KS_C2_PPM)
-            * F.col("n_a")
-            * F.col("n_b")
-            * (F.col("n_a") + F.col("n_b"))
+            F.col("d_num").cast("double") * F.col("d_num").cast("double")
+            >= F.lit(_KS_C2_PPM / 1_000_000)
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * (F.col("n_a").cast("double") + F.col("n_b").cast("double"))
         ).alias("reject_95"),
     )
 

@@ -436,3 +436,44 @@ def test_neyman_allocation_sums_to_budget_and_prefers_variance(spark):
     assert allocs[0] == max(allocs)
     for r in rows:
         assert r["n_alloc"] >= 0
+
+
+def test_ks_rejection_arithmetic_survives_large_groups(spark):
+    """Regression (r9): the 95% decision must run in doubles — the
+    all-BIGINT form d_num²·1e6 overflows int64 at ~3k docs per group:
+    under Spark 4's default ANSI mode the whole query THROWS
+    ArithmeticException at stress scale (and with ANSI off it would wrap
+    and silently flip the boolean, while DuckDB promotes to HUGEINT —
+    engine divergence either way). At d_num=9e6, n=3000 per group the
+    true decision is reject."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    row = spark.createDataFrame(
+        [(9_000_000, 3_000, 3_000)], ["d_num", "n_a", "n_b"]
+    )
+    c = 1.844164
+    good = row.select(
+        (
+            F.col("d_num").cast("double") * F.col("d_num").cast("double")
+            >= F.lit(c)
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * (F.col("n_a").cast("double") + F.col("n_b").cast("double"))
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert good is True
+    with pytest.raises(Exception) as exc:  # ANSI overflow kills the query
+        row.select(
+            (
+                F.col("d_num") * F.col("d_num") * 1_000_000
+                >= F.lit(1_844_164)
+                * F.col("n_a")
+                * F.col("n_b")
+                * (F.col("n_a") + F.col("n_b"))
+            ).alias("r")
+        ).collect()
+    assert "overflow" in str(exc.value).lower() or "Arithmetic" in str(
+        type(exc.value).__name__
+    ) or "ARITHMETIC" in str(exc.value)

@@ -861,7 +861,13 @@ def q_token_burstiness(spark, sf_dir):
     counts (absent docs contribute zero to both), VMR = var/mean =
     (N·Σc² − (Σc)²)/(N·Σc) — emitted as one exact ppm division, no float
     moment ever computed. Shape: two map-side-combined aggregates
-    ((doc, tok) then tok) and a TakeOrdered top-{_BURST_TOP}."""
+    ((doc, tok) then tok) and a TakeOrdered top-{_BURST_TOP}.
+
+    int64 headroom: the ppm numerator needs N·Σc²·10⁶ < 2⁶³ — exact
+    through N·Σc² ≈ 9·10¹² (e.g. 10⁸ docs × a 10⁴-count token). Beyond
+    that Spark's ANSI mode fails LOUD (never a silent wrap); the
+    documented fallback is the same formula in doubles (VMR is a ratio —
+    53-bit mantissa error is immaterial at that scale)."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     c = (
@@ -1073,7 +1079,9 @@ def q_permutation_test_events(spark, sf_dir):
     100 TB shape: one P-way map-side explode + one combined aggregate to
     P partials per partition (the ``bootstrap_ci_mean`` shape); the
     observed arm is a second tiny aggregate broadcast into the final
-    one-row comparison."""
+    one-row comparison. int64 headroom: group sums need Σ|v_micro| < 2⁶³
+    (≈9·10¹² rows at typical per-event values); ANSI fails loud beyond —
+    drop the micro scale a decade per 10× rows past that."""
     ev = (
         _t(spark, sf_dir, "events")
         .where(F.col("event_type").isin(_PERM_A, _PERM_B))
@@ -1511,7 +1519,10 @@ def q_neyman_allocation_plan(spark, sf_dir):
     allocations sum EXACTLY to the budget by construction.
 
     100 TB shape: one map-side-combined aggregate to |strata| rows, then
-    all apportionment runs on that metadata-sized frame."""
+    all apportionment runs on that metadata-sized frame. int64 headroom:
+    budget·w_micro < 2⁶³ with w_micro = N_h·S_micro — exact through
+    N_h·S ≈ 10¹¹·budget⁻¹; ANSI fails loud beyond (drop the micro scale
+    a decade, the apportionment is scale-invariant)."""
     docs = _t(spark, sf_dir, "documents")
     y = F.col("n_chars")
     s = docs.groupBy("lang").agg(

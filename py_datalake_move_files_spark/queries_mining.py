@@ -2059,7 +2059,9 @@ tt AS (
 SELECT CAST(dec.decile AS INT) AS decile, dec.n, dec.n_pos,
   CAST(dec.n_pos * 1000000 // dec.n AS BIGINT) AS response_ppm,
   CAST(CASE WHEN tt.tp = 0 THEN NULL
-            ELSE dec.n_pos * tt.tn * 1000000 // (dec.n * tt.tp) END
+            ELSE floor(CAST(dec.n_pos AS DOUBLE) * CAST(tt.tn AS DOUBLE)
+                 * 1000000.0 / (CAST(dec.n AS DOUBLE) * CAST(tt.tp AS DOUBLE)))
+            END
        AS BIGINT) AS lift_ppm,
   CAST(sum(dec.n) OVER (ORDER BY dec.decile DESC
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -2127,9 +2129,16 @@ def q_purchase_decile_lift(spark, sf_dir):
             F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias(
                 "response_ppm"
             ),
+            # lift runs in DOUBLE with identical op order both engines:
+            # the BIGINT form n_pos·tn·1e6 overflows int64 (ANSI throw)
+            # at ~10^7 users; doubles are exact below 2^53 (so values are
+            # bit-identical at any driver/test scale) and round
+            # identically per IEEE beyond it (fixed r9, the KS device)
             F.expr(
                 "CAST(CASE WHEN tp = 0 THEN NULL"
-                " ELSE n_pos * tn * 1000000 DIV (n * tp) END AS BIGINT)"
+                " ELSE floor(CAST(n_pos AS DOUBLE) * CAST(tn AS DOUBLE)"
+                " * 1000000.0 / (CAST(n AS DOUBLE) * CAST(tp AS DOUBLE)))"
+                " END AS BIGINT)"
             ).alias("lift_ppm"),
             F.sum("n").over(wtop).cast("long").alias("cum_n_from_top"),
             F.expr(

@@ -1181,7 +1181,8 @@ SELECT (SELECT n FROM n) AS n_bigrams,
   vocab, n_bigram_types,
   CAST(s_uni // (SELECT n FROM n) AS BIGINT) AS h_unigram_micro_nats,
   CAST(s_cond // (SELECT n FROM n) AS BIGINT) AS h_cond_micro_nats,
-  CAST((s_cond * 1000000) // s_uni AS BIGINT) AS entropy_ratio_ppm
+  CAST(floor(CAST(s_cond AS DOUBLE) * 1000000.0
+             / CAST(s_uni AS DOUBLE)) AS BIGINT) AS entropy_ratio_ppm
 FROM agg
 """
 
@@ -1212,7 +1213,10 @@ def q_bigram_conditional_entropy(spark, sf_dir):
     aggregate → marginals as a window co-partitioned on w1 → a one-row
     reduce. The first cut hung c1/N/uni/cond off the c12 subtree and
     Catalyst re-derived the explode per branch (5 scans, 7 exchanges);
-    this shape is 2 scans, 3 exchanges at any corpus size."""
+    this shape is 2 scans, 3 exchanges at any corpus size. int64
+    headroom: the micro-nat sums need N·H·10⁶ < 2⁶³ (≈2.8·10¹²
+    bigrams); past that drop the micro scale a decade per decade of
+    corpus (H is a ratio of the two sums, so the scale cancels)."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = docs.select(F.split("text", " ").alias("__toks"))
     n = t.agg(
@@ -1268,9 +1272,13 @@ def q_bigram_conditional_entropy(spark, sf_dir):
         F.expr("CAST(s_cond div n_bigrams AS BIGINT)").alias(
             "h_cond_micro_nats"
         ),
-        F.expr("CAST((s_cond * 1000000) div s_uni AS BIGINT)").alias(
-            "entropy_ratio_ppm"
-        ),
+        # ratio in DOUBLE (identical text both engines): s_cond·1e6
+        # overflows int64 past ~9·10¹² micro-nat-bigrams — caught LIVE by
+        # the sf1 stress run as an ANSI ARITHMETIC_OVERFLOW (the KS device)
+        F.expr(
+            "CAST(floor(CAST(s_cond AS DOUBLE) * 1000000.0"
+            " / CAST(s_uni AS DOUBLE)) AS BIGINT)"
+        ).alias("entropy_ratio_ppm"),
     )
 
 

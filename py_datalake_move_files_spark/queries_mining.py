@@ -226,9 +226,13 @@ s AS (
 )
 SELECT p AS n_pos, q AS n_neg,
   CAST(CASE WHEN p = 0 OR q = 0 THEN NULL
-            ELSE num2 * 1000000 // (2 * p * q) END AS BIGINT) AS auc_ppm,
+            ELSE floor(CAST(num2 AS DOUBLE) * 1000000.0
+                 / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)))
+            END AS BIGINT) AS auc_ppm,
   CAST(CASE WHEN p = 0 OR q = 0 THEN NULL
-            ELSE num2 * 1000000 // (2 * p * q) * 2 - 1000000 END AS BIGINT)
+            ELSE floor(CAST(num2 AS DOUBLE) * 1000000.0
+                 / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)))
+                 * 2 - 1000000 END AS BIGINT)
     AS gini_ppm
 FROM s
 """
@@ -278,14 +282,20 @@ def q_value_purchase_auc(spark, sf_dir):
     return s.select(
         F.col("p").alias("n_pos"),
         F.col("q").alias("n_neg"),
+        # ppm render in DOUBLE (identical text both engines): num2·1e6
+        # overflows int64 (ANSI throw) once p·q passes ~4.6e12 — the r9
+        # overflow rule for data×data numerators; exact below 2^53
         F.expr(
             "CAST(CASE WHEN p = 0 OR q = 0 THEN NULL"
-            " ELSE num2 * 1000000 DIV (2 * p * q) END AS BIGINT)"
+            " ELSE floor(CAST(num2 AS DOUBLE) * 1000000.0"
+            " / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)))"
+            " END AS BIGINT)"
         ).alias("auc_ppm"),
         F.expr(
             "CAST(CASE WHEN p = 0 OR q = 0 THEN NULL"
-            " ELSE num2 * 1000000 DIV (2 * p * q) * 2 - 1000000 END"
-            " AS BIGINT)"
+            " ELSE floor(CAST(num2 AS DOUBLE) * 1000000.0"
+            " / (2.0 * CAST(p AS DOUBLE) * CAST(q AS DOUBLE)))"
+            " * 2 - 1000000 END AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

@@ -115,6 +115,22 @@ def _build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=20, help="rows to print (display mode)"
     )
 
+    st = sub.add_parser(
+        "selftest",
+        help="validate a deployment: run registry queries against their"
+        " built-in DuckDB oracles and report per-query parity",
+    )
+    st.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
+    st.add_argument(
+        "--query",
+        help="comma-separated query names (default: the full registry)",
+    )
+    st.add_argument(
+        "--max-queries",
+        type=int,
+        help="stop after N queries (registry order) — a bounded smoke",
+    )
+
     pr = sub.add_parser(
         "profile",
         help="column profile of a lake table (nulls, distincts, min/max)",
@@ -340,6 +356,58 @@ def cmd_audit(spark, args) -> int:
     return 0
 
 
+def cmd_selftest(spark, args) -> int:
+    """Deployment validation: every registered query ships with the ANSI
+    SQL that defines its semantics; this command runs query and oracle
+    side by side (DuckDB in-process) and reports the same
+    rows/schema/values verdicts the external correctness gate computes —
+    so a consumer can prove THEIR data layout + Spark build reproduce the
+    engine's contract before trusting any number. Exit 2 on any mismatch,
+    listing the failures."""
+    from py_datalake_move_files_spark.functions.parity import (
+        compare_query,
+        duck_connection,
+    )
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    if args.query:
+        names = [q.strip() for q in args.query.split(",") if q.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print(f"unknown query name(s): {unknown}", file=sys.stderr)
+            return 2
+    else:
+        names = list(QUERIES)
+    if args.max_queries:
+        names = names[: args.max_queries]
+
+    con = duck_connection(args.sf_dir)
+    failures = []
+    for name in names:
+        try:
+            v = compare_query(spark, con, name, args.sf_dir)
+        except Exception as exc:  # noqa: BLE001 — keep testing the rest
+            failures.append(name)
+            print(f"ERROR {name}: {str(exc).splitlines()[0][:200]}")
+            continue
+        if v["values_match"] is None:
+            print(f"ok    {name} (rows-only: {v['spark_rows']} rows)")
+        elif v["rows_match"] and v["schema_match"] and v["values_match"]:
+            print(f"ok    {name} ({v['spark_rows']} rows)")
+        else:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: rows={v['rows_match']}"
+                f" schema={v['schema_match']} values={v['values_match']}"
+                f" ({v['spark_rows']} vs {v['oracle_rows']} rows)"
+            )
+    print(f"selftest: {len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        print(f"FAILED: {failures}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_profile(spark, args) -> int:
     """Column profile of one lake table — the ``table_profile_orders``
     device as a product surface. Exact mode compiles the multi-distinct
@@ -484,6 +552,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_sql(spark, args)
         if args.cmd == "profile":
             return cmd_profile(spark, args)
+        if args.cmd == "selftest":
+            return cmd_selftest(spark, args)
         if args.cmd == "dedup":
             return cmd_dedup(spark, args)
         return cmd_move(spark, args)

@@ -288,3 +288,21 @@ def test_cli_profile_exact_approx_and_bad_column(tmp_path):
     )
     assert r4.returncode == 0, r4.stderr[-500:]
     assert out.exists()
+
+
+def test_cli_selftest_passes_and_catches_unknown(tmp_path):
+    """The selftest subcommand is the oracle-parity gate as a product
+    surface: named queries pass against the bundled DuckDB oracles, and
+    unknown names fail fast."""
+    r = _run(
+        ["selftest", "--sf-dir", "/root/testdata/sf0.001",
+         "--query", "manifest_status_counts,dedup_exact,q1_pricing_summary"]
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert "selftest: 3/3 passed" in r.stdout
+
+    r2 = _run(
+        ["selftest", "--sf-dir", "/root/testdata/sf0.001", "--query", "nope"]
+    )
+    assert r2.returncode == 2
+    assert "unknown query name(s)" in r2.stderr

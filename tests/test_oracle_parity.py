@@ -16,13 +16,17 @@ scheme is very likely to pass if this does.
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 
 import duckdb
 import pytest
 
-from py_datalake_move_files_spark.catalog import TABLES
+from py_datalake_move_files_spark.functions.parity import (
+    canon_rows as _canon_rows,
+)
+from py_datalake_move_files_spark.functions.parity import (
+    duck_connection as _duck_conn,
+)
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES
 
 SF_SWEEP = "/root/testdata/sf0.001"
@@ -40,31 +44,6 @@ CASES = [
     (n, sf) for n in sorted(QUERIES) for sf in (SF_SWEEP, SF_DRIVER)
 ]
 
-
-def _canon_value(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return format(v, ".17g")
-    return str(v)
-
-
-def _canon_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon_value(r[i]) for i in idx) for r in rows)
-
-
-def _duck_conn(sf_dir: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
 
 
 @pytest.fixture(scope="module")

@@ -116,6 +116,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "embedding_mean_shift_mmd",
     "doc_length_moments",
     "neyman_allocation_plan",
+    "knn_mutual_pairs",
 ]
 
 

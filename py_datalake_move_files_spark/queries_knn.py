@@ -672,3 +672,57 @@ def q_knn_local_clustering(spark, sf_dir):
             .alias("lcc_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mutual (reciprocal) kNN pairs — the SNN primitive
+# --------------------------------------------------------------------------
+
+_MUTUAL_ORACLE = _KNN_PRELUDE + _KNN_EDGES_CTE + """
+SELECT e1.query_id AS id_a, e1.neighbor_id AS id_b,
+  e1.cosine_sim AS cosine_sim,
+  CAST(e1.rnk AS INT) AS rnk_ab, CAST(e2.rnk AS INT) AS rnk_ba
+FROM edges e1 JOIN edges e2
+  ON e2.query_id = e1.neighbor_id AND e2.neighbor_id = e1.query_id
+WHERE e1.query_id < e1.neighbor_id
+"""
+
+
+@register("knn_mutual_pairs", _MUTUAL_ORACLE)
+def q_knn_mutual_pairs(spark, sf_dir):
+    """Mutual (reciprocal) kNN pairs: (a, b) kept only when each is in
+    the OTHER's top-{KNN_K} — the shared-nearest-neighbor primitive
+    behind SNN clustering and high-precision near-dup verification
+    (one-directional kNN edges are asymmetric in dense regions; mutuality
+    is the standard cheap filter that removes hub-induced false
+    neighbors). Emits both ranks so downstream can weight by agreement.
+
+    Shape: the shared session-cached kNN graph artifact (built once per
+    snapshot/params — ``_knn_edges``) self-joined on the reversed pair;
+    both sides are the SAME k·N-row edge frame hashed on the join key, so
+    the pairing costs one co-partitioned shuffle of k·N rows regardless
+    of corpus size, and the lower-id filter halves the output without a
+    distinct."""
+    e = _knn_edges(spark, sf_dir)
+    e1 = e.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine_sim",
+        F.col("rnk").alias("rnk_ab"),
+    )
+    e2 = e.select(
+        F.col("query_id").alias("id_b"),
+        F.col("neighbor_id").alias("id_a"),
+        F.col("rnk").alias("rnk_ba"),
+    )
+    return (
+        e1.join(e2, ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cosine_sim",
+            F.col("rnk_ab").cast("int"),
+            F.col("rnk_ba").cast("int"),
+        )
+    )

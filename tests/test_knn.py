@@ -150,3 +150,21 @@ def test_census_family_plans_stay_bucketed(spark):
     # the per-node census has no single-row stage at all: even the benign
     # BNLJ shape must not appear in a per-node output plan
     assert "BroadcastNestedLoopJoin" not in lcc_plan
+
+
+def test_mutual_pairs_are_symmetric_subset_of_edges(spark):
+    """Every mutual pair must appear in BOTH directions of the kNN edge
+    list, and mutuality is strictly a subset of one-directional edges."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    edges = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["knn_graph_edges"](spark, sf).collect()
+    }
+    pairs = QUERIES["knn_mutual_pairs"](spark, sf).collect()
+    assert 0 < len(pairs) < len(edges)
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) in edges
+        assert (r["id_b"], r["id_a"]) in edges

@@ -21,87 +21,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-9 window:
+#: The driver hash-checks the FIRST 50 registered queries. Round-10 window:
 #: the ledger (CORRECTNESS_CUMULATIVE.json, regenerated at round start by
-#: tools/make_cumulative.py — the single source of truth) holds 251
-#: cumulatively driver-green queries after folding round 8's 50/50 green
-#: artifact. The only registered queries without a driver row are the 17
-#: round-8 additions that were queued last round; ALL 17 fill this window
-#: (listed first), alongside 33 cumulative-green anchors covering every
-#: §2 family (rotated to different representatives than round 8's anchor
+#: tools/make_cumulative.py — the single source of truth) holds 268
+#: cumulatively driver-green queries after folding round 9's 50/50 green
+#: artifact. The only registered queries without a driver row are the 16
+#: round-9 additions that were queued last round; ALL 16 fill this window
+#: (listed first), alongside 34 cumulative-green anchors covering every
+#: §2 family (rotated to different representatives than round 9's anchor
 #: set, so the ledger keeps getting re-verified breadth-first). A green
-#: round 9 means 268/268 registered-through-r8 queries own a driver-green
-#: row. Queries ADDED in round 9 land in QUEUED_FOR_NEXT_WINDOW and
+#: round 10 means 284/284 registered-through-r9 queries own a driver-green
+#: row. Queries ADDED in round 10 land in QUEUED_FOR_NEXT_WINDOW and
 #: rotate in next round; until then they are covered by the local DuckDB
 #: parity mirror (tests/test_oracle_parity.py runs EVERY registered query
 #: at BOTH sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts
 #: the three lists exactly tile the registry, so a query can never
 #: silently drop out of the accounting.
 CURATED_FIRST = [
-    # round-8 additions, never driver-checked (queued last round) — all 17
-    "cumulative_distinct_users",
-    "event_order_violations",
-    "partition_compaction_plan",
-    "token_budget_waterfill",
-    "jackknife_mean_quality",
-    "markov_two_step_reach",
-    "elasticity_by_segment",
-    "simplified_silhouette",
-    "ql_dirichlet_retrieval",
-    "winnowing_fingerprints",
-    "mmr_rerank_retrieval",
-    "consistent_hash_shards",
-    "quantile_normalize_lengths",
-    "prf_query_expansion",
-    "seasonal_naive_backtest",
-    "readability_scores",
-    "ctr_wilson_bounds",
-    # anchors — re-verify representatives across every §2 family (all in
-    # the cumulative ledger; rotated vs the round-8 anchor set)
-    "manifest_archive_plan",
-    "manifest_status_counts",
-    "path_rewrite_ops",
-    "date_range_filter",
-    "json_content_predicate",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q18_big_orders",
-    "hll_overlap_estimate",
-    "window_running_revenue",
-    "window_rank_suite",
-    "sliding_window_counts",
-    "left_outer_customer_orders",
-    "not_in_null_semantics",
-    "interval_attribution_bucketed",
-    "asof_salted_hot_keys",
-    "rollup_nation_region",
-    "grouping_sets_orders",
-    "pivot_event_type_counts",
-    "percentile_prices",
-    "multimodal_decode_features",
-    "array_funcs_suite",
-    "map_funcs_suite",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "lang_id",
-    "token_counts",
-    "ann_brute_force",
-    "ann_lsh_multiprobe",
-    "ann_pq_topk",
-    "web_corpus_pipeline",
-    "hybrid_rrf_retrieval",
-    "knn_components",
-]
-
-#: Queries registered DURING round 9 (after this window was fixed). They
-#: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-10 window. tests/test_rotation_accounting.py enforces
-#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
-#: the registry, and that every queued name actually runs at sf0.001
-#: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    # round-9 additions, never driver-checked (queued last round) — all 16
     "table_profile_orders_approx",
-    # round-9 evaluation/measurement tier (queries_eval.py)
     "ndcg_retrieval_eval",
     "ks_test_doc_lengths",
     "zipf_slope_tokens",
@@ -117,7 +55,51 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "doc_length_moments",
     "neyman_allocation_plan",
     "knn_mutual_pairs",
+    # anchors — re-verify representatives across every §2 family (all in
+    # the cumulative ledger; rotated vs the round-9 anchor set)
+    "path_rewrite_compat",
+    "filter_reason_cascade",
+    "json_probe_exact",
+    "props_key_stats",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q21_late_exclusive_suppliers",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "full_outer_nation_presence",
+    "range_join_value_buckets",
+    "asof_purchase_prior_view",
+    "skew_salted_event_join",
+    "scalar_subquery_above_avg",
+    "agg_distinct_stats",
+    "cube_priority_status",
+    "approx_percentile_prices",
+    "unpivot_lineitem_metrics",
+    "window_latest_order",
+    "window_range_frame",
+    "sessionize_events",
+    "set_ops_segments",
+    "string_funcs_suite",
+    "date_funcs_suite",
+    "null_handling_suite",
+    "dedup_minhash_lsh",
+    "simhash_dup_pairs",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "quality_scores",
+    "bm25_doc_retrieval",
+    "multimodal_frame_sample",
 ]
+
+#: Queries registered DURING round 10 (after this window was fixed). They
+#: are covered by the local two-scale DuckDB parity mirror now and rotate
+#: into the round-11 window. tests/test_rotation_accounting.py enforces
+#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
+#: the registry, and that every queued name actually runs at sf0.001
+#: (the r6 snapshot-commit gate).
+QUEUED_FOR_NEXT_WINDOW: list[str] = []
 
 
 def _cumulative_green() -> set[str]:

@@ -125,9 +125,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "--query",
         help="comma-separated query names (default: the full registry)",
     )
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                f"--max-queries must be >= 1, got {n}"
+            )
+        return n
+
     st.add_argument(
         "--max-queries",
-        type=int,
+        type=_positive_int,
         help="stop after N queries (registry order) — a bounded smoke",
     )
 
@@ -378,7 +386,7 @@ def cmd_selftest(spark, args) -> int:
             return 2
     else:
         names = list(QUERIES)
-    if args.max_queries:
+    if args.max_queries is not None:
         names = names[: args.max_queries]
 
     con = duck_connection(args.sf_dir)

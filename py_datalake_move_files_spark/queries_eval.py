@@ -626,20 +626,27 @@ _DRIFT_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
 
 _DRIFT_ORACLE = " UNION ALL ".join(
     f"""
-SELECT '{c}' AS column,
-  CAST(count(CASE WHEN o_orderdate <  DATE '{_DRIFT_SPLIT}' THEN 1 END) AS BIGINT) AS rows_a,
-  CAST(count(CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' THEN 1 END) AS BIGINT) AS rows_b,
-  CAST(count(DISTINCT CASE WHEN o_orderdate <  DATE '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT) AS distinct_a,
-  CAST(count(DISTINCT CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT) AS distinct_b,
-  CAST((count(DISTINCT CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' THEN {c} END) * 1000000)
-       // count(DISTINCT CASE WHEN o_orderdate < DATE '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT)
-    AS distinct_ratio_ppm,
-  CAST((count(CASE WHEN o_orderdate < DATE '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 END) * 1000000)
-       // count(CASE WHEN o_orderdate < DATE '{_DRIFT_SPLIT}' THEN 1 END)
-     - (count(CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 END) * 1000000)
-       // count(CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' THEN 1 END) AS BIGINT)
-    AS null_drift_ppm
-FROM orders
+SELECT '{c}' AS column, rows_a, rows_b, distinct_a, distinct_b,
+  -- empty-window guards (ADVICE r9): an empty before/after window or a
+  -- zero-distinct column must yield NULL for that ratio, not abort the
+  -- whole report on ANSI div-by-zero
+  CASE WHEN distinct_a = 0 THEN NULL
+       ELSE CAST((distinct_b * 1000000) // distinct_a AS BIGINT)
+  END AS distinct_ratio_ppm,
+  CASE WHEN rows_a = 0 OR rows_b = 0 THEN NULL
+       ELSE CAST((nulls_a * 1000000) // rows_a
+               - (nulls_b * 1000000) // rows_b AS BIGINT)
+  END AS null_drift_ppm
+FROM (
+  SELECT
+    CAST(count(CASE WHEN o_orderdate <  DATE '{_DRIFT_SPLIT}' THEN 1 END) AS BIGINT) AS rows_a,
+    CAST(count(CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' THEN 1 END) AS BIGINT) AS rows_b,
+    CAST(count(DISTINCT CASE WHEN o_orderdate <  DATE '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT) AS distinct_a,
+    CAST(count(DISTINCT CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT) AS distinct_b,
+    CAST(count(CASE WHEN o_orderdate <  DATE '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 END) AS BIGINT) AS nulls_a,
+    CAST(count(CASE WHEN o_orderdate >= DATE '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 END) AS BIGINT) AS nulls_b
+  FROM orders
+)
 """
     for c in _DRIFT_COLS
 )
@@ -1030,13 +1037,22 @@ WITH ev AS (
          CAST(round(value * 1000000) AS BIGINT) AS v_micro
   FROM events WHERE event_type IN ('{_PERM_A}', '{_PERM_B}')
 ),
+obs_s AS (
+  SELECT
+    sum(CASE WHEN event_type = '{_PERM_A}' THEN v_micro ELSE 0 END) AS sa,
+    sum(CASE WHEN event_type = '{_PERM_A}' THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN event_type = '{_PERM_B}' THEN v_micro ELSE 0 END) AS sb,
+    sum(CASE WHEN event_type = '{_PERM_B}' THEN 1 ELSE 0 END) AS nb
+  FROM ev
+),
+-- sign-split: Spark div truncates toward zero, DuckDB // floors — they
+-- diverge by 1 micro on negative sums (refund-valued events). Same
+-- device as the MMD oracle (ADVICE r9 low #1).
 obs AS (
   SELECT abs(
-    sum(CASE WHEN event_type = '{_PERM_A}' THEN v_micro ELSE 0 END)
-      // sum(CASE WHEN event_type = '{_PERM_A}' THEN 1 ELSE 0 END)
-    - sum(CASE WHEN event_type = '{_PERM_B}' THEN v_micro ELSE 0 END)
-      // sum(CASE WHEN event_type = '{_PERM_B}' THEN 1 ELSE 0 END)
-  ) AS d FROM ev
+    (CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
+    - (CASE WHEN sb >= 0 THEN sb // nb ELSE -((-sb) // nb) END)
+  ) AS d FROM obs_s
 ),
 perms AS (SELECT unnest(generate_series(1, {_PERM_P})) AS p),
 lab AS (
@@ -1045,13 +1061,19 @@ lab AS (
                         CAST(p.p AS VARCHAR)), 1, 12))::BIGINT % 2 AS g
   FROM ev e CROSS JOIN perms p
 ),
+pd_s AS (
+  SELECT p,
+    sum(CASE WHEN g = 0 THEN v_micro ELSE 0 END) AS sa,
+    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN g = 1 THEN v_micro ELSE 0 END) AS sb,
+    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb
+  FROM lab GROUP BY p
+),
 pd AS (
   SELECT p, abs(
-    sum(CASE WHEN g = 0 THEN v_micro ELSE 0 END)
-      // sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
-    - sum(CASE WHEN g = 1 THEN v_micro ELSE 0 END)
-      // sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
-  ) AS d FROM lab GROUP BY p
+    (CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
+    - (CASE WHEN sb >= 0 THEN sb // nb ELSE -((-sb) // nb) END)
+  ) AS d FROM pd_s
 )
 SELECT CAST((SELECT d FROM obs) AS BIGINT) AS observed_diff_micro,
   CAST({_PERM_P} AS BIGINT) AS n_permutations,
@@ -1075,7 +1097,10 @@ def q_permutation_test_events(spark, sf_dir):
     is a pure map-side hash — no global shuffle of labels exists.
 
     Determinism: values go to integer micros BEFORE any sum; group means
-    are integer-ppm divisions; the relabel bit is the 48-bit md5 idiom.
+    are integer divisions, SIGN-SPLIT in the oracle (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors — refund-valued negative
+    sums would diverge by 1 micro otherwise; ADVICE r9); the relabel bit
+    is the 48-bit md5 idiom.
     100 TB shape: one P-way map-side explode + one combined aggregate to
     P partials per partition (the ``bootstrap_ci_mean`` shape); the
     observed arm is a second tiny aggregate broadcast into the final
@@ -1292,8 +1317,14 @@ _MMD_B = 1
 _MMD_ORACLE = f"""
 WITH e AS (
   SELECT label, i AS dim,
-         CAST(CASE WHEN x >= 0 THEN floor(x * 1000000 + 0.5)
-              ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT) AS v
+         -- CAST to DOUBLE before the micro-encode: unnest(list<float>)
+         -- yields FLOAT, and floor(x*1000000+0.5) in 32-bit diverges from
+         -- Spark's DOUBLE path on ~0.3% of elements (ADVICE r9, verified
+         -- on sf0.01) — same convention as oracle_ivf/oracle_knn encodes
+         CAST(CASE WHEN x >= 0
+              THEN floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+              ELSE -floor(-CAST(x AS DOUBLE) * 1000000 + 0.5)
+              END AS BIGINT) AS v
   FROM (
     SELECT label, unnest(embedding) AS x,
            unnest(generate_series(1, len(embedding))) AS i

@@ -306,3 +306,25 @@ def test_cli_selftest_passes_and_catches_unknown(tmp_path):
     )
     assert r2.returncode == 2
     assert "unknown query name(s)" in r2.stderr
+
+
+def test_cli_selftest_rejects_nonpositive_max_queries():
+    """--max-queries 0 used to silently run the FULL registry (falsy check,
+    ADVICE r9); now the parser rejects anything below 1."""
+    for bad in ("0", "-3"):
+        r = _run(
+            ["selftest", "--sf-dir", "/root/testdata/sf0.001",
+             "--max-queries", bad]
+        )
+        assert r.returncode == 2, f"--max-queries {bad} was accepted"
+        assert "must be >= 1" in r.stderr
+
+
+def test_cli_selftest_max_queries_bounds_the_run():
+    r = _run(
+        ["selftest", "--sf-dir", "/root/testdata/sf0.001",
+         "--query", "manifest_status_counts,dedup_exact,q1_pricing_summary",
+         "--max-queries", "2"]
+    )
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert "selftest: 2/2 passed" in r.stdout

@@ -1364,13 +1364,15 @@ def dim_correlations(
     Exactness device: elements are fixed-point encoded
     ``v = round(x · scale)`` (half away from zero — Spark round, DuckDB
     round, and the numpy kernel all agree), so every moment —
-    Σv, Σv², Σv_i·v_j — is an exact BIGINT and immune to summation
+    Σv, Σv², Σv_i·v_j — is an exact integer and immune to summation
     order; the only doubles are the final correlation ratio, computed
     with identical operation order on both engines and rounded to 6 dp.
-    Overflow headroom: |v| ≤ scale for unit-normalized embeddings, so
-    Σv² ≤ scale²·N — int64-safe to N ≈ 9e6 rows per partial at
-    scale=1e6; beyond that, shard the aggregate hierarchically or drop
-    scale one decade.
+    Overflow headroom (r10 audit): the per-BATCH numpy Gram is int64
+    (safe — Arrow batches are ~10⁴ rows, so a batch partial tops out
+    near scale²·10⁴ ≈ 10¹⁶), and the cross-batch / cross-row SUMS
+    accumulate as DECIMAL(38,0) (DuckDB mirrors with HUGEINT), which
+    removes the former N ≈ 9e6-row int64 ceiling entirely — headroom is
+    now ~10³⁸/scale² ≈ 10²⁶ rows.
 
     100 TB plan: the d×d Gram accumulation is a classic mergeable
     aggregate — the Arrow-batched numpy kernel (``X.T @ X`` on int64)
@@ -1402,7 +1404,7 @@ def dim_correlations(
     pair_sums = (
         base.mapInPandas(gram_partials, schema="i int, j int, s long")
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("sxy"))
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("sxy"))
     )
 
     fp = base.select(
@@ -1414,7 +1416,8 @@ def dim_correlations(
         .alias("v"),
     )
     moments = fp.groupBy("i").agg(
-        F.sum("v").alias("sx"), F.sum(F.col("v") * F.col("v")).alias("sxx")
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("sxx"),
     )
     n1 = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
 

@@ -898,8 +898,10 @@ pairs AS (
 ),
 s AS (
   SELECT lag, count(*) AS n,
-    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-    sum(y * y) AS syy, sum(x * y) AS sxy
+    sum(x) AS sx, sum(y) AS sy,
+    sum(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+    sum(CAST(y AS DECIMAL(19,0)) * y) AS syy,
+    sum(CAST(x AS DECIMAL(19,0)) * y) AS sxy
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
@@ -921,11 +923,14 @@ def q_hourly_autocorrelation(spark, sf_dir):
     misaligns lags.
 
     Exactness: the series is integer COUNTS, so every Pearson component
-    (n, Σx, Σy, Σx², Σy², Σxy) is an exact integer sum — the one double
-    division happens at the end in the same op order both engines (the
-    stats_corr device, without even needing decimals). The lag windows
-    order the AGGREGATE series (thousands of hour rows, the Pareto-query
-    posture), never raw events; both lags ride one window pass."""
+    (n, Σx, Σy, Σx², Σy², Σxy) is an exact sum — the squared-term sums
+    run in DECIMAL(38,0) (the doc_length_moments device, identical text
+    both engines: a 100 TB event table at ~10¹³ events over ~10⁴ hours
+    puts Σx² near 10²¹, past int64 — r10 overflow audit) and the one
+    double division happens at the end in the same op order both
+    engines. The lag windows order the AGGREGATE series (thousands of
+    hour rows, the Pareto-query posture), never raw events; both lags
+    ride one window pass."""
     ev = _t(spark, sf_dir, "events")
     h = ev.select(F.date_trunc("hour", "ts").alias("hour"))
     bounds = h.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
@@ -956,9 +961,11 @@ def q_hourly_autocorrelation(spark, sf_dir):
     n = F.count(F.lit(1))
     sx = F.sum("x")
     sy = F.sum("y")
-    sxx = F.sum(F.col("x") * F.col("x"))
-    syy = F.sum(F.col("y") * F.col("y"))
-    sxy = F.sum(F.col("x") * F.col("y"))
+    # squared-count sums in DECIMAL(38,0): Σx² over a 100 TB event table
+    # exceeds int64 (r10 overflow audit); identical text as the oracle
+    sxx = F.expr("sum(CAST(x AS DECIMAL(19,0)) * x)")
+    syy = F.expr("sum(CAST(y AS DECIMAL(19,0)) * y)")
+    sxy = F.expr("sum(CAST(x AS DECIMAL(19,0)) * y)")
     return pairs.groupBy(F.col("lag").cast("int").alias("lag")).agg(
         n.cast("long").alias("n_pairs"),
         F.round(

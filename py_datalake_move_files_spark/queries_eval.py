@@ -846,11 +846,15 @@ c AS (
   ) GROUP BY 1, 2
 ),
 t AS (
-  SELECT tok, count(*) AS df, sum(c) AS tf, sum(c * c) AS tf2 FROM c GROUP BY tok
+  SELECT tok, count(*) AS df, sum(c) AS tf,
+    sum(CAST(c AS DECIMAL(19,0)) * c) AS tf2
+  FROM c GROUP BY tok
 )
 SELECT tok, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
-  CAST(((SELECT nd FROM n) * tf2 - tf * tf) * 1000000
-       // ((SELECT nd FROM n) * tf) AS BIGINT) AS vmr_ppm
+  CAST(floor((CAST((SELECT nd FROM n) AS DOUBLE) * CAST(tf2 AS DOUBLE)
+              - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)) * 1000000.0
+             / (CAST((SELECT nd FROM n) AS DOUBLE) * CAST(tf AS DOUBLE)))
+       AS BIGINT) AS vmr_ppm
 FROM t ORDER BY tf DESC, tok ASC LIMIT {_BURST_TOP}
 """
 
@@ -864,17 +868,16 @@ def q_token_burstiness(spark, sf_dir):
     screen for template contamination that frequency alone
     (``heavy_hitter_tokens``) can't see.
 
-    ALL-INTEGER: with N docs and integer Σc, Σc² over the token's doc
-    counts (absent docs contribute zero to both), VMR = var/mean =
-    (N·Σc² − (Σc)²)/(N·Σc) — emitted as one exact ppm division, no float
-    moment ever computed. Shape: two map-side-combined aggregates
-    ((doc, tok) then tok) and a TakeOrdered top-{_BURST_TOP}.
-
-    int64 headroom: the ppm numerator needs N·Σc²·10⁶ < 2⁶³ — exact
-    through N·Σc² ≈ 9·10¹² (e.g. 10⁸ docs × a 10⁴-count token). Beyond
-    that Spark's ANSI mode fails LOUD (never a silent wrap); the
-    documented fallback is the same formula in doubles (VMR is a ratio —
-    53-bit mantissa error is immaterial at that scale)."""
+    Exactness: with N docs and integer Σc over the token's doc counts
+    (absent docs contribute zero), VMR = var/mean = (N·Σc² − (Σc)²)/
+    (N·Σc). Σc² runs in DECIMAL(38,0) (per-doc counts of a web-scale
+    corpus square past int64) and the final ratio is the identical-text
+    DOUBLES device (r10 overflow audit, replacing the r9 BIGINT ppm
+    whose N·Σc²·10⁶ < 2⁶³ bound died at ~10⁸ docs): both engines cast
+    the exact aggregates to DOUBLE and evaluate the same expression
+    text, so the floor()ed ppm is bit-identical. Shape: two map-side-
+    combined aggregates ((doc, tok) then tok) and a TakeOrdered
+    top-{_BURST_TOP}."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     c = (
@@ -885,7 +888,7 @@ def q_token_burstiness(spark, sf_dir):
     t = c.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("c").cast("long").alias("tf"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+        F.expr("sum(CAST(c AS DECIMAL(19,0)) * c)").alias("tf2"),
     )
     return (
         t.crossJoin(F.broadcast(nd))
@@ -894,7 +897,9 @@ def q_token_burstiness(spark, sf_dir):
             "df",
             "tf",
             F.expr(
-                "CAST(((nd * tf2 - tf * tf) * 1000000) div (nd * tf)"
+                "CAST(floor((CAST(nd AS DOUBLE) * CAST(tf2 AS DOUBLE)"
+                " - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)) * 1000000.0"
+                " / (CAST(nd AS DOUBLE) * CAST(tf AS DOUBLE)))"
                 " AS BIGINT)"
             ).alias("vmr_ppm"),
         )

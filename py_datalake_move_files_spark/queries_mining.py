@@ -896,7 +896,7 @@ g AS (
 ),
 tot AS (
   SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(c * c) AS BIGINT) AS sxx
+    sum(CAST(c AS DECIMAL(19,0)) * c) AS sxx
   FROM d
 ),
 garr AS (
@@ -931,8 +931,10 @@ def q_weekday_anova_events(spark, sf_dir):
     `seasonal_daily_decomposition`'s weekday indexes: is the weekday
     effect real, or noise?
 
-    Exactness: per-group (Sg, ng) and the global (S, n, Σc²) are exact
-    integers; the one order-sensitive float reduction — Σ_g Sg²/ng over
+    Exactness: per-group (Sg, ng) and the global (S, n) are exact
+    integers and Σc² is an exact DECIMAL(38,0) (daily counts of a 100 TB
+    event table square past int64 — r10 overflow audit, identical text
+    both engines); the one order-sensitive float reduction — Σ_g Sg²/ng over
     the ≤ 7 weekday groups — folds LEFT-TO-RIGHT over a weekday-sorted
     array (F.aggregate ≡ DuckDB list_reduce, the zipf device), and the
     F ratio is a one-row double chain with shared op order. Frames are
@@ -951,7 +953,9 @@ def q_weekday_anova_events(spark, sf_dir):
     tot = d.agg(
         F.sum("c").cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+        # Σc² in DECIMAL(38,0): a 100 TB event table's daily counts square
+        # past int64 (r10 overflow audit); identical text as the oracle
+        F.expr("sum(CAST(c AS DECIMAL(19,0)) * c)").alias("sxx"),
     )
     garr = g.agg(
         F.expr(
@@ -1745,7 +1749,10 @@ WITH r AS (
 s AS (
   SELECT CAST(count(*) AS BIGINT) AS n_customers,
     CAST(sum(rev) AS DOUBLE) AS sr,
-    CAST(sum(rev * rev) AS DOUBLE) AS srr
+    -- per-TERM decimal product: rev is DATA-SIZED (a whale customer past
+    -- ~$30M = 3e9 cents squares over int64 before the HUGEINT sum ever
+    -- sees it) — r10 overflow audit
+    CAST(sum(CAST(rev AS DECIMAL(19,0)) * rev) AS DOUBLE) AS srr
   FROM r
 )
 SELECT n_customers,

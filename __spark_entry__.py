@@ -99,7 +99,11 @@ CURATED_FIRST = [
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry, and that every queued name actually runs at sf0.001
 #: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = []
+QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    # r10 additions
+    "doc_novelty_scores_sampled",
+    "table_profile_orders_approx_only",
+]
 
 
 def _cumulative_green() -> set[str]:

@@ -2014,6 +2014,94 @@ def q_doc_novelty_scores(spark, sf_dir):
     )
 
 
+# --- sampled novelty: the sanctioned 100 TB variant of the above -----------
+
+#: keep 1-in-K shingles by digest residue — novelty is a RATIO, so a
+#: hash-deterministic shingle subsample estimates it unbiasedly
+_NOVELTY_SAMPLE_K = 4
+
+_NOVELTY_SAMPLED_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, unnest({dd_shingles('text')}) AS sh FROM documents
+),
+d AS (
+  SELECT doc_id, dg FROM (SELECT doc_id, md5(sh) AS dg FROM s)
+  WHERE ('0x' || substr(dg, 1, 12))::BIGINT % {_NOVELTY_SAMPLE_K} = 0
+),
+per_doc AS (SELECT doc_id, count(*) AS ns FROM d GROUP BY doc_id),
+firsts AS (
+  SELECT first_doc AS doc_id, count(*) AS nf FROM (
+    SELECT dg, min(doc_id) AS first_doc FROM d GROUP BY dg
+  ) GROUP BY first_doc
+)
+SELECT p.doc_id,
+  CAST(p.ns AS BIGINT) AS n_shingles_sampled,
+  CAST(coalesce(f.nf, 0) AS BIGINT) AS n_first_sampled,
+  round(CAST(coalesce(f.nf, 0) AS DOUBLE) / CAST(p.ns AS DOUBLE), 6)
+    AS novelty_est
+FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+"""
+
+
+@register("doc_novelty_scores_sampled", _NOVELTY_SAMPLED_ORACLE)
+def q_doc_novelty_scores_sampled(spark, sf_dir):
+    """The sanctioned 100 TB variant of ``doc_novelty_scores`` (VERDICT r9
+    #5: the exact query is the registry's closest-to-linear at sf1 — its
+    cost driver is the ~doc-length shingle explode). Novelty is a RATIO,
+    so estimating it on a hash-deterministic 1-in-{_NOVELTY_SAMPLE_K}
+    shingle subsample (digest residue — the same 48-bit md5 idiom as the
+    permutation test, identical in both engines, no RNG) is unbiased:
+    each shingle's first-owner relation is preserved exactly within the
+    sample because the filter keys on the SHINGLE digest, never the doc —
+    a shingle is either in-sample for every document containing it or
+    for none, so min(doc_id) over the sampled stream equals the true
+    first owner of every sampled shingle.
+
+    Shape: identical to the exact arm (explode → digest filter →
+    two digest aggregates) with the stream cut to 1/{_NOVELTY_SAMPLE_K}
+    immediately after hashing — the filter is map-side, BEFORE both
+    shuffles, so exchange volume drops by the sampling factor; raise K
+    with corpus size to hold the shuffle budget constant. Docs whose
+    every shingle is sampled out drop from the output (their estimate is
+    undefined); the exact arm remains registered as the audit arm."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    s = DD.with_shingles(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode("shingle_set").alias("sh")
+    )
+    d = (
+        s.select("doc_id", F.md5(F.col("sh")).alias("dg"))
+        .where(
+            F.expr(
+                "CAST(conv(substring(dg, 1, 12), 16, 10) AS BIGINT)"
+                f" % {_NOVELTY_SAMPLE_K} = 0"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_doc = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles_sampled")
+    )
+    firsts = (
+        d.groupBy("dg")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("nf"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    return per_doc.join(firsts, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles_sampled",
+        F.coalesce(F.col("nf"), F.lit(0).cast("long")).alias(
+            "n_first_sampled"
+        ),
+        F.round(
+            F.coalesce(F.col("nf"), F.lit(0)).cast("double")
+            / F.col("n_shingles_sampled").cast("double"),
+            6,
+        ).alias("novelty_est"),
+    )
+
+
 # --- chance-corrected label agreement (Cohen's kappa) ----------------------
 
 def _kappa_oracle() -> str:

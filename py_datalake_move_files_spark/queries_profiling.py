@@ -134,6 +134,58 @@ def q_table_profile_orders_approx(spark, sf_dir):
     )
 
 
+# approx-ONLY variant: the production path, no exact audit arm at all
+_PROFILE_APPROX_ONLY_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column,
+  count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  CAST({'CAST(min(' + c + ') AS DECIMAL(18,2))' if c == 'o_totalprice' else 'min(' + c + ')'} AS VARCHAR) AS min_repr,
+  CAST({'CAST(max(' + c + ') AS DECIMAL(18,2))' if c == 'o_totalprice' else 'max(' + c + ')'} AS VARCHAR) AS max_repr,
+  TRUE AS approx_in_range
+FROM orders
+"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("table_profile_orders_approx_only", _PROFILE_APPROX_ONLY_ORACLE)
+def q_table_profile_orders_approx_only(spark, sf_dir):
+    """The PRODUCTION approx profile (VERDICT r9 #6): exactly what
+    ``profile_table(df, cols, approx=True)`` runs at 100 TB — one HLL
+    sketch per column per partition, merged map-side, NO Expand and NO
+    exact audit arm anywhere in the plan (``table_profile_orders_approx``
+    keeps the audit arm and is the dev-time validator; it pays the exact
+    multi-distinct inside the query, ~18 s at sf1 vs the HLL branch
+    alone here).
+
+    Raw HLL estimates are engine-specific, so the registered output
+    replaces the estimate with a DETERMINISTIC sanity envelope the
+    oracle can predict: ``approx_in_range`` = the estimate lies in
+    (0, 2·n_rows] for a non-empty column (any correct HLL at rsd 5%
+    does; a broken sketch path reading 0 or garbage fails it loud).
+    Exact n_rows / n_nulls / min / max ride along unchanged. The raw
+    estimates remain available to library callers via
+    ``operators/profile.profile_table(approx=True)``."""
+    orders = _t(spark, sf_dir, "orders")
+    reprs = {"o_totalprice": lambda col: col.cast(_DEC).cast("string")}
+    ap = profile_table(orders, _PROFILE_COLS, repr_exprs=reprs, approx=True)
+    in_range = F.when(
+        F.col("n_rows") - F.col("n_nulls") == 0, F.col("n_distinct") == 0
+    ).otherwise(
+        (F.col("n_distinct") >= 1)
+        & (F.col("n_distinct") <= 2 * F.col("n_rows"))
+    )
+    return ap.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "min_repr",
+        "max_repr",
+        in_range.alias("approx_in_range"),
+    )
+
+
 # --------------------------------------------------------------------------
 # fixed-width histogram of order values
 # --------------------------------------------------------------------------

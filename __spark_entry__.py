@@ -103,6 +103,15 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     # r10 additions
     "doc_novelty_scores_sampled",
     "table_profile_orders_approx_only",
+    # r10 governance/measurement tier (queries_audit.py)
+    "t_closeness_audit",
+    "mann_whitney_u_events",
+    "bpe_merge_candidates",
+    "mattr_lexical_diversity",
+    "chernoff_sample_size_plan",
+    "decision_stump_quality",
+    "token_log_odds_langs",
+    "dataset_card_summary",
 ]
 
 

@@ -112,6 +112,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "decision_stump_quality",
     "token_log_odds_langs",
     "dataset_card_summary",
+    "spearman_chars_tokens",
 ]
 
 

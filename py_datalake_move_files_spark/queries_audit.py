@@ -859,3 +859,129 @@ def q_dataset_card_summary(spark, sf_dir):
     for piece in legs[1:]:
         out = out.unionAll(piece)
     return out
+
+
+# --------------------------------------------------------------------------
+# exact Spearman rank correlation via midrank histograms
+# --------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+WITH d AS (
+  SELECT n_chars AS x,
+    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+      AS y
+  FROM documents
+),
+hx AS (
+  SELECT x, count(*) AS cnt,
+    2 * coalesce(sum(count(*)) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + count(*) + 1 AS r2
+  FROM d GROUP BY x
+),
+hy AS (
+  SELECT y, count(*) AS cnt,
+    2 * coalesce(sum(count(*)) OVER (ORDER BY y
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + count(*) + 1 AS r2
+  FROM d GROUP BY y
+),
+r AS (
+  SELECT hx.r2 AS rx, hy.r2 AS ry
+  FROM d JOIN hx USING (x) JOIN hy USING (y)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+    CAST(sum(CAST(rx AS DECIMAL(19,0)) * rx) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(ry AS DECIMAL(19,0)) * ry) AS DOUBLE) AS syy,
+    CAST(sum(CAST(rx AS DECIMAL(19,0)) * ry) AS DOUBLE) AS sxy
+  FROM r
+)
+SELECT n AS n_docs,
+  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+           * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS spearman_rho
+FROM m
+"""
+
+
+@register("spearman_chars_tokens", _SPEAR_ORACLE)
+def q_spearman_chars_tokens(spark, sf_dir):
+    """Exact tie-aware Spearman rank correlation between two per-document
+    metrics (character count vs token count) — the monotone-association
+    audit that complements Pearson (`stats_corr_quantity_price`): a
+    feature pair can be perfectly monotone yet weakly linear, and rank
+    correlation is what decides whether one quality signal is redundant
+    given another.
+
+    Device: NEVER a global rank sort — midranks come from each variable's
+    VALUE HISTOGRAM (doubled to stay integral under ties: r2 =
+    2·cum_lt + cnt + 1), broadcast back onto the scan (the
+    quality_percentile_ranks posture), then Pearson over the exact
+    integer (r2x, r2y) pairs with DECIMAL(19,0)-product moment sums (r10
+    overflow rule: r2 is data-sized ≈ 2N) and one identical-text doubles
+    render. The constant rank-doubling cancels in rho. Histograms are
+    bounded by the value DOMAINS; the per-row stage is two broadcast
+    joins + one map-side-combined aggregate."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    d = docs.select(
+        F.col("n_chars").alias("x"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"
+        ).alias("y"),
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    hx = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "x",
+            (
+                2 * F.coalesce(F.sum("cnt").over(wx), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("r2x"),
+        )
+    )
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    hy = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "y",
+            (
+                2 * F.coalesce(F.sum("cnt").over(wy), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("r2y"),
+        )
+    )
+    r = d.join(F.broadcast(hx), "x").join(F.broadcast(hy), "y").select(
+        F.col("r2x").alias("rx"), F.col("r2y").alias("ry")
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.expr("CAST(sum(CAST(rx AS DECIMAL(19,0)) * rx) AS DOUBLE)").alias(
+            "sxx"
+        ),
+        F.expr("CAST(sum(CAST(ry AS DECIMAL(19,0)) * ry) AS DOUBLE)").alias(
+            "syy"
+        ),
+        F.expr("CAST(sum(CAST(rx AS DECIMAL(19,0)) * ry) AS DOUBLE)").alias(
+            "sxy"
+        ),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+                " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+                " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))"
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -280,6 +280,48 @@ def test_dataset_card_values_match_direct_aggregates(spark):
 
 
 # --------------------------------------------------------------------------
+# spearman_chars_tokens
+# --------------------------------------------------------------------------
+
+
+def test_spearman_matches_python_midrank_pearson(spark):
+    """rho from the histogram-midrank device must equal a from-scratch
+    Python Spearman (tie-aware midranks, Pearson over ranks)."""
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    xs = [r.n_chars for r in docs]
+    ys = [len([t for t in r.text.split(" ") if t != ""]) for r in docs]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = mr
+            i = j + 1
+        return ranks
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = QUERIES["spearman_chars_tokens"](spark, SF_SMALL).collect()[0]
+    assert row.n_docs == n
+    assert abs(row.spearman_rho - want) < 1e-6
+    assert -1.0 <= row.spearman_rho <= 1.0
+    assert row.spearman_rho > 0.5  # chars and tokens are strongly monotone
+
+
+# --------------------------------------------------------------------------
 # doc_novelty_scores_sampled (r10 scale variant)
 # --------------------------------------------------------------------------
 

@@ -164,6 +164,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="replace an existing --output directory (default: refuse)",
     )
 
+    cd = sub.add_parser(
+        "card",
+        help="dataset card: one (section, metric, value) summary over all"
+        " lake tables — the snapshot-diff tripwire",
+    )
+    cd.add_argument("--sf-dir", required=True, help="directory with the parquet tables")
+    cd.add_argument(
+        "--output",
+        help="write the card as parquet instead of printing",
+    )
+    cd.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="replace an existing --output directory (default: refuse)",
+    )
+
     s = sub.add_parser(
         "sql",
         help="run ANSI SQL over the lake tables (registered as temp views)",
@@ -454,6 +470,30 @@ def cmd_profile(spark, args) -> int:
     return 0
 
 
+def cmd_card(spark, args) -> int:
+    """The dataset card as a product surface (``dataset_card_summary``):
+    one (section, metric, value) frame over every lake table — row
+    counts, cardinalities, modal language, time bounds, exact revenue,
+    embedding dim. Bounded output (one row per metric), so the print
+    path collects safely at any table size."""
+    from py_datalake_move_files_spark.queries import QUERIES
+
+    card = QUERIES["dataset_card_summary"](spark, args.sf_dir)
+    if args.output:
+        mode = "overwrite" if args.overwrite else "errorifexists"
+        card.write.mode(mode).parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        print(f"dataset card for {args.sf_dir}:")
+        last = None
+        for r in card.collect():  # one row per card metric — bounded
+            if r["section"] != last:
+                print(f"  [{r['section']}]")
+                last = r["section"]
+            print(f"    {r['metric']} = {r['value']}")
+    return 0
+
+
 def cmd_sql(spark, args) -> int:
     """Ad-hoc ANSI SQL over the lake: every table under --sf-dir is a temp
     view (catalog.register_tables), the statement runs through Catalyst
@@ -560,6 +600,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_sql(spark, args)
         if args.cmd == "profile":
             return cmd_profile(spark, args)
+        if args.cmd == "card":
+            return cmd_card(spark, args)
         if args.cmd == "selftest":
             return cmd_selftest(spark, args)
         if args.cmd == "dedup":

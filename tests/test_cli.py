@@ -308,6 +308,22 @@ def test_cli_selftest_passes_and_catches_unknown(tmp_path):
     assert "unknown query name(s)" in r2.stderr
 
 
+def test_cli_card_prints_and_writes(tmp_path):
+    """The dataset-card subcommand prints every section and lands parquet."""
+    r = _run(["card", "--sf-dir", "/root/testdata/sf0.001"])
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    for section in ("[documents]", "[events]", "[orders]", "[embeddings]"):
+        assert section in r.stdout
+    assert "n_rows = " in r.stdout
+
+    out = tmp_path / "card"
+    r2 = _run(
+        ["card", "--sf-dir", "/root/testdata/sf0.001", "--output", str(out)]
+    )
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert out.exists()
+
+
 def test_cli_selftest_rejects_nonpositive_max_queries():
     """--max-queries 0 used to silently run the FULL registry (falsy check,
     ADVICE r9); now the parser rejects anything below 1."""

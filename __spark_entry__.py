@@ -113,6 +113,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "token_log_odds_langs",
     "dataset_card_summary",
     "spearman_chars_tokens",
+    "kendall_tau_rankers",
 ]
 
 

@@ -985,3 +985,172 @@ def q_spearman_chars_tokens(spark, sf_dir):
             6,
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b agreement between the BM25 and QL rankers
+# --------------------------------------------------------------------------
+
+_KT_TERMS = ("spark", "merge", "vector")
+_KT_K = 10
+
+
+def _kt_oracle() -> str:
+    from py_datalake_move_files_spark.operators.retrieval import (
+        QL_MU,
+        bm25_score_sql,
+        ql_score_sql,
+    )
+
+    bm_df = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(string_split(text, ' '), '{t}') "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_KT_TERMS)
+    )
+    bm_tf = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), kta{i} ->"
+        f" kta{i} = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_KT_TERMS)
+    )
+    ql_cf = ", ".join(
+        f"CAST(sum(len(list_filter(string_split(text, ' '), ktb{i} ->"
+        f" ktb{i} = '{t}'))) AS BIGINT) AS cf{i}"
+        for i, t in enumerate(_KT_TERMS)
+    )
+    return f"""
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS avgdl,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS coll_tokens,
+    {bm_df}, {ql_cf}
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+    {bm_tf}
+  FROM documents
+),
+lex AS (
+  SELECT doc_id, CAST(rn AS INT) AS ra FROM (
+    SELECT d.doc_id, row_number() OVER (
+      ORDER BY {bm25_score_sql(len(_KT_TERMS))} DESC, d.doc_id ASC) AS rn
+    FROM perdoc d CROSS JOIN stats
+  ) WHERE rn <= {_KT_K}
+),
+ql AS (
+  SELECT doc_id, CAST(rn AS INT) AS rb FROM (
+    SELECT d.doc_id, row_number() OVER (
+      ORDER BY {ql_score_sql(len(_KT_TERMS), mu=QL_MU)} DESC,
+               d.doc_id ASC) AS rn
+    FROM perdoc d CROSS JOIN stats
+  ) WHERE rn <= {_KT_K}
+),
+u AS (
+  SELECT coalesce(l.doc_id, q.doc_id) AS doc_id,
+    coalesce(l.ra, {_KT_K + 1}) AS ra,
+    coalesce(q.rb, {_KT_K + 1}) AS rb
+  FROM lex l FULL OUTER JOIN ql q ON l.doc_id = q.doc_id
+),
+pairs AS (
+  SELECT
+    CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0 THEN 1 ELSE 0 END AS conc,
+    CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0 THEN 1 ELSE 0 END AS disc,
+    CASE WHEN a.ra = b.ra THEN 1 ELSE 0 END AS tie_a,
+    CASE WHEN a.rb = b.rb THEN 1 ELSE 0 END AS tie_b
+  FROM u a JOIN u b ON a.doc_id < b.doc_id
+),
+s AS (
+  SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_items,
+    CAST(sum(conc) AS BIGINT) AS n_concordant,
+    CAST(sum(disc) AS BIGINT) AS n_discordant,
+    CAST(sum(tie_a) AS BIGINT) AS ties_a,
+    CAST(sum(tie_b) AS BIGINT) AS ties_b,
+    CAST(count(*) AS BIGINT) AS n0
+  FROM pairs
+)
+SELECT n_items, n_concordant, n_discordant,
+  round((CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))
+        / (sqrt(CAST(n0 AS DOUBLE) - CAST(ties_a AS DOUBLE))
+           * sqrt(CAST(n0 AS DOUBLE) - CAST(ties_b AS DOUBLE))), 6)
+    AS tau_b
+FROM s
+"""
+
+
+@register("kendall_tau_rankers", _kt_oracle())
+def q_kendall_tau_rankers(spark, sf_dir):
+    """Kendall tau-b agreement between the engine's two lexical rankers
+    (BM25 vs Dirichlet query-likelihood) on the same fixed query — the
+    ranking-stability audit that says whether switching (or fusing, per
+    ``hybrid_rrf_retrieval``) rankers would actually change what users
+    see; run per release it is the retrieval-regression tripwire that
+    needs NO relevance labels (``ndcg_retrieval_eval`` needs them).
+
+    Device: both arms are the proven zero-corpus-shuffle serving shape
+    (one broadcast stats row + map-side score + TakeOrderedAndProject);
+    the union of the two top-{_KT_K} lists (missing → rank {_KT_K + 1},
+    the standard truncated-list fill) is ≤ 2·{_KT_K} rows, so the pair
+    join is ≤ 190 driver-free pairs REGARDLESS of corpus size — exact
+    integer concordance/discordance/tie counts, one identical-text
+    doubles render for tau-b."""
+    from py_datalake_move_files_spark.operators.retrieval import (
+        bm25_topk,
+        ql_dirichlet_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, _KT_TERMS, k=_KT_K).select(
+        F.col("doc_id").alias("l_id"), F.col("rnk").alias("ra")
+    )
+    qlr = ql_dirichlet_topk(docs, _KT_TERMS, k=_KT_K).select(
+        F.col("doc_id").alias("q_id"), F.col("rnk").alias("rb")
+    )
+    u = (
+        lex.join(qlr, F.col("l_id") == F.col("q_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l_id"), F.col("q_id")).alias("doc_id"),
+            F.coalesce(F.col("ra"), F.lit(_KT_K + 1)).alias("ra"),
+            F.coalesce(F.col("rb"), F.lit(_KT_K + 1)).alias("rb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = u.select(
+        F.col("doc_id").alias("ida"), F.col("ra").alias("raa"),
+        F.col("rb").alias("rba"),
+    )
+    b = u.select(
+        F.col("doc_id").alias("idb"), F.col("ra").alias("rab"),
+        F.col("rb").alias("rbb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        F.expr(
+            "CASE WHEN (raa - rab) * (rba - rbb) > 0 THEN 1 ELSE 0 END"
+        ).alias("conc"),
+        F.expr(
+            "CASE WHEN (raa - rab) * (rba - rbb) < 0 THEN 1 ELSE 0 END"
+        ).alias("disc"),
+        F.expr("CASE WHEN raa = rab THEN 1 ELSE 0 END").alias("tie_a"),
+        F.expr("CASE WHEN rba = rbb THEN 1 ELSE 0 END").alias("tie_b"),
+    )
+    n_items = u.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    s = pairs.agg(
+        F.sum("conc").cast("long").alias("n_concordant"),
+        F.sum("disc").cast("long").alias("n_discordant"),
+        F.sum("tie_a").cast("long").alias("ties_a"),
+        F.sum("tie_b").cast("long").alias("ties_b"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    ).crossJoin(F.broadcast(n_items))
+    return s.select(
+        "n_items",
+        "n_concordant",
+        "n_discordant",
+        F.round(
+            F.expr(
+                "(CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))"
+                " / (sqrt(CAST(n0 AS DOUBLE) - CAST(ties_a AS DOUBLE))"
+                " * sqrt(CAST(n0 AS DOUBLE) - CAST(ties_b AS DOUBLE)))"
+            ),
+            6,
+        ).alias("tau_b"),
+    )

@@ -322,6 +322,46 @@ def test_spearman_matches_python_midrank_pearson(spark):
 
 
 # --------------------------------------------------------------------------
+# kendall_tau_rankers
+# --------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_python_pair_count(spark):
+    """tau-b from the engine must equal a brute-force Python Kendall over
+    the union of the two top-k lists with the k+1 fill."""
+    from py_datalake_move_files_spark.operators.retrieval import (
+        bm25_topk,
+        ql_dirichlet_topk,
+    )
+    from py_datalake_move_files_spark.queries_audit import _KT_K, _KT_TERMS
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ra = {r.doc_id: r.rnk for r in bm25_topk(docs, _KT_TERMS, k=_KT_K).collect()}
+    rb = {
+        r.doc_id: r.rnk
+        for r in ql_dirichlet_topk(docs, _KT_TERMS, k=_KT_K).collect()
+    }
+    ids = sorted(set(ra) | set(rb))
+    fill = _KT_K + 1
+    pts = [(ra.get(i, fill), rb.get(i, fill)) for i in ids]
+    conc = disc = ta = tb = n0 = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            n0 += 1
+            d = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            conc += d > 0
+            disc += d < 0
+            ta += pts[i][0] == pts[j][0]
+            tb += pts[i][1] == pts[j][1]
+    row = QUERIES["kendall_tau_rankers"](spark, SF_SMALL).collect()[0]
+    assert row.n_items == len(ids)
+    assert (row.n_concordant, row.n_discordant) == (conc, disc)
+    want = (conc - disc) / (math.sqrt(n0 - ta) * math.sqrt(n0 - tb))
+    assert abs(row.tau_b - round(want, 6)) < 1e-9
+    assert -1.0 <= row.tau_b <= 1.0
+
+
+# --------------------------------------------------------------------------
 # doc_novelty_scores_sampled (r10 scale variant)
 # --------------------------------------------------------------------------
 

@@ -1024,7 +1024,12 @@ def q_value_drift_psi(spark, sf_dir):
         )
     )
     cnt = (
-        grid.join(raw, ["event_type", "bucket"], "left")
+        # explicit broadcast: the cell table is BOUNDED (|types|·10 rows)
+        # but its post-checkpoint size estimate grows with data, and at
+        # sf1 AQE flipped this join to SortMergeJoin (the one flip in the
+        # r10 full-registry sf1 sweep); the hint rides the null-producing
+        # side, which outer joins honor
+        grid.join(F.broadcast(raw), ["event_type", "bucket"], "left")
         .select(
             "event_type",
             "bucket",

@@ -972,16 +972,21 @@ def q_map_funcs_suite(spark, sf_dir):
     structs are covered elsewhere). transform_values uses a SQL-text lambda
     with a unique variable per the lambda-safety policy."""
     ev = _t(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), "map<string,bigint>")
-    doubled = F.expr(
-        "element_at(transform_values(from_json(props, 'map<string,bigint>'), "
-        "(km1, vm1) -> vm1 * 2), 'k')"
-    )
-    return ev.select(
+    # parse the JSON ONCE into a real column (r10 sf1 sweep: the inlined
+    # form re-ran from_json per consuming expression — five parses/row,
+    # the only super-linear reading in the full-registry sf1 sweep;
+    # CollapseProject keeps the multi-referenced parse un-inlined)
+    parsed = ev.select(
         "event_id",
-        F.size(F.map_keys(m)).alias("n_keys"),
-        F.array_min(F.map_keys(m)).alias("first_key"),
-        F.element_at(m, "k").alias("k_value"),
-        doubled.alias("k_doubled"),
-        (F.size(F.map_keys(m)) > 0).alias("has_keys"),
+        F.from_json(F.col("props"), "map<string,bigint>").alias("__m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.size(F.map_keys(F.col("__m"))).alias("n_keys"),
+        F.array_min(F.map_keys(F.col("__m"))).alias("first_key"),
+        F.element_at(F.col("__m"), "k").alias("k_value"),
+        F.expr(
+            "element_at(transform_values(__m, (km1, vm1) -> vm1 * 2), 'k')"
+        ).alias("k_doubled"),
+        (F.size(F.map_keys(F.col("__m"))) > 0).alias("has_keys"),
     )

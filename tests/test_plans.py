@@ -404,3 +404,27 @@ def test_bigram_entropy_two_scans(spark):
     plan = _plan(spark, "bigram_conditional_entropy")
     assert plan.count("FileScan parquet") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_value_drift_psi_pins_broadcast_on_cell_table(spark):
+    """r10 sf1 sweep found the ONE scale plan flip in the registry: the
+    bounded (|types|·10-row) PSI cell table lost its broadcast at sf1
+    because post-checkpoint size estimates grow with data. The fix is an
+    explicit broadcast hint on the null-producing side; pin that the
+    densify join plans as a broadcast join with no sort-merge anywhere."""
+    plan = _plan(spark, "value_drift_psi")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    # and the hint is structural, not an AQE size accident: it survives
+    # into the optimized logical plan
+    df = QUERIES["value_drift_psi"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "rightHint=(strategy=broadcast)" in logical, logical[:1500]
+
+
+def test_map_funcs_suite_parses_json_once(spark):
+    """r10 sf1 sweep's one super-linear query: the inlined from_json was
+    re-evaluated per consuming expression (five parses per row). Pin the
+    fix: the physical plan carries exactly ONE from_json."""
+    plan = _plan(spark, "map_funcs_suite")
+    assert plan.count("from_json") == 1, plan.count("from_json")

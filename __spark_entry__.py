@@ -114,6 +114,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "dataset_card_summary",
     "spearman_chars_tokens",
     "kendall_tau_rankers",
+    "mixture_temperature_sweep",
 ]
 
 

@@ -1154,3 +1154,119 @@ def q_kendall_tau_rankers(spark, sf_dir):
             6,
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# mixture temperature sweep: entropy / effective-language curve over alpha
+# --------------------------------------------------------------------------
+
+_TSWEEP_ALPHAS = (0.2, 0.4, 0.6, 0.8, 1.0)
+
+_TSWEEP_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+),
+a AS (
+  SELECT unnest([{", ".join(str(a) for a in _TSWEEP_ALPHAS)}]) AS alpha
+),
+j AS (
+  SELECT a.alpha, c.lang,
+    exp(a.alpha * ln(CAST(c.cnt AS DOUBLE))) AS w
+  FROM c CROSS JOIN a
+),
+g AS (
+  SELECT alpha,
+    CAST(count(*) AS BIGINT) AS n_langs,
+    list(w ORDER BY lang) AS ws
+  FROM j GROUP BY alpha
+),
+t AS (
+  SELECT alpha, n_langs, ws,
+    list_reduce(ws, (ta, tb) -> ta + tb) AS tot,
+    list_reduce(ws, (ma, mb) -> CASE WHEN mb > ma THEN mb ELSE ma END)
+      AS wmax
+  FROM g
+),
+e AS (
+  SELECT alpha, n_langs, tot, wmax,
+    list_reduce(
+      list_transform(ws, z -> CASE WHEN z > 0.0
+        THEN -(z / tot) * ln(z / tot) ELSE 0.0 END),
+      (ea, eb) -> ea + eb) AS h
+  FROM t
+)
+SELECT CAST(alpha AS DOUBLE) AS alpha, n_langs,
+  round(h, 6) AS entropy_nats,
+  round(exp(h), 4) AS effective_langs,
+  CAST(floor(wmax * 1000000.0 / tot) AS BIGINT) AS max_share_ppm
+FROM e
+"""
+
+
+@register("mixture_temperature_sweep", _TSWEEP_ORACLE)
+def q_mixture_temperature_sweep(spark, sf_dir):
+    """Temperature-sampling design curve for the multilingual mixture:
+    for each exponent α in a literal grid, the language distribution
+    p_α ∝ count^α, its Shannon entropy, the effective language count
+    exp(H), and the dominant language's share — the table a pipeline
+    reads to CHOOSE the temperature before committing to a resample
+    (``lang_temperature_resample`` executes one fixed α = 0.5; this is
+    the planning sweep over the knob, the mT5/UniMax design step).
+
+    Exactness: one |langs|-row count aggregate is the only corpus work;
+    everything after is bounded-grid math. All double chains are
+    identical text (exp(α·ln n) for the power), and every cross-lang
+    reduction — total, max, entropy — is an EXPLICIT left fold over the
+    lang-ordered weight array (Spark ``aggregate`` over a sorted struct
+    array ≡ DuckDB ``list_reduce`` over ``list(... ORDER BY lang)``, the
+    PSI device) — never a partition-order-dependent double SUM. Output
+    is |alphas| rows at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    alphas = ", ".join(f"CAST({a} AS DOUBLE)" for a in _TSWEEP_ALPHAS)
+    a = docs.sparkSession.range(1).select(
+        F.explode(F.expr(f"array({alphas})")).alias("alpha")
+    )
+    j = c.crossJoin(F.broadcast(a)).select(
+        "alpha",
+        "lang",
+        F.expr("exp(alpha * ln(CAST(cnt AS DOUBLE)))").alias("w"),
+    )
+    g = j.groupBy("alpha").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(lang, w))), s -> s.w)"
+        ).alias("ws"),
+    )
+    t = g.select(
+        "alpha",
+        "n_langs",
+        "ws",
+        F.expr(
+            "aggregate(ws, CAST(0.0 AS DOUBLE), (ta, tb) -> ta + tb)"
+        ).alias("tot"),
+        F.expr(
+            "aggregate(ws, CAST(0.0 AS DOUBLE),"
+            " (ma, mb) -> CASE WHEN mb > ma THEN mb ELSE ma END)"
+        ).alias("wmax"),
+    )
+    e = t.select(
+        "alpha",
+        "n_langs",
+        "tot",
+        "wmax",
+        F.expr(
+            "aggregate(transform(ws, z -> CASE WHEN z > 0.0D"
+            " THEN -(z / tot) * ln(z / tot) ELSE 0.0D END),"
+            " CAST(0.0 AS DOUBLE), (ea, eb) -> ea + eb)"
+        ).alias("h"),
+    )
+    return e.select(
+        F.col("alpha").cast("double").alias("alpha"),
+        "n_langs",
+        F.round("h", 6).alias("entropy_nats"),
+        F.round(F.exp("h"), 4).alias("effective_langs"),
+        F.expr("CAST(floor(wmax * 1000000.0 / tot) AS BIGINT)").alias(
+            "max_share_ppm"
+        ),
+    )

@@ -362,6 +362,52 @@ def test_kendall_tau_matches_python_pair_count(spark):
 
 
 # --------------------------------------------------------------------------
+# mixture_temperature_sweep
+# --------------------------------------------------------------------------
+
+
+def test_temperature_sweep_matches_python_and_is_monotone(spark):
+    """Entropy/shares must match a from-scratch Python sweep, entropy must
+    DECREASE as alpha rises (flatter -> truer to raw counts), and alpha=1
+    must reproduce the raw language distribution exactly."""
+    from py_datalake_move_files_spark.queries_audit import _TSWEEP_ALPHAS
+
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    cnt = Counter(r.lang for r in docs)
+    got = {
+        round(r.alpha, 2): r
+        for r in QUERIES["mixture_temperature_sweep"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == {round(a, 2) for a in _TSWEEP_ALPHAS}
+    prev_h = None
+    for alpha in sorted(_TSWEEP_ALPHAS):
+        ws = {l: math.exp(alpha * math.log(n)) for l, n in cnt.items()}
+        # fold in lang order like both engines
+        ordered = [ws[l] for l in sorted(ws)]
+        tot = 0.0
+        for w in ordered:
+            tot += w
+        h = 0.0
+        for w in ordered:
+            h += -(w / tot) * math.log(w / tot)
+        r = got[round(alpha, 2)]
+        assert r.n_langs == len(cnt)
+        assert abs(r.entropy_nats - round(h, 6)) < 1e-9
+        assert abs(r.effective_langs - round(math.exp(h), 4)) < 1e-9
+        assert r.max_share_ppm == math.floor(max(ordered) * 1e6 / tot)
+        if prev_h is not None:
+            assert r.entropy_nats <= prev_h + 1e-9  # flatter at lower alpha
+        prev_h = r.entropy_nats
+    # alpha = 1 reproduces the raw mixture
+    n_total = sum(cnt.values())
+    assert got[1.0].max_share_ppm == math.floor(
+        max(cnt.values()) * 1e6 / n_total
+    )
+
+
+# --------------------------------------------------------------------------
 # doc_novelty_scores_sampled (r10 scale variant)
 # --------------------------------------------------------------------------
 

@@ -115,6 +115,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "spearman_chars_tokens",
     "kendall_tau_rankers",
     "mixture_temperature_sweep",
+    "ab_power_sample_size",
 ]
 
 

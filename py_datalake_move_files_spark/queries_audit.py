@@ -1270,3 +1270,101 @@ def q_mixture_temperature_sweep(spark, sf_dir):
             "max_share_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: per-arm sample size over a minimum-detectable-effect
+# grid, from the measured baseline conversion rate
+# --------------------------------------------------------------------------
+
+#: two-sided alpha = 0.05, power = 0.80 — the conventional defaults; the
+#: normal quantiles are INJECTED as literals (the ndcg_retrieval_eval rule:
+#: no engine inverse-CDF exists, and literals are bit-identical by nature)
+_PWR_Z_ALPHA = 1.959964  # z_{0.975}
+_PWR_Z_BETA = 0.841621  # z_{0.80}
+_PWR_MDES = (0.05, 0.10, 0.20)  # relative lifts to detect
+
+_PWR_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_conv
+  FROM events
+),
+p AS (
+  SELECT n_events, n_conv,
+    CAST(n_conv AS DOUBLE) / CAST(n_events AS DOUBLE) AS p1
+  FROM base
+),
+grid AS (
+  SELECT unnest([{", ".join(str(m) for m in _PWR_MDES)}]) AS mde
+),
+calc AS (
+  SELECT p.n_events, p.n_conv, p.p1, g.mde,
+    p.p1 * (1.0 + g.mde) AS p2
+  FROM p CROSS JOIN grid g
+)
+SELECT CAST(round(mde * 100) AS INT) AS mde_pct,
+  n_events, n_conv,
+  round(p1, 6) AS baseline_rate,
+  round(p2, 6) AS target_rate,
+  CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+       * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
+  CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+       * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       / ((p2 - p1) * (p2 - p1))) * 2 AS BIGINT) AS n_total
+FROM calc
+"""
+
+
+@register("ab_power_sample_size", _PWR_ORACLE)
+def q_ab_power_sample_size(spark, sf_dir):
+    """A/B experiment sizing from the MEASURED baseline: for each relative
+    lift in a literal MDE grid, the per-arm sample size that detects
+    p₁ → p₁·(1+MDE) at two-sided α=0.05 with 80% power — the standard
+    two-proportion normal-approximation formula
+    n = (z_{{α/2}}+z_β)²·(p₁q₁+p₂q₂)/(p₂−p₁)². This is the DESIGN
+    companion of ``ab_conversion_ztest`` (which analyzes a finished
+    experiment): run it against production data to learn how long a test
+    must run before you start it.
+
+    Exactness: the baseline rate comes from one exact integer aggregate;
+    the z quantiles are injected micro-literals (no engine inverse-CDF —
+    the ndcg discount rule); the sizing chain is identical text, and
+    ceil() lands exact integers both engines. One one-row aggregate +
+    a |MDEs|-row literal grid — constant work after the scan."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_conv"),
+    ).select(
+        "n_events",
+        "n_conv",
+        F.expr("CAST(n_conv AS DOUBLE) / CAST(n_events AS DOUBLE)").alias(
+            "p1"
+        ),
+    )
+    mdes = ", ".join(f"CAST({m} AS DOUBLE)" for m in _PWR_MDES)
+    grid = ev.sparkSession.range(1).select(
+        F.explode(F.expr(f"array({mdes})")).alias("mde")
+    )
+    z2 = f"({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})"
+    calc = base.crossJoin(F.broadcast(grid)).withColumn(
+        "p2", F.expr("p1 * (1.0 + mde)")
+    )
+    n_arm = (
+        f"CAST(ceil({z2} * (p1 * (1.0 - p1) + p2 * (1.0 - p2))"
+        " / ((p2 - p1) * (p2 - p1))) AS BIGINT)"
+    )
+    return calc.select(
+        F.expr("CAST(round(mde * 100) AS INT)").alias("mde_pct"),
+        "n_events",
+        "n_conv",
+        F.round("p1", 6).alias("baseline_rate"),
+        F.round("p2", 6).alias("target_rate"),
+        F.expr(n_arm).alias("n_per_arm"),
+        F.expr(f"{n_arm} * 2").alias("n_total"),
+    )

@@ -408,6 +408,45 @@ def test_temperature_sweep_matches_python_and_is_monotone(spark):
 
 
 # --------------------------------------------------------------------------
+# ab_power_sample_size
+# --------------------------------------------------------------------------
+
+
+def test_ab_power_matches_python_formula_and_is_monotone(spark):
+    """Per-arm sizes must equal the two-proportion formula on the measured
+    baseline, and SHRINK as the detectable effect grows."""
+    from py_datalake_move_files_spark.queries_audit import (
+        _PWR_MDES,
+        _PWR_Z_ALPHA,
+        _PWR_Z_BETA,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    n = len(ev)
+    c = sum(1 for r in ev if r.event_type == "purchase")
+    p1 = c / n
+    got = {
+        r.mde_pct: r
+        for r in QUERIES["ab_power_sample_size"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == {round(m * 100) for m in _PWR_MDES}
+    prev = None
+    for m in sorted(_PWR_MDES):
+        p2 = p1 * (1.0 + m)
+        z2 = (_PWR_Z_ALPHA + _PWR_Z_BETA) ** 2
+        want = math.ceil(
+            z2 * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p2 - p1) * (p2 - p1))
+        )
+        r = got[round(m * 100)]
+        assert (r.n_events, r.n_conv) == (n, c)
+        assert r.n_per_arm == want
+        assert r.n_total == 2 * want
+        if prev is not None:
+            assert r.n_per_arm < prev  # bigger effect -> smaller test
+        prev = r.n_per_arm
+
+
+# --------------------------------------------------------------------------
 # doc_novelty_scores_sampled (r10 scale variant)
 # --------------------------------------------------------------------------
 

@@ -179,6 +179,12 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="replace an existing --output directory (default: refuse)",
     )
+    cd.add_argument(
+        "--diff-against",
+        help="path to a previously written card parquet: print only the"
+        " metrics that changed (exit 1 if any did, 0 if identical) —"
+        " the snapshot-diff tripwire",
+    )
 
     s = sub.add_parser(
         "sql",
@@ -475,10 +481,36 @@ def cmd_card(spark, args) -> int:
     one (section, metric, value) frame over every lake table — row
     counts, cardinalities, modal language, time bounds, exact revenue,
     embedding dim. Bounded output (one row per metric), so the print
-    path collects safely at any table size."""
+    path collects safely at any table size. ``--diff-against`` compares
+    to a previously written card and reports ONLY the changed metrics —
+    the snapshot-diff tripwire run between ingest batches (exit 1 when
+    anything moved, so it gates pipelines)."""
     from py_datalake_move_files_spark.queries import QUERIES
 
     card = QUERIES["dataset_card_summary"](spark, args.sf_dir)
+    if args.diff_against:
+        prev = {
+            (r["section"], r["metric"]): r["value"]
+            for r in spark.read.parquet(args.diff_against).collect()
+        }
+        cur = {
+            (r["section"], r["metric"]): r["value"] for r in card.collect()
+        }
+        changed = [
+            k
+            for k in sorted(set(prev) | set(cur))
+            if prev.get(k) != cur.get(k)
+        ]
+        if not changed:
+            print(f"card unchanged vs {args.diff_against} ({len(cur)} metrics)")
+            return 0
+        print(f"card drift vs {args.diff_against}: {len(changed)} metric(s)")
+        for sec, met in changed:
+            print(
+                f"  {sec}.{met}: {prev.get((sec, met), '<absent>')}"
+                f" -> {cur.get((sec, met), '<absent>')}"
+            )
+        return 1
     if args.output:
         mode = "overwrite" if args.overwrite else "errorifexists"
         card.write.mode(mode).parquet(args.output)

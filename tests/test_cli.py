@@ -324,6 +324,33 @@ def test_cli_card_prints_and_writes(tmp_path):
     assert out.exists()
 
 
+def test_cli_card_diff_detects_and_clears_drift(tmp_path):
+    """--diff-against: identical snapshot exits 0 and says unchanged;
+    a different SF (more rows everywhere) exits 1 and names the moved
+    metrics with before -> after values."""
+    base = tmp_path / "card_base"
+    r0 = _run(
+        ["card", "--sf-dir", "/root/testdata/sf0.001", "--output", str(base)]
+    )
+    assert r0.returncode == 0, r0.stderr[-500:]
+
+    same = _run(
+        ["card", "--sf-dir", "/root/testdata/sf0.001",
+         "--diff-against", str(base)]
+    )
+    assert same.returncode == 0, same.stdout[-500:] + same.stderr[-500:]
+    assert "card unchanged" in same.stdout
+
+    drift = _run(
+        ["card", "--sf-dir", "/root/testdata/sf0.01",
+         "--diff-against", str(base)]
+    )
+    assert drift.returncode == 1, drift.stdout[-500:] + drift.stderr[-500:]
+    assert "card drift" in drift.stdout
+    # documents is 500 rows at BOTH small SFs (generator floor); orders scales
+    assert "orders.n_rows: 1500 -> 15000" in drift.stdout
+
+
 def test_cli_selftest_rejects_nonpositive_max_queries():
     """--max-queries 0 used to silently run the FULL registry (falsy check,
     ADVICE r9); now the parser rejects anything below 1."""

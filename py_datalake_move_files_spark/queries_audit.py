@@ -226,18 +226,24 @@ s AS (
 )
 SELECT n_a, n_b,
   CAST(u2 AS BIGINT) AS u2_a,
-  CAST(floor((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-             * 1000000.0
+  -- degenerate-group guards (the profile_drift_report rule): a corpus
+  -- with one group absent must emit NULL metrics, not an ANSI abort on
+  -- floor(Infinity) / a NaN-vs-NULL schema split
+  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+    ELSE CAST(floor((CAST(u2 AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000.0
              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
-    AS rank_biserial_ppm,
-  round((CAST(u2 AS DOUBLE) / 2.0
+  END AS rank_biserial_ppm,
+  CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN NULL
+    ELSE round((CAST(u2 AS DOUBLE) / 2.0
          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
                * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
                   - CAST(tie_cubes AS DOUBLE)
                     / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))),
-        6) AS z_stat
+        6)
+  END AS z_stat
 FROM s
 """
 
@@ -305,22 +311,25 @@ def q_mann_whitney_u_events(spark, sf_dir):
         "n_a",
         "n_b",
         F.col("u2").cast("long").alias("u2_a"),
+        # degenerate-group guards mirror the oracle (one group absent →
+        # NULL metrics, never floor(Infinity) under ANSI)
         F.expr(
-            "CAST(floor((CAST(u2 AS DOUBLE)"
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+            " ELSE CAST(floor((CAST(u2 AS DOUBLE)"
             " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000.0"
             " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)"
+            " END"
         ).alias("rank_biserial_ppm"),
-        F.round(
-            F.expr(
-                "(CAST(u2 AS DOUBLE) / 2.0"
-                " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
-                " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
-                " * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)"
-                " - CAST(tie_cubes AS DOUBLE)"
-                " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
-                " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))"
-            ),
-            6,
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN NULL"
+            " ELSE round((CAST(u2 AS DOUBLE) / 2.0"
+            " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+            " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+            " * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)"
+            " - CAST(tie_cubes AS DOUBLE)"
+            " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+            " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))"
+            ", 6) END"
         ).alias("z_stat"),
     )
 
@@ -899,9 +908,14 @@ m AS (
   FROM r
 )
 SELECT n AS n_docs,
-  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+  -- constant-column guard: zero rank variance must emit NULL, not a
+  -- NaN (DuckDB) vs NaN-double (Spark) schema/value split
+  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0.0
+         OR CAST(n AS DOUBLE) * syy - sy * sy <= 0.0 THEN NULL
+    ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)
         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-           * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS spearman_rho
+           * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+  END AS spearman_rho
 FROM m
 """
 
@@ -976,13 +990,14 @@ def q_spearman_chars_tokens(spark, sf_dir):
     )
     return m.select(
         F.col("n").alias("n_docs"),
-        F.round(
-            F.expr(
-                "(CAST(n AS DOUBLE) * sxy - sx * sy)"
-                " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
-                " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))"
-            ),
-            6,
+        # constant-column guard mirrors the oracle (zero rank variance →
+        # NULL, never NaN)
+        F.expr(
+            "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0.0D"
+            " OR CAST(n AS DOUBLE) * syy - sy * sy <= 0.0D THEN NULL"
+            " ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+            " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) END"
         ).alias("spearman_rho"),
     )
 
@@ -1308,12 +1323,18 @@ SELECT CAST(round(mde * 100) AS INT) AS mde_pct,
   n_events, n_conv,
   round(p1, 6) AS baseline_rate,
   round(p2, 6) AS target_rate,
-  CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+  -- degenerate-baseline guard: a zero or saturated conversion rate has
+  -- no detectable lift (p2 = p1) — NULL, never ceil(Infinity)
+  CASE WHEN n_conv = 0 OR p1 >= 1.0 THEN NULL
+    ELSE CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-       / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
-  CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+       / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+  END AS n_per_arm,
+  CASE WHEN n_conv = 0 OR p1 >= 1.0 THEN NULL
+    ELSE CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA}) * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
-       / ((p2 - p1) * (p2 - p1))) * 2 AS BIGINT) AS n_total
+       / ((p2 - p1) * (p2 - p1))) * 2 AS BIGINT)
+  END AS n_total
 FROM calc
 """
 
@@ -1359,12 +1380,15 @@ def q_ab_power_sample_size(spark, sf_dir):
         f"CAST(ceil({z2} * (p1 * (1.0 - p1) + p2 * (1.0 - p2))"
         " / ((p2 - p1) * (p2 - p1))) AS BIGINT)"
     )
+    # degenerate-baseline guard mirrors the oracle (zero/saturated rate →
+    # NULL sizes, never ceil(Infinity) under ANSI)
+    guard = "CASE WHEN n_conv = 0 OR p1 >= 1.0 THEN NULL ELSE {} END"
     return calc.select(
         F.expr("CAST(round(mde * 100) AS INT)").alias("mde_pct"),
         "n_events",
         "n_conv",
         F.round("p1", 6).alias("baseline_rate"),
         F.round("p2", 6).alias("target_rate"),
-        F.expr(n_arm).alias("n_per_arm"),
-        F.expr(f"{n_arm} * 2").alias("n_total"),
+        F.expr(guard.format(n_arm)).alias("n_per_arm"),
+        F.expr(guard.format(f"{n_arm} * 2")).alias("n_total"),
     )

@@ -489,3 +489,99 @@ def test_sampled_novelty_preserves_first_owner_on_sampled_shingles(spark):
     for d, ns in per_doc.items():
         assert got[d].n_shingles_sampled == ns
         assert got[d].n_first_sampled == firsts.get(d, 0)
+
+
+# --------------------------------------------------------------------------
+# degenerate-input guards (the profile_drift_report rule, applied r10)
+# --------------------------------------------------------------------------
+
+
+def _mini_lake(spark, tmp_path, **tables):
+    """Write a minimal lake dir holding only the given tables."""
+    for name, (schema, rows) in tables.items():
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    return str(tmp_path)
+
+
+def test_mwu_one_group_absent_emits_null_not_abort(spark, tmp_path):
+    """Events with only one of the two compared types: U is defined (all
+    zero wins), effect size and z are NULL — the guard branch, which no
+    harness fixture reaches."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), i % 3, "purchase", 10.0 + i, "{}")
+        for i in range(6)
+    ]
+    lake = _mini_lake(
+        spark,
+        tmp_path,
+        events=(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+            rows,
+        ),
+    )
+    row = QUERIES["mann_whitney_u_events"](spark, lake).collect()[0]
+    assert row.n_a == 6 and row.n_b == 0
+    assert row.u2_a == 0
+    assert row.rank_biserial_ppm is None
+    assert row.z_stat is None
+
+
+def test_ab_power_zero_conversions_emits_null_not_abort(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), i % 3, "view", 1.0, "{}")
+        for i in range(5)
+    ]
+    lake = _mini_lake(
+        spark,
+        tmp_path,
+        events=(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+            rows,
+        ),
+    )
+    out = QUERIES["ab_power_sample_size"](spark, lake).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_conv == 0
+        assert r.n_per_arm is None and r.n_total is None
+
+
+def test_spearman_constant_column_emits_null_not_nan(spark, tmp_path):
+    rows = [(i, "one two three", "en", "s", 100) for i in range(4)]
+    lake = _mini_lake(
+        spark,
+        tmp_path,
+        documents=(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+            rows,
+        ),
+    )
+    row = QUERIES["spearman_chars_tokens"](spark, lake).collect()[0]
+    assert row.n_docs == 4
+    assert row.spearman_rho is None  # zero rank variance in BOTH columns
+
+
+def test_t_closeness_single_bucket_is_zero(spark, tmp_path):
+    """All balances in one kilo-bucket → B = 1 → every class's EMD is 0
+    by the nb <= 1 guard (no 0/0)."""
+    rows = [(i, f"c{i}", i % 3, 500.0, "BUILDING") for i in range(9)]
+    lake = _mini_lake(
+        spark,
+        tmp_path,
+        customer=(
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+            rows,
+        ),
+    )
+    out = QUERIES["t_closeness_audit"](spark, lake).collect()
+    assert out and all(r.t_ppm == 0 for r in out)

@@ -1085,10 +1085,13 @@ s AS (
   FROM pairs
 )
 SELECT n_items, n_concordant, n_discordant,
-  round((CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))
+  -- degenerate guard: an empty lake (both lists empty) or an all-tied
+  -- ranker gives a zero denominator — NULL, never NaN
+  CASE WHEN n0 - ties_a <= 0 OR n0 - ties_b <= 0 THEN NULL
+    ELSE round((CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))
         / (sqrt(CAST(n0 AS DOUBLE) - CAST(ties_a AS DOUBLE))
            * sqrt(CAST(n0 AS DOUBLE) - CAST(ties_b AS DOUBLE))), 6)
-    AS tau_b
+  END AS tau_b
 FROM s
 """
 
@@ -1160,13 +1163,13 @@ def q_kendall_tau_rankers(spark, sf_dir):
         "n_items",
         "n_concordant",
         "n_discordant",
-        F.round(
-            F.expr(
-                "(CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))"
-                " / (sqrt(CAST(n0 AS DOUBLE) - CAST(ties_a AS DOUBLE))"
-                " * sqrt(CAST(n0 AS DOUBLE) - CAST(ties_b AS DOUBLE)))"
-            ),
-            6,
+        # degenerate guard mirrors the oracle (zero denominator → NULL)
+        F.expr(
+            "CASE WHEN n0 - ties_a <= 0 OR n0 - ties_b <= 0 THEN NULL"
+            " ELSE round("
+            "(CAST(n_concordant AS DOUBLE) - CAST(n_discordant AS DOUBLE))"
+            " / (sqrt(CAST(n0 AS DOUBLE) - CAST(ties_a AS DOUBLE))"
+            " * sqrt(CAST(n0 AS DOUBLE) - CAST(ties_b AS DOUBLE))), 6) END"
         ).alias("tau_b"),
     )
 

@@ -186,6 +186,16 @@ def _build_parser() -> argparse.ArgumentParser:
         " the snapshot-diff tripwire",
     )
 
+    sd = sub.add_parser(
+        "schema-diff",
+        help="schema drift between two lake snapshots: added/removed"
+        " tables and columns, type changes (metadata-only, no data read)",
+    )
+    sd.add_argument("--sf-dir", required=True, help="current snapshot directory")
+    sd.add_argument(
+        "--against", required=True, help="previous snapshot directory"
+    )
+
     s = sub.add_parser(
         "sql",
         help="run ANSI SQL over the lake tables (registered as temp views)",
@@ -526,6 +536,61 @@ def cmd_card(spark, args) -> int:
     return 0
 
 
+def cmd_schema_diff(spark, args) -> int:
+    """Schema drift between two lake snapshots — the structural companion
+    of ``card --diff-against`` (which watches VALUES): per table found in
+    either directory, report added/removed tables, added/removed columns,
+    and type changes. Metadata-only: parquet footers via
+    ``spark.read.parquet(...).schema``, no data bytes read. Exit 1 on any
+    drift so pipelines can gate, 0 when structurally identical."""
+    import glob as _glob
+    import os as _os
+
+    def tables(d):
+        out = {}
+        for p in sorted(_glob.glob(_os.path.join(d, "*.parquet"))):
+            name = _os.path.basename(p)[: -len(".parquet")]
+            out[name] = p
+        return out
+
+    cur_t, prev_t = tables(args.sf_dir), tables(args.against)
+    drift = 0
+    for name in sorted(set(prev_t) - set(cur_t)):
+        print(f"removed table: {name}")
+        drift += 1
+    for name in sorted(set(cur_t) - set(prev_t)):
+        print(f"added table: {name}")
+        drift += 1
+    for name in sorted(set(cur_t) & set(prev_t)):
+        prev_s = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(prev_t[name]).schema.fields
+        }
+        cur_s = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(cur_t[name]).schema.fields
+        }
+        for col in sorted(set(prev_s) - set(cur_s)):
+            print(f"{name}: removed column {col} ({prev_s[col]})")
+            drift += 1
+        for col in sorted(set(cur_s) - set(prev_s)):
+            print(f"{name}: added column {col} ({cur_s[col]})")
+            drift += 1
+        for col in sorted(set(cur_s) & set(prev_s)):
+            if cur_s[col] != prev_s[col]:
+                print(
+                    f"{name}: column {col} type {prev_s[col]} -> {cur_s[col]}"
+                )
+                drift += 1
+    if drift == 0:
+        print(
+            f"schemas identical: {len(cur_t)} table(s) in both snapshots"
+        )
+        return 0
+    print(f"schema drift: {drift} change(s)")
+    return 1
+
+
 def cmd_sql(spark, args) -> int:
     """Ad-hoc ANSI SQL over the lake: every table under --sf-dir is a temp
     view (catalog.register_tables), the statement runs through Catalyst
@@ -634,6 +699,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_profile(spark, args)
         if args.cmd == "card":
             return cmd_card(spark, args)
+        if args.cmd == "schema-diff":
+            return cmd_schema_diff(spark, args)
         if args.cmd == "selftest":
             return cmd_selftest(spark, args)
         if args.cmd == "dedup":

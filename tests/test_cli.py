@@ -351,6 +351,45 @@ def test_cli_card_diff_detects_and_clears_drift(tmp_path):
     assert "orders.n_rows: 1500 -> 15000" in drift.stdout
 
 
+def test_cli_schema_diff_identical_and_drifted(tmp_path):
+    """schema-diff: identical snapshots exit 0; a snapshot with a dropped
+    column, a type change and an extra table exits 1 naming each drift."""
+    r0 = _run(
+        ["schema-diff", "--sf-dir", "/root/testdata/sf0.001",
+         "--against", "/root/testdata/sf0.001"]
+    )
+    assert r0.returncode == 0, r0.stdout[-500:] + r0.stderr[-500:]
+    assert "schemas identical" in r0.stdout
+
+    # craft a drifted snapshot: documents loses `source`, n_chars becomes
+    # int, and a new table appears
+    import duckdb
+
+    prev = tmp_path / "prev"
+    prev.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT doc_id, text, lang,"
+        " CAST(n_chars AS INTEGER) AS n_chars"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
+        f" TO '{prev}/documents.parquet' (FORMAT parquet)"
+    )
+    con.execute(
+        "COPY (SELECT 1 AS x)"
+        f" TO '{prev}/extra.parquet' (FORMAT parquet)"
+    )
+    r1 = _run(
+        ["schema-diff", "--sf-dir", str(prev),
+         "--against", "/root/testdata/sf0.001"]
+    )
+    assert r1.returncode == 1, r1.stdout[-800:] + r1.stderr[-500:]
+    assert "added table: extra" in r1.stdout
+    assert "documents: removed column source (string)" in r1.stdout
+    assert "documents: column n_chars type bigint -> int" in r1.stdout
+    # the other nine tables count as removed (absent from the new snapshot)
+    assert "removed table: events" in r1.stdout
+
+
 def test_cli_selftest_rejects_nonpositive_max_queries():
     """--max-queries 0 used to silently run the FULL registry (falsy check,
     ADVICE r9); now the parser rejects anything below 1."""

@@ -875,7 +875,10 @@ def q_token_burstiness(spark, sf_dir):
     DOUBLES device (r10 overflow audit, replacing the r9 BIGINT ppm
     whose N·Σc²·10⁶ < 2⁶³ bound died at ~10⁸ docs): both engines cast
     the exact aggregates to DOUBLE and evaluate the same expression
-    text, so the floor()ed ppm is bit-identical. Shape: two map-side-
+    text, so the floor()ed ppm is bit-identical. The BIGINT render is
+    total for feasible corpora: VMR ≤ max per-doc count (Σc² ≤ C·Σc), so
+    vmr_ppm ≤ ~10¹² — the r10 hypothesis suite pins this by generating
+    only Cauchy–Schwarz-consistent aggregates. Shape: two map-side-
     combined aggregates ((doc, tok) then tok) and a TakeOrdered
     top-{_BURST_TOP}."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))

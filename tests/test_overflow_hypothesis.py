@@ -33,13 +33,30 @@ huge_counts = st.lists(
     max_size=8,
 )
 
-# burstiness aggregates past the retired N·Σc²·10⁶ < 2⁶³ bound:
-# nd·tf2·1e6 up to ~1e31 — representative of 10⁹⁺-doc corpora
-burst_aggs = st.tuples(
-    st.integers(min_value=10**8, max_value=10**12),  # nd (docs)
-    st.integers(min_value=10**3, max_value=10**13),  # tf  (Σc)
-    st.integers(min_value=10**6, max_value=10**19),  # tf2 (Σc²)
-)
+# burstiness aggregates past the retired N·Σc²·10⁶ < 2⁶³ bound
+# (nd·tf2·1e6 up to ~1e31, representative of 10⁹⁺-doc corpora) but
+# FEASIBLE: independent draws can violate Cauchy–Schwarz (Σc² ≥ (Σc)²/N)
+# and the per-doc ceiling (Σc² ≤ C_MAX·Σc, C_MAX = max doc length), and
+# an infeasible triple can push the true ppm past int64 — which both
+# engines rightly refuse (the first full-suite run of this test found
+# exactly that: a triple with Σc²/Σc ≈ 9·10¹² is no corpus). For any
+# feasible triple, vmr_ppm ≤ C_MAX·10⁶ ≈ 10¹² — well inside BIGINT.
+_BURST_C_MAX = 10**6  # max per-doc count of one token ≈ max doc length
+
+
+@st.composite
+def _burst_aggs(draw):
+    nd = draw(st.integers(min_value=10**8, max_value=10**12))
+    tf = draw(
+        st.integers(min_value=10**3, max_value=min(nd * _BURST_C_MAX, 10**13))
+    )
+    lo = -(-(tf * tf) // nd)  # ceil(Σc²min) by Cauchy–Schwarz
+    hi = max(lo, min(tf * _BURST_C_MAX, tf * tf))
+    tf2 = draw(st.integers(min_value=lo, max_value=hi))
+    return nd, tf, tf2
+
+
+burst_aggs = _burst_aggs()
 
 
 def _duck_one(sql: str):

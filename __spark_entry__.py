@@ -116,6 +116,7 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "kendall_tau_rankers",
     "mixture_temperature_sweep",
     "ab_power_sample_size",
+    "hapax_legomena_rate",
 ]
 
 

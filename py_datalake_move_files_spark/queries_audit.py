@@ -1395,3 +1395,62 @@ def q_ab_power_sample_size(spark, sf_dir):
         F.expr(guard.format(n_arm)).alias("n_per_arm"),
         F.expr(guard.format(f"{n_arm} * 2")).alias("n_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# hapax legomena rate per source (vocabulary-health audit)
+# --------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH tk AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+h AS (
+  SELECT source, tok, count(*) AS c FROM tk GROUP BY source, tok
+)
+SELECT source,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS vocab_size,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+       AS BIGINT) AS hapax_share_ppm,
+  CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+FROM h GROUP BY source
+"""
+
+
+@register("hapax_legomena_rate", _HAPAX_ORACLE)
+def q_hapax_legomena_rate(spark, sf_dir):
+    """Hapax legomena rate per source: the share of each source's
+    vocabulary seen exactly once, plus the corpus-level type-token ratio
+    — the third classical vocabulary-health law next to
+    ``heaps_law_fit`` (growth) and ``zipf_slope`` (frequency decay).
+    Natural text runs ~40-60% hapax; a source far BELOW that is
+    templated/boilerplate (vocabulary recycles), far above is OCR
+    garbage or ID soup (every token novel) — a cheap source-admission
+    gate that reads one number.
+
+    Shape: one (source, token) count aggregate (map-side combined) and
+    one per-source roll-up — the exchange carries the per-source vocab,
+    never raw text. All-integer ppm floors."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return h.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("hapax_share_ppm"),
+        F.expr(
+            "CAST(count(*) * 1000000 div sum(c) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )

@@ -585,3 +585,31 @@ def test_t_closeness_single_bucket_is_zero(spark, tmp_path):
     )
     out = QUERIES["t_closeness_audit"](spark, lake).collect()
     assert out and all(r.t_ppm == 0 for r in out)
+
+
+# --------------------------------------------------------------------------
+# hapax_legomena_rate
+# --------------------------------------------------------------------------
+
+
+def test_hapax_rate_matches_python_count(spark):
+    docs = load_table(spark, SF_SMALL, "documents").collect()
+    per_src = defaultdict(Counter)
+    for r in docs:
+        for t in r.text.split(" "):
+            if t != "":
+                per_src[r.source][t] += 1
+    got = {
+        r.source: r
+        for r in QUERIES["hapax_legomena_rate"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        r = got[src]
+        hap = sum(1 for c in cnt.values() if c == 1)
+        assert r.n_tokens == sum(cnt.values())
+        assert r.vocab_size == len(cnt)
+        assert r.n_hapax == hap
+        assert r.hapax_share_ppm == hap * 1_000_000 // len(cnt)
+        assert r.ttr_ppm == len(cnt) * 1_000_000 // sum(cnt.values())
+        assert 0 <= r.hapax_share_ppm <= 1_000_000

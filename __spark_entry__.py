@@ -21,89 +21,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-10 window:
+#: The driver hash-checks the FIRST 50 registered queries. Round-11 window:
 #: the ledger (CORRECTNESS_CUMULATIVE.json, regenerated at round start by
-#: tools/make_cumulative.py — the single source of truth) holds 268
-#: cumulatively driver-green queries after folding round 9's 50/50 green
-#: artifact. The only registered queries without a driver row are the 16
-#: round-9 additions that were queued last round; ALL 16 fill this window
-#: (listed first), alongside 34 cumulative-green anchors covering every
-#: §2 family (rotated to different representatives than round 9's anchor
-#: set, so the ledger keeps getting re-verified breadth-first). A green
-#: round 10 means 284/284 registered-through-r9 queries own a driver-green
-#: row. Queries ADDED in round 10 land in QUEUED_FOR_NEXT_WINDOW and
-#: rotate in next round; until then they are covered by the local DuckDB
-#: parity mirror (tests/test_oracle_parity.py runs EVERY registered query
-#: at BOTH sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts
-#: the three lists exactly tile the registry, so a query can never
-#: silently drop out of the accounting.
+#: tools/make_cumulative.py — the single source of truth) holds 284
+#: cumulatively driver-green queries after folding round 10's 50/50 green
+#: artifact. The only registered queries without a driver row are the 15
+#: round-10 additions that were queued last round (the governance/
+#: measurement tier + the two sanctioned scale variants); ALL 15 fill this
+#: window (listed first), alongside 35 cumulative-green anchors chosen by
+#: STALENESS — the 35 ledger queries least recently re-verified by a
+#: driver round (all last green in rounds 2-4), so rotation is now a
+#: deterministic least-recently-verified policy instead of a hand-picked
+#: set, while still spanning every §2 family (ANN/LSH, dedup/fingerprint,
+#: windows, TPC-H joins/aggs, streaming batch-twins, multimodal, graph).
+#: A green round 11 means 299/299 registered-through-r10 queries own a
+#: driver-green row. Queries ADDED in round 11 land in
+#: QUEUED_FOR_NEXT_WINDOW and rotate in next round; until then they are
+#: covered by the local DuckDB parity mirror (tests/test_oracle_parity.py
+#: runs EVERY registered query at BOTH sf0.001 and sf0.01).
+#: tests/test_rotation_accounting.py asserts the three lists exactly tile
+#: the registry, so a query can never silently drop out of the accounting.
 CURATED_FIRST = [
-    # round-9 additions, never driver-checked (queued last round) — all 16
-    "table_profile_orders_approx",
-    "ndcg_retrieval_eval",
-    "ks_test_doc_lengths",
-    "zipf_slope_tokens",
-    "temporal_decay_weights",
-    "profile_drift_report",
-    "l_diversity_audit",
-    "stratified_kfold_assignment",
-    "token_burstiness",
-    "bootstrap_ci_mean",
-    "permutation_test_events",
-    "bigram_conditional_entropy",
-    "embedding_mean_shift_mmd",
-    "doc_length_moments",
-    "neyman_allocation_plan",
-    "knn_mutual_pairs",
-    # anchors — re-verify representatives across every §2 family (all in
-    # the cumulative ledger; rotated vs the round-9 anchor set)
-    "path_rewrite_compat",
-    "filter_reason_cascade",
-    "json_probe_exact",
-    "props_key_stats",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "q9_profit_by_nation",
-    "q13_order_distribution",
-    "q21_late_exclusive_suppliers",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "full_outer_nation_presence",
-    "range_join_value_buckets",
-    "asof_purchase_prior_view",
-    "skew_salted_event_join",
-    "scalar_subquery_above_avg",
-    "agg_distinct_stats",
-    "cube_priority_status",
-    "approx_percentile_prices",
-    "unpivot_lineitem_metrics",
-    "window_latest_order",
-    "window_range_frame",
-    "sessionize_events",
-    "set_ops_segments",
-    "string_funcs_suite",
-    "date_funcs_suite",
-    "null_handling_suite",
-    "dedup_minhash_lsh",
-    "simhash_dup_pairs",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "quality_scores",
-    "bm25_doc_retrieval",
-    "multimodal_frame_sample",
-]
-
-#: Queries registered DURING round 10 (after this window was fixed). They
-#: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-11 window. tests/test_rotation_accounting.py enforces
-#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
-#: the registry, and that every queued name actually runs at sf0.001
-#: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = [
-    # r10 additions
+    # round-10 additions, never driver-checked (queued last round) — all 15
     "doc_novelty_scores_sampled",
     "table_profile_orders_approx_only",
-    # r10 governance/measurement tier (queries_audit.py)
     "t_closeness_audit",
     "mann_whitney_u_events",
     "bpe_merge_candidates",
@@ -117,6 +58,52 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "mixture_temperature_sweep",
     "ab_power_sample_size",
     "hapax_legomena_rate",
+    # anchors — the 35 least-recently-driver-verified ledger queries
+    # (last green r2-r4), re-verified breadth-first by staleness
+    "ann_lsh_multitable",
+    "doc_fingerprint",
+    "orders_by_month",
+    "union_all_activity",
+    "window_rank_parts",
+    "ann_lsh_bucketed",
+    "approx_distinct_users",
+    "explode_token_topk",
+    "hourly_event_stats",
+    "pii_redaction",
+    "q4_priority_exists",
+    "repetition_stats",
+    "topk_per_group_parts",
+    "cohort_retention",
+    "corpus_gate_counts",
+    "date_gap_fill",
+    "event_dedup_tumbling",
+    "funnel_conversion",
+    "heavy_hitter_tokens",
+    "incremental_agg_merge",
+    "ivf_list_sizes",
+    "lateral_topk_orders",
+    "multimodal_audio_features",
+    "pagerank_nation_flow",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_latency_priority_counts",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_price_supplier",
+]
+
+#: Queries registered DURING round 11 (after this window was fixed). They
+#: are covered by the local two-scale DuckDB parity mirror now and rotate
+#: into the round-11 window. tests/test_rotation_accounting.py enforces
+#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
+#: the registry, and that every queued name actually runs at sf0.001
+#: (the r6 snapshot-commit gate).
+QUEUED_FOR_NEXT_WINDOW: list[str] = [
 ]
 
 

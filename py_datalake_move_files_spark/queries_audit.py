@@ -234,7 +234,15 @@ SELECT n_a, n_b,
                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000.0
              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
   END AS rank_biserial_ppm,
-  CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN NULL
+  -- all-values-tied guard (ADVICE r10): the tie-corrected variance is
+  -- exactly 0 when every value ties, and 0/0 is NaN in both engines —
+  -- degenerate inputs must stay NULL, never NaN
+  CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2
+         OR (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+            - CAST(tie_cubes AS DOUBLE)
+              / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)) <= 0.0
+       THEN NULL
     ELSE round((CAST(u2 AS DOUBLE) / 2.0
          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
@@ -320,8 +328,15 @@ def q_mann_whitney_u_events(spark, sf_dir):
             " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)"
             " END"
         ).alias("rank_biserial_ppm"),
+        # all-values-tied guard mirrors the oracle: zero tie-corrected
+        # variance -> NULL, never 0/0 = NaN (ADVICE r10)
         F.expr(
-            "CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN NULL"
+            "CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2"
+            " OR (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)"
+            " - CAST(tie_cubes AS DOUBLE)"
+            " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+            " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)) <= 0.0D"
+            " THEN NULL"
             " ELSE round((CAST(u2 AS DOUBLE) / 2.0"
             " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
             " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
@@ -354,7 +369,7 @@ p AS (
 ),
 agg AS (
   SELECT pair, CAST(sum(wn) AS BIGINT) AS n_occurrences,
-         CAST(count(*) AS BIGINT) AS n_word_types
+         CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
   FROM p GROUP BY pair
 )
 SELECT pair, n_occurrences, n_word_types
@@ -399,9 +414,12 @@ def q_bpe_merge_candidates(spark, sf_dir):
             ),
         )
     )
+    # n_word_types is per distinct word TYPE: a word with a repeated
+    # adjacent pair ('banana' -> 'an' twice) counts once, so the count is
+    # DISTINCT word, not pair slots (ADVICE r10)
     agg = p.groupBy("pair").agg(
         F.sum("wn").cast("long").alias("n_occurrences"),
-        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.countDistinct("word").cast("long").alias("n_word_types"),
     )
     return agg.orderBy(
         F.col("n_occurrences").desc(), F.col("pair").asc()
@@ -901,7 +919,11 @@ r AS (
 ),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+    -- rank sums are DECIMAL(38,0) before the double render: rx/ry are
+    -- data-sized (~2N), so a plain BIGINT sum is ~2N^2 and overflows
+    -- int64 past ~2e9 docs (r10 overflow rule, ADVICE r10)
+    CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
     CAST(sum(CAST(rx AS DECIMAL(19,0)) * rx) AS DOUBLE) AS sxx,
     CAST(sum(CAST(ry AS DECIMAL(19,0)) * ry) AS DOUBLE) AS syy,
     CAST(sum(CAST(rx AS DECIMAL(19,0)) * ry) AS DOUBLE) AS sxy
@@ -976,8 +998,10 @@ def q_spearman_chars_tokens(spark, sf_dir):
     )
     m = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").cast("double").alias("sx"),
-        F.sum("ry").cast("double").alias("sy"),
+        # DECIMAL(38,0) rank sums before the double render (Σrx ≈ 2N² —
+        # a BIGINT sum ANSI-aborts past ~2e9 docs; mirrors the oracle)
+        F.expr("CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
         F.expr("CAST(sum(CAST(rx AS DECIMAL(19,0)) * rx) AS DOUBLE)").alias(
             "sxx"
         ),

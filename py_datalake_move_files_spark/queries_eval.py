@@ -695,11 +695,17 @@ def q_profile_drift_report(spark, sf_dir):
             ]
         )
     row = orders.agg(*aggs)
+    # empty-window guards mirrored from the oracle (ADVICE r10): under
+    # ANSI mode (Spark 4 default) an unguarded `div 0` aborts the report
+    # where the oracle returns NULL — an empty before/after window or a
+    # zero-distinct column must NULL the ratio, not throw DIVIDE_BY_ZERO
     parts = ", ".join(
         f"'{c}', __ra_{c}, __rb_{c}, __da_{c}, __db_{c}, "
-        f"CAST((__db_{c} * 1000000) div __da_{c} AS BIGINT), "
-        f"CAST((__na_{c} * 1000000) div __ra_{c}"
-        f" - (__nb_{c} * 1000000) div __rb_{c} AS BIGINT)"
+        f"CASE WHEN __da_{c} = 0 THEN NULL"
+        f" ELSE CAST((__db_{c} * 1000000) div __da_{c} AS BIGINT) END, "
+        f"CASE WHEN __ra_{c} = 0 OR __rb_{c} = 0 THEN NULL"
+        f" ELSE CAST((__na_{c} * 1000000) div __ra_{c}"
+        f" - (__nb_{c} * 1000000) div __rb_{c} AS BIGINT) END"
         for c in _DRIFT_COLS
     )
     out = row.selectExpr(

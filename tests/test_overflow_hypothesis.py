@@ -127,3 +127,46 @@ def test_old_bigint_square_sum_would_abort(spark):
     df = spark.createDataFrame([(4_000_000_000,)], "c long")
     with pytest.raises(Exception, match="(?i)overflow"):
         df.agg(F.sum(F.col("c") * F.col("c")).alias("sxx")).collect()
+
+
+# doubled midranks are data-sized (~2N): a list of rank values whose
+# PLAIN sum blows int64 (Σ > 2⁶³ with few huge elements — representative
+# of the ~2N² rank sum of a >2e9-doc spearman input)
+huge_ranks = st.lists(
+    st.integers(min_value=2_000_000_000_000_000_000,
+                max_value=4_000_000_000_000_000_000),
+    min_size=5,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(huge_ranks)
+def test_decimal_rank_sum_exact_and_cross_engine(spark, vals):
+    """sum(CAST(r AS DECIMAL(38,0))) — the spearman_chars_tokens rank-sum
+    device (ADVICE r10: Σ of ~2N doubled midranks ≈ 2N², past int64 at
+    ~2e9 docs) — is exact vs Python bigints and engine-identical on rank
+    lists whose plain BIGINT sum exceeds 2⁶³."""
+    df = spark.createDataFrame([(v,) for v in vals], "r long")
+    got_spark = df.agg(
+        F.expr("sum(CAST(r AS DECIMAL(38,0)))").alias("s")
+    ).collect()[0].s
+    lits = ", ".join(f"({v})" for v in vals)
+    got_duck = _duck_one(
+        f"SELECT sum(CAST(r AS DECIMAL(38,0))) FROM (VALUES {lits}) AS t(r)"
+    )
+    want = sum(vals)
+    assert int(got_spark) == want
+    assert int(got_duck) == want
+
+
+def test_old_bigint_rank_sum_would_abort(spark):
+    """Regression tripwire: the RETIRED plain BIGINT sum(r) ANSI-aborts
+    on the same adversarial ranks, so a revert cannot pass this suite."""
+    df = spark.createDataFrame(
+        [(4_000_000_000_000_000_000,)] * 3, "r long"
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(F.sum("r").alias("s")).collect()

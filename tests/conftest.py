@@ -20,7 +20,13 @@ _NON_SMOKE_FILES = {"test_oracle_parity.py", "test_cli.py"}
 def pytest_collection_modifyitems(config, items):
     for item in items:
         name = item.fspath.basename
-        if name in _NON_SMOKE_FILES or "hypothesis" in name:
+        if "hypothesis" in name:
+            # property suites get their own marker (VERDICT r10 #6): the
+            # functional gate runs `-m "not property"`, the property
+            # suites run nightly / pre-snapshot with `-m property`
+            item.add_marker(pytest.mark.property)
+            continue
+        if name in _NON_SMOKE_FILES:
             continue
         item.add_marker(pytest.mark.smoke)
 

@@ -28,10 +28,15 @@ def test_readme_registry_count_matches_code():
     )
 
 
-def test_plans_registry_count_matches_code():
-    mentions = _mentions(ROOT / "PLANS.md")
-    assert all(m == len(QUERIES) for m in mentions), (
-        f"PLANS.md claims {mentions}, registry has {len(QUERIES)}"
+def test_plans_current_registry_count_matches_code():
+    """PLANS.md is an append-style audit log whose BODY keeps historical
+    per-round counts ('268-query registry' from the r8 sweep); only a
+    mention marked ``current`` (e.g. 'current 299-query registry') is a
+    live claim and must track the code."""
+    text = (ROOT / "PLANS.md").read_text()
+    live = [int(m) for m in re.findall(r"current (\d+)-query registry", text)]
+    assert all(m == len(QUERIES) for m in live), (
+        f"PLANS.md current-count claims {live}, registry has {len(QUERIES)}"
     )
 
 

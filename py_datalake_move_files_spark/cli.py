@@ -189,7 +189,9 @@ def _build_parser() -> argparse.ArgumentParser:
     sd = sub.add_parser(
         "schema-diff",
         help="schema drift between two lake snapshots: added/removed"
-        " tables and columns, type changes (metadata-only, no data read)",
+        " tables and columns, type changes incl. nested (metadata-only,"
+        " no data read). Exit codes: 0 identical, 1 drift, 2 usage error"
+        " (missing snapshot directory)",
     )
     sd.add_argument("--sf-dir", required=True, help="current snapshot directory")
     sd.add_argument(
@@ -541,10 +543,28 @@ def cmd_schema_diff(spark, args) -> int:
     of ``card --diff-against`` (which watches VALUES): per table found in
     either directory, report added/removed tables, added/removed columns,
     and type changes. Metadata-only: parquet footers via
-    ``spark.read.parquet(...).schema``, no data bytes read. Exit 1 on any
-    drift so pipelines can gate, 0 when structurally identical."""
+    ``spark.read.parquet(...).schema``, no data bytes read.
+
+    Detection matrix: top-level add/remove/type-change, plus NESTED type
+    changes — array element type, map key/value type, struct field
+    type/add/remove — all surface as a type change because comparison is
+    on ``dataType.simpleString()`` (the full recursive type text). A
+    struct field REORDER also reports as a type change: parquet column
+    resolution inside structs is positional for some readers, so order
+    is part of the contract.
+
+    Exit-code contract (pinned by tests/test_cli.py): 0 = structurally
+    identical; 1 = drift (one line per change); 2 = usage error — a
+    snapshot directory that does not exist (an absent dir is an operator
+    mistake, NOT an empty lake; treating it as empty would report every
+    table as added and hide the typo behind a legitimate-looking 1)."""
     import glob as _glob
     import os as _os
+
+    for d in (args.sf_dir, args.against):
+        if not _os.path.isdir(d):
+            print(f"schema-diff: not a directory: {d}", file=sys.stderr)
+            return 2
 
     def tables(d):
         out = {}

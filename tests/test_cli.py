@@ -410,3 +410,73 @@ def test_cli_selftest_max_queries_bounds_the_run():
     )
     assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
     assert "selftest: 2/2 passed" in r.stdout
+
+
+def test_cli_schema_diff_nested_types_and_exit_codes(tmp_path):
+    """VERDICT r10 #8: the detection matrix must cover NESTED drift —
+    array element type, map value type, struct field type change, and
+    struct field reorder — and the exit-code contract is 0 identical /
+    1 drift / 2 missing-directory usage error."""
+    import duckdb
+
+    con = duckdb.connect()
+    base = tmp_path / "base"
+    drift = tmp_path / "drift"
+    base.mkdir()
+    drift.mkdir()
+    con.execute(
+        "COPY (SELECT [1, 2]::INTEGER[] AS arr,"
+        " MAP(['k'], [1])::MAP(VARCHAR, INTEGER) AS m,"
+        " {'a': 1, 'b': 'x'} AS st)"
+        f" TO '{base}/t.parquet' (FORMAT parquet)"
+    )
+    # identical copy -> exit 0
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{base}/t.parquet'))"
+        f" TO '{drift}/t.parquet' (FORMAT parquet)"
+    )
+    r0 = _run(["schema-diff", "--sf-dir", str(drift), "--against", str(base)])
+    assert r0.returncode == 0, r0.stdout[-500:] + r0.stderr[-500:]
+    assert "schemas identical" in r0.stdout
+
+    # nested drift: array element widens, map value becomes VARCHAR,
+    # struct field a changes type AND fields reorder -> exit 1, each named
+    con.execute(
+        "COPY (SELECT [1, 2]::BIGINT[] AS arr,"
+        " MAP(['k'], ['1'])::MAP(VARCHAR, VARCHAR) AS m,"
+        " {'b': 'x', 'a': 1.5} AS st)"
+        f" TO '{drift}/t.parquet' (FORMAT parquet, OVERWRITE_OR_IGNORE)"
+    )
+    r1 = _run(["schema-diff", "--sf-dir", str(drift), "--against", str(base)])
+    assert r1.returncode == 1, r1.stdout[-800:] + r1.stderr[-500:]
+    assert "t: column arr type array<int> -> array<bigint>" in r1.stdout
+    assert "t: column m type map<string,int> -> map<string,string>" in r1.stdout
+    # struct change covers both the field-type change and the reorder
+    assert (
+        "t: column st type struct<a:int,b:string> ->"
+        " struct<b:string,a:decimal(2,1)>" in r1.stdout
+    )
+
+    # pure struct-field REORDER (same fields, same types) is drift too
+    reorder = tmp_path / "reorder"
+    reorder.mkdir()
+    con.execute(
+        "COPY (SELECT [1, 2]::INTEGER[] AS arr,"
+        " MAP(['k'], [1])::MAP(VARCHAR, INTEGER) AS m,"
+        " {'b': 'x', 'a': 1} AS st)"
+        f" TO '{reorder}/t.parquet' (FORMAT parquet)"
+    )
+    r2 = _run(["schema-diff", "--sf-dir", str(reorder), "--against", str(base)])
+    assert r2.returncode == 1, r2.stdout[-800:] + r2.stderr[-500:]
+    assert (
+        "t: column st type struct<a:int,b:string> ->"
+        " struct<b:string,a:int>" in r2.stdout
+    )
+
+    # missing directory is a usage error (2), never an "empty lake" (1)
+    r3 = _run(
+        ["schema-diff", "--sf-dir", str(base),
+         "--against", str(tmp_path / "nope")]
+    )
+    assert r3.returncode == 2, r3.stdout[-500:] + r3.stderr[-500:]
+    assert "not a directory" in r3.stderr

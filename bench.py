@@ -234,6 +234,27 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def shuffle_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    executors from the AppStatusStore — the same store the /api/v1 REST
+    endpoint serves, so it works with spark.ui.enabled=false. Per-query
+    exchange volume is the delta around the timed runs (VERDICT r10 #4):
+    the scale arguments rest on asserted shuffle-volume deltas (novelty
+    sampling = 4x fewer exchange rows, IVF = shuffle-free assign), and
+    wall time alone cannot diff exchange-volume regressions on a noisy
+    host. Returns None if the internal API moves (bench still times)."""
+    try:
+        ex = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+        r = w = 0
+        for i in range(ex.size()):
+            e = ex.apply(i)
+            r += e.totalShuffleRead()
+            w += e.totalShuffleWrite()
+        return r, w
+    except Exception:  # noqa: BLE001 — metrics are best-effort, timing isn't
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -315,16 +336,24 @@ def main() -> None:
     # tenants and single-shot timings showed 2-10× interference spikes; the
     # minimum is the standard steady-state estimator under external noise
     times: dict[str, float] = {}
+    shuffle_read_mb: dict[str, float] = {}
+    shuffle_write_mb: dict[str, float] = {}
     for name in headline:
         if name in errors:
             continue
         best = float("inf")
         try:
+            before = shuffle_totals(spark)
             for _ in range(2):
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 3)
+            after = shuffle_totals(spark)
+            if before is not None and after is not None:
+                # two identical runs -> halve the delta for per-run volume
+                shuffle_read_mb[name] = round((after[0] - before[0]) / 2e6, 3)
+                shuffle_write_mb[name] = round((after[1] - before[1]) / 2e6, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -349,6 +378,10 @@ def main() -> None:
         # separately so per-query numbers never absorb them (VERDICT r9 #2)
         "artifacts": artifacts,
         "queries": times,
+        # per-query exchange volume (delta of executor shuffle totals
+        # around the timed runs, MB per run) — the diffable scale metric
+        "shuffle_read_mb": shuffle_read_mb,
+        "shuffle_write_mb": shuffle_write_mb,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -376,6 +409,8 @@ def main() -> None:
         "queries_timed": len(times),
         "queries_headline": len(headline),
         "artifacts_total": round(sum(v for v in artifacts.values() if v > 0), 3),
+        "shuffle_read_mb_total": round(sum(shuffle_read_mb.values()), 3),
+        "shuffle_write_mb_total": round(sum(shuffle_write_mb.values()), 3),
         "queries": slowest,
         "queries_note": f"slowest 10 of {len(times)}; full map in {full_path.name}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

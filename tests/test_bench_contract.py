@@ -51,3 +51,13 @@ def test_bench_emits_one_compact_json_line_and_sidecar(tmp_path):
     full = json.loads(out_sidecar.read_text())
     assert set(full["queries"]) == {"q1_pricing_summary", "orders_by_month"}
     assert abs(sum(full["queries"].values()) - full["value"]) < 1e-6
+
+    # per-query exchange volume (VERDICT r10 #4): both fields present for
+    # every timed query, non-negative, and the aggregating queries here
+    # genuinely shuffle (q1 groups 6M-row lineitem at sf0.1; >0 even at
+    # sf0.001)
+    for field in ("shuffle_read_mb", "shuffle_write_mb"):
+        assert set(full[field]) == set(full["queries"]), field
+        assert all(v >= 0 for v in full[field].values()), full[field]
+    assert full["shuffle_write_mb"]["q1_pricing_summary"] > 0
+    assert summary["shuffle_read_mb_total"] >= 0

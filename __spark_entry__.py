@@ -104,6 +104,12 @@ CURATED_FIRST = [
 #: the registry, and that every queued name actually runs at sf0.001
 #: (the r6 snapshot-commit gate).
 QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    # r11 model-eval & measurement tier 2 (queries_measure.py)
+    "compression_ratio_stats",
+    "vocab_coverage_curve",
+    "odds_ratio_priority_ci",
+    "cramers_v_categorical",
+    "mcnemar_quality_rules",
 ]
 
 

@@ -2226,6 +2226,7 @@ from py_datalake_move_files_spark import queries_mining  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_pipeline  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_eval  # noqa: E402,F401
 from py_datalake_move_files_spark import queries_audit  # noqa: E402,F401
+from py_datalake_move_files_spark import queries_measure  # noqa: E402,F401
 
 
 def _dd_audio_oracle() -> str:

@@ -110,6 +110,16 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "odds_ratio_priority_ci",
     "cramers_v_categorical",
     "mcnemar_quality_rules",
+    "fleiss_kappa_raters",
+    "grubbs_outlier_prices",
+    "runs_test_daily_events",
+    "page_hinkley_daily_events",
+    "bhattacharyya_lang_lengths",
+    "kl_source_unigram",
+    "embedding_isotropy_stats",
+    "brier_calibration_bins",
+    "wilcoxon_signed_rank_users",
+    "brown_forsythe_events",
 ]
 
 

@@ -580,6 +580,14 @@ def ivf_assign(
     """
     if max_literal_k is None:
         max_literal_k = IVF_LITERAL_MAX_K  # module constant, tunable at runtime
+    if not centroids:
+        # empty training set -> the index has no lists: assign NOTHING
+        # (an empty frame with the output schema), so every downstream
+        # probe/aggregate is empty on both engines instead of an
+        # array_min-over-empty analysis error (degenerate-lake rule)
+        return corpus.where(F.lit(False)).withColumn(
+            out, F.lit(None).cast("int")
+        )
     if len(centroids) <= max_literal_k:
         sims = _centroid_sims(vec_col, centroids)
         # argmin of (-sim, cid) structs: every centroid cosine is evaluated
@@ -680,6 +688,10 @@ def kmeans_refine(
     Clusters that lose every member die (standard Lloyd's-with-death), so
     the return may be shorter than the input. Returned sorted by centroid id.
     """
+    if not centroids:
+        # nothing to refine: an empty init stays empty (degenerate rule —
+        # downstream ivf_assign/pq consumers all handle [] as "no index")
+        return []
     dim = len(centroids[0][1])
     cents = sorted(centroids)
     for _ in range(iters):
@@ -729,6 +741,16 @@ def kmeans_profile(
     # is evaluated exactly once per row (Catalyst cannot CSE
     # structurally-unequal lambda trees, so re-deriving either column
     # separately would double the HOF work)
+    if not centroids:
+        # no clusters to profile: empty report (degenerate-lake rule)
+        return (
+            corpus.where(F.lit(False))
+            .select(
+                F.lit(None).cast("long").alias(out),
+                F.lit(None).cast("long").alias("n_vectors"),
+                F.lit(None).cast("double").alias("mean_cos"),
+            )
+        )
     sims = _centroid_sims(vec_col, centroids)
     structs = F.array(
         *[F.struct((-sc).alias("neg"), F.lit(cid).alias("cid")) for cid, sc in sims]
@@ -787,6 +809,18 @@ def ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     )
+    if not cents:
+        # no lists to probe: empty result with the output schema
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .where(F.lit(False))
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cosine_sim"),
+                F.lit(None).cast("int").alias("rnk"),
+            )
+        )
     assigned = ivf_assign(
         ensure_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -906,6 +940,14 @@ def pq_encode(
     codewords) instead of dim floats — 8 B vs 256 B for a 64-dim float32
     vector, the 32x compression that lets a 1000-executor cluster hold a
     trillion-vector index in RAM."""
+    if not codebook:
+        # empty training set -> no codewords: encode NOTHING (empty frame
+        # with the codes column), the degenerate-lake rule
+        return (
+            ensure_parallelism(corpus)
+            .where(F.lit(False))
+            .withColumn(out, F.lit(None).cast("array<tinyint>"))
+        )
     dim = len(codebook[0])
     if dim % m:
         raise ValueError(f"m={m} must divide the vector dim {dim}")
@@ -951,6 +993,18 @@ def pq_adc_topk(
     top-k exchanges. The full-precision vectors are NOT read by this scan
     (column pruning drops them): at 100 TB the scan touches only the 8-byte
     code column."""
+    if not codebook:
+        # no codewords -> no distance tables: empty result (degenerate rule)
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .where(F.lit(False))
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("approx_dist"),
+                F.lit(None).cast("int").alias("rnk"),
+            )
+        )
     dim = len(codebook[0])
     if dim % m:
         raise ValueError(f"m={m} must divide the vector dim {dim}")
@@ -1019,6 +1073,19 @@ def ivfpq_topk(
     fetched for |queries|·rerank rows only (here via a broadcast join; a
     real deployment point-looks-up a vector store). Every stage is
     deterministic, so the composition has an exact DuckDB oracle."""
+    if not centroids or not codebook:
+        # empty index (no lists and/or no codewords): empty result with
+        # the output schema (degenerate-lake rule)
+        return (
+            queries.select(F.col(query_id_col).alias("query_id"))
+            .where(F.lit(False))
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cosine_sim"),
+                F.lit(None).cast("int").alias("rnk"),
+            )
+        )
     assigned = ivf_assign(
         ensure_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -1302,6 +1369,18 @@ def knn_graph(
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
     )
+    if not cents:
+        # empty corpus -> no index lists: an empty edge set (degenerate rule)
+        return (
+            corpus.select(F.col(id_col).alias("query_id"))
+            .where(F.lit(False))
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cosine_sim"),
+                F.lit(None).cast("int").alias("rnk"),
+            )
+        )
     indexed = ivf_assign(
         ensure_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -1507,7 +1586,11 @@ def kcenter_greedy(
     )
     base = base.localCheckpoint(eager=True)
 
-    seed = base.orderBy("__id").limit(1).collect()[0]
+    seed_rows = base.orderBy("__id").limit(1).collect()
+    if not seed_rows:
+        # empty corpus: nothing to select (degenerate-lake rule)
+        return []
+    seed = seed_rows[0]
     centers: list[tuple[int, list[float], int]] = [(seed["__id"], list(seed["__v"]), 0)]
 
     def centers_lit_sql() -> str:

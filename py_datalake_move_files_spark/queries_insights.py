@@ -186,7 +186,9 @@ tc AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
 top AS (SELECT t, c FROM tc ORDER BY c DESC, t ASC LIMIT {ZIPF_TOP}),
 arr AS (SELECT list(c ORDER BY c DESC, t ASC) AS cnts FROM top),
 st AS (
-  SELECT CAST(len(cnts) AS BIGINT) AS n_top,
+  -- coalesce: DuckDB's list() over zero rows is NULL where Spark's
+  -- collect_list is [] — an empty corpus must report n_top = 0 in both
+  SELECT CAST(coalesce(len(cnts), 0) AS BIGINT) AS n_top,
     {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(zi AS DOUBLE)))")} AS sx,
     {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(cnts[zi] AS DOUBLE)))")} AS sy,
     {_zipf_fold_dd("list_transform(generate_series(1, len(cnts)), zi -> ln(CAST(zi AS DOUBLE)) * ln(CAST(zi AS DOUBLE)))")} AS sxx,
@@ -228,9 +230,14 @@ def q_zipf_slope(spark, sf_dir):
             "zs -> -zs.nc)"
         ).alias("cnts")
     )
+    # empty-corpus guard: sequence(1, 0) is DESCENDING in Spark and the
+    # element_at(cnts, 1) lookup would ANSI-abort — an empty top list
+    # must yield NULL sums like DuckDB's list_reduce over an empty list
+    # (degenerate-lake rule)
     fold = (
-        lambda body: f"aggregate(sequence(1, size(cnts)), CAST(0.0 AS DOUBLE), "
-        f"(zfa, zi) -> zfa + ({body}))"
+        lambda body: f"CASE WHEN size(cnts) = 0 THEN NULL"
+        f" ELSE aggregate(sequence(1, size(cnts)), CAST(0.0 AS DOUBLE), "
+        f"(zfa, zi) -> zfa + ({body})) END"
     )
     st = arr.select(
         F.expr("CAST(size(cnts) AS BIGINT)").alias("n_top"),

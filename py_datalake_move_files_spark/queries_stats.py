@@ -626,6 +626,28 @@ def q_pca_top_component(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     d = EMB_DIM
     n, s, g = SIM_.gram_moments(emb, "embedding", dim=d, scale=_PCA_SCALE)
+    if not n:
+        # empty corpus: the covariance is undefined — one NULL row per
+        # dimension, matching the oracle's NULL-propagating CTE chain
+        # (degenerate-lake rule)
+        raw = spark.createDataFrame(
+            [(i,) for i in range(d)], schema="dim int"
+        ).selectExpr(
+            "dim",
+            "CAST(NULL AS DOUBLE) AS loading",
+            "CAST(NULL AS DOUBLE) AS lam",
+            "CAST(NULL AS DOUBLE) AS lam_tr",
+        )
+        return raw.select(
+            "dim",
+            F.round("loading", 6).alias("loading"),
+            F.round(F.col("lam") / F.lit(1_000_000_000_000.0), 6).alias(
+                "eigenvalue"
+            ),
+            F.expr("CAST(round(lam_tr * 1000000) AS BIGINT)").alias(
+                "explained_ppm"
+            ),
+        )
 
     def cov(i, j):
         key = (i, j) if i <= j else (j, i)

@@ -217,9 +217,14 @@ def ql_term_sql(term_idx: int, *, mu: float = QL_MU) -> str:
     from the corpus vocabulary; a zero-cf term would send the score to
     -inf on every document equally, so ranking is unaffected either way."""
     tf, cf = f"tf{term_idx}", f"cf{term_idx}"
+    # nullif: a term absent from the ENTIRE corpus (tf = cf = 0 — only a
+    # degenerate lake) makes the smoothed probability exactly 0; Spark's
+    # ln(0) is NULL where DuckDB ABORTS, and this text is shared by both
+    # engines, so the guard keeps them agreeing (no-op when the arg > 0)
     return (
-        f"ln((CAST({tf} AS DOUBLE) + {mu} * (CAST({cf} AS DOUBLE) /"
-        f" CAST(coll_tokens AS DOUBLE))) / (CAST(dl AS DOUBLE) + {mu}))"
+        f"ln(nullif((CAST({tf} AS DOUBLE) + {mu} * (CAST({cf} AS DOUBLE) /"
+        f" CAST(coll_tokens AS DOUBLE))) / (CAST(dl AS DOUBLE) + {mu}),"
+        " 0.0))"
     )
 
 

@@ -1513,22 +1513,37 @@ def dim_correlations(
         .select(
             F.col("i").alias("dim_i"),
             F.col("j").alias("dim_j"),
-            F.round(
+            # zero-variance guard: n*sxx - sx^2 = 0 on constant (or
+            # single-row) dimensions; Spark ANSI aborts double x/0 where
+            # DuckDB yields NULL (degenerate-lake rule)
+            F.when(
                 (
-                    F.col("n").cast("double") * F.col("sxy").cast("double")
-                    - F.col("sxa").cast("double") * F.col("sxb").cast("double")
+                    F.col("n").cast("double") * F.col("sxxa").cast("double")
+                    - F.col("sxa").cast("double") * F.col("sxa").cast("double")
+                    > 0
                 )
-                / (
-                    F.sqrt(
-                        F.col("n").cast("double") * F.col("sxxa").cast("double")
-                        - F.col("sxa").cast("double") * F.col("sxa").cast("double")
-                    )
-                    * F.sqrt(
-                        F.col("n").cast("double") * F.col("sxxb").cast("double")
-                        - F.col("sxb").cast("double") * F.col("sxb").cast("double")
-                    )
+                & (
+                    F.col("n").cast("double") * F.col("sxxb").cast("double")
+                    - F.col("sxb").cast("double") * F.col("sxb").cast("double")
+                    > 0
                 ),
-                6,
+                F.round(
+                    (
+                        F.col("n").cast("double") * F.col("sxy").cast("double")
+                        - F.col("sxa").cast("double") * F.col("sxb").cast("double")
+                    )
+                    / (
+                        F.sqrt(
+                            F.col("n").cast("double") * F.col("sxxa").cast("double")
+                            - F.col("sxa").cast("double") * F.col("sxa").cast("double")
+                        )
+                        * F.sqrt(
+                            F.col("n").cast("double") * F.col("sxxb").cast("double")
+                            - F.col("sxb").cast("double") * F.col("sxb").cast("double")
+                        )
+                    ),
+                    6,
+                ),
             ).alias("corr"),
         )
     )

@@ -665,6 +665,10 @@ SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0  -- Spark emits NO grand-total row over an empty
+                     -- input where DuckDB emits one with count 0;
+                     -- every real rollup/cube group has count >= 1,
+                     -- so this only drops the empty-input row
 """,
 )
 def q_rollup_nation_region(spark, sf_dir):
@@ -693,6 +697,10 @@ SELECT coalesce(o_orderpriority, 'ALL') AS priority,
   CAST(count(*) AS BIGINT) AS n_orders,
   round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+HAVING count(*) > 0  -- Spark emits NO grand-total row over an empty
+                     -- input where DuckDB emits one with count 0;
+                     -- every real rollup/cube group has count >= 1,
+                     -- so this only drops the empty-input row
 """,
 )
 def q_cube_priority_status(spark, sf_dir):
@@ -1410,6 +1418,10 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
   round(CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE), 2) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING count(*) > 0  -- Spark emits NO grand-total row over an empty
+                     -- input where DuckDB emits one with count 0;
+                     -- every real rollup/cube group has count >= 1,
+                     -- so this only drops the empty-input row
 """,
 )
 def q_grouping_sets_orders(spark, sf_dir):
@@ -1982,9 +1994,13 @@ SELECT l_returnflag,
   CAST({n} AS BIGINT) AS n,
   round(({sxy} - {sx} * {sy} / {n}) / {n}, 4) AS covar_pop,
   round(sqrt(({sxx} - {sx} * {sx} / {n}) / {n}), 6) AS stddev_pop_qty,
-  round(({sxy} - {sx} * {sy} / {n})
-    / (sqrt({sxx} - {sx} * {sx} / {n}) * sqrt({syy} - {sy} * {sy} / {n})), 6)
-    AS corr_qty_price
+  -- zero-variance guard: Spark ANSI aborts double x/0 where DuckDB
+  -- yields NULL; correlation is undefined there in both engines
+  CASE WHEN {sxx} - {sx} * {sx} / {n} <= 0.0
+        OR {syy} - {sy} * {sy} / {n} <= 0.0 THEN NULL
+    ELSE round(({sxy} - {sx} * {sy} / {n})
+      / (sqrt({sxx} - {sx} * {sx} / {n}) * sqrt({syy} - {sy} * {sy} / {n})), 6)
+  END AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -2008,10 +2024,14 @@ def q_stats_corr_quantity_price(spark, sf_dir):
         n.cast("long").alias("n"),
         F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop"),
         F.round(F.sqrt((sxx - sx * sx / n) / n), 6).alias("stddev_pop_qty"),
-        F.round(
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
-            6,
+        # zero-variance guard mirrors the oracle (ANSI aborts double x/0)
+        F.when(
+            (sxx - sx * sx / n > 0) & (syy - sy * sy / n > 0),
+            F.round(
+                (sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+                6,
+            ),
         ).alias("corr_qty_price"),
     )
 

@@ -1268,8 +1268,13 @@ def q_event_hour_mix_chi2(spark, sf_dir):
         .cast("long")
         .alias("dof")
     )
+    # empty-cell guard: DuckDB's list() over zero rows is NULL (so its
+    # fold is NULL) where Spark's aggregate seeds 0.0 — an empty table
+    # must report NULL chi2 in both (degenerate-lake rule)
     return folded.crossJoin(F.broadcast(dims)).select(
-        "n_cells", "dof", F.round("chi2", 6).alias("chi2")
+        "n_cells",
+        "dof",
+        F.when(F.col("n_cells") > 0, F.round("chi2", 6)).alias("chi2"),
     )
 
 

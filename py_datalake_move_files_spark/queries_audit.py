@@ -843,11 +843,22 @@ def q_dataset_card_summary(spark, sf_dir):
         leg(docs.agg(F.countDistinct("lang")), "documents", "n_langs"),
         leg(docs.agg(F.countDistinct("source")), "documents", "n_sources"),
         leg(
+            # struct-min over the grouped frame instead of orderBy+limit:
+            # ALWAYS one row (NULL on an empty corpus, like the oracle's
+            # scalar subquery — the limit(1) form emitted ZERO rows and
+            # silently dropped the card row; degenerate-lake rule), same
+            # (count DESC, lang ASC) winner when non-empty
             docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("lang").asc())
-            .limit(1)
-            .select("lang"),
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("nn"), F.col("lang").alias("lang")
+                    )
+                )
+                .getField("lang")
+                .alias("top_lang")
+            ),
             "documents",
             "top_lang",
         ),
@@ -1238,7 +1249,9 @@ e AS (
   FROM t
 )
 SELECT CAST(alpha AS DOUBLE) AS alpha, n_langs,
-  round(h, 6) AS entropy_nats,
+  -- + 0.0 normalizes the single-language -0.0 (DuckDB's list_reduce
+  -- seeds with the first element; Spark's aggregate seeds with +0.0)
+  round(h + 0.0, 6) AS entropy_nats,
   round(exp(h), 4) AS effective_langs,
   CAST(floor(wmax * 1000000.0 / tot) AS BIGINT) AS max_share_ppm
 FROM e
@@ -1306,7 +1319,7 @@ def q_mixture_temperature_sweep(spark, sf_dir):
     return e.select(
         F.col("alpha").cast("double").alias("alpha"),
         "n_langs",
-        F.round("h", 6).alias("entropy_nats"),
+        F.round(F.expr("h + 0.0"), 6).alias("entropy_nats"),
         F.round(F.exp("h"), 4).alias("effective_langs"),
         F.expr("CAST(floor(wmax * 1000000.0 / tot) AS BIGINT)").alias(
             "max_share_ppm"

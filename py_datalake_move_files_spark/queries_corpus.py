@@ -667,15 +667,27 @@ def q_lsh_quality_eval(spark, sf_dir):
         "id_a", "id_b", F.lit(1).alias("__l")
     )
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    # coalesce: on an empty corpus both pair sets are empty and sums are
+    # NULL where the oracle's counts are 0; the recall guard keeps the
+    # ratio NULL instead of an ANSI div-0 (degenerate-lake rule)
     return j.agg(
-        F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_exact"),
-        F.sum(F.when(F.col("__l").isNotNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("__l").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_lsh"),
-        F.sum(
-            F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_hits"),
@@ -683,7 +695,10 @@ def q_lsh_quality_eval(spark, sf_dir):
         "n_exact",
         "n_lsh",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("lsh_recall"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_hits") / F.col("n_exact"), 6),
+        ).alias("lsh_recall"),
     )
 
 
@@ -2430,8 +2445,11 @@ cum AS (
   FROM cells
 ),
 arrs AS (
-  SELECT list(ln(CAST(tt AS DOUBLE)) ORDER BY b) AS xs,
-         list(ln(CAST(vv AS DOUBLE)) ORDER BY b) AS ys,
+  -- nullif: Spark's ln(0) is NULL where DuckDB ABORTS — empty cumulative
+  -- buckets (corpus smaller than the bucket count, or empty) must yield
+  -- NULL fit terms in both engines (degenerate-lake rule)
+  SELECT list(ln(nullif(CAST(tt AS DOUBLE), 0.0)) ORDER BY b) AS xs,
+         list(ln(nullif(CAST(vv AS DOUBLE), 0.0)) ORDER BY b) AS ys,
          CAST(max(tt) AS BIGINT) AS total_tokens,
          CAST(max(vv) AS BIGINT) AS total_vocab
   FROM cum

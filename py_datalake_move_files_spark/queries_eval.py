@@ -362,13 +362,17 @@ d AS (
 SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
        CAST((SELECT nb FROM n) AS BIGINT) AS n_b,
        CAST(d_num AS BIGINT) AS d_num,
-       CAST(d_num * 1000000 // ((SELECT na FROM n) * (SELECT nb FROM n))
-            AS BIGINT) AS d_ppm,
-       CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >=
-         {_KS_C2_PPM / 1_000_000!r} * CAST((SELECT na FROM n) AS DOUBLE)
-           * CAST((SELECT nb FROM n) AS DOUBLE)
-           * (CAST((SELECT na FROM n) AS DOUBLE)
-              + CAST((SELECT nb FROM n) AS DOUBLE)) AS reject_95
+       -- empty-group guards: a one-language corpus (or empty lake) has
+       -- no defined D; NULL, never a div-0 (degenerate-lake rule)
+       CASE WHEN (SELECT na FROM n) = 0 OR (SELECT nb FROM n) = 0 THEN NULL
+         ELSE CAST(d_num * 1000000 // ((SELECT na FROM n) * (SELECT nb FROM n))
+              AS BIGINT) END AS d_ppm,
+       CASE WHEN (SELECT na FROM n) = 0 OR (SELECT nb FROM n) = 0 THEN NULL
+         ELSE CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >=
+           {_KS_C2_PPM / 1_000_000!r} * CAST((SELECT na FROM n) AS DOUBLE)
+             * CAST((SELECT nb FROM n) AS DOUBLE)
+             * (CAST((SELECT na FROM n) AS DOUBLE)
+                + CAST((SELECT nb FROM n) AS DOUBLE)) END AS reject_95
 FROM d
 """
 
@@ -413,23 +417,27 @@ def q_ks_test_doc_lengths(spark, sf_dir):
     cum = per_val.select(
         F.sum("fa").over(w).alias("ca"), F.sum("fb").over(w).alias("cb")
     )
+    # coalesce: empty groups must report 0 like the oracle's count(*)
+    # (sum over an empty frame is NULL)
     totals = per_val.agg(
-        F.sum("fa").cast("long").alias("na"), F.sum("fb").cast("long").alias("nb")
+        F.coalesce(F.sum("fa"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("fb"), F.lit(0)).cast("long").alias("n_b"),
     )
-    d = cum.crossJoin(F.broadcast(totals)).agg(
-        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+    dn = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
         .cast("long")
         .alias("d_num"),
-        F.first("na").alias("n_a"),
-        F.first("nb").alias("n_b"),
     )
+    d = totals.crossJoin(F.broadcast(dn))
     return d.select(
         "n_a",
         "n_b",
         "d_num",
-        F.expr("CAST((d_num * 1000000) div (n_a * n_b) AS BIGINT)").alias(
-            "d_ppm"
-        ),
+        # one-language / empty guards mirror the oracle (ANSI div-0)
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+            " ELSE CAST((d_num * 1000000) div (n_a * n_b) AS BIGINT) END"
+        ).alias("d_ppm"),
         # the decision runs in DOUBLE with identical op order on both
         # engines: the all-BIGINT form (d_num² · 1e6 ≥ c²ppm·nA·nB·(nA+nB))
         # overflows int64 at ~3k docs per group — under Spark 4's default
@@ -439,12 +447,13 @@ def q_ks_test_doc_lengths(spark, sf_dir):
         # convert identically and the product chain rounds identically per
         # IEEE, so the boolean stays deterministic cross-engine at any
         # size.
-        (
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.col("d_num").cast("double") * F.col("d_num").cast("double")
             >= F.lit(_KS_C2_PPM / 1_000_000)
             * F.col("n_a").cast("double")
             * F.col("n_b").cast("double")
-            * (F.col("n_a").cast("double") + F.col("n_b").cast("double"))
+            * (F.col("n_a").cast("double") + F.col("n_b").cast("double")),
         ).alias("reject_95"),
     )
 
@@ -1354,19 +1363,25 @@ s AS (
   FROM e GROUP BY dim
 ),
 d AS (
+  -- absent-group guard: a lake missing one label makes na/nb = 0; the
+  -- per-dim mean difference is undefined (NULL), never a div-0 split
   SELECT dim,
-    CAST(CASE WHEN sa >= 0 THEN sa // na
-         ELSE -((-sa) // na) END
-       - CASE WHEN sb >= 0 THEN sb // nb
-         ELSE -((-sb) // nb) END AS BIGINT) AS diff
+    CASE WHEN na = 0 OR nb = 0 THEN NULL
+      ELSE CAST(CASE WHEN sa >= 0 THEN sa // na
+           ELSE -((-sa) // na) END
+         - CASE WHEN sb >= 0 THEN sb // nb
+           ELSE -((-sb) // nb) END AS BIGINT)
+    END AS diff
   FROM s
 )
 SELECT CAST((SELECT max(na) FROM s) AS BIGINT) AS n_a,
   CAST((SELECT max(nb) FROM s) AS BIGINT) AS n_b,
   CAST(sum(diff * diff) AS BIGINT) AS mmd2_micro2,
-  CAST((SELECT dim FROM d ORDER BY abs(diff) DESC, dim ASC LIMIT 1) AS INT)
+  CAST((SELECT dim FROM d WHERE diff IS NOT NULL
+        ORDER BY abs(diff) DESC, dim ASC LIMIT 1) AS INT)
     AS top_dim,
-  CAST((SELECT diff FROM d ORDER BY abs(diff) DESC, dim ASC LIMIT 1)
+  CAST((SELECT diff FROM d WHERE diff IS NOT NULL
+        ORDER BY abs(diff) DESC, dim ASC LIMIT 1)
        AS BIGINT) AS top_dim_diff_micro
 FROM d
 """
@@ -1418,22 +1433,32 @@ def q_embedding_mean_shift_mmd(spark, sf_dir):
         "dim",
         "na",
         "nb",
-        # Spark div truncates toward zero — matches the oracle's sign-split
-        F.expr("CAST(sa div na - sb div nb AS BIGINT)").alias("diff"),
+        # Spark div truncates toward zero — matches the oracle's
+        # sign-split; absent-group guard mirrors the oracle (ANSI div-0)
+        F.expr(
+            "CASE WHEN na = 0 OR nb = 0 THEN NULL"
+            " ELSE CAST(sa div na - sb div nb AS BIGINT) END"
+        ).alias("diff"),
     )
-    top = d.orderBy(F.abs(F.col("diff")).desc(), F.col("dim").asc()).limit(1)
-    agg = d.agg(
+    # arg-max via struct-min INSIDE the aggregate (not orderBy+limit+cross
+    # join): always ONE row — an empty/labelless lake yields NULLs like
+    # the oracle's scalar subqueries instead of zero rows (degenerate rule)
+    best = F.min(
+        F.when(
+            F.col("diff").isNotNull(),
+            F.struct(
+                (-F.abs(F.col("diff"))).alias("nd"),
+                F.col("dim").alias("dim"),
+                F.col("diff").alias("diff"),
+            ),
+        )
+    )
+    return d.agg(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
         F.sum(F.col("diff") * F.col("diff")).cast("long").alias("mmd2_micro2"),
-    )
-    return agg.crossJoin(
-        F.broadcast(
-            top.select(
-                F.col("dim").cast("int").alias("top_dim"),
-                F.col("diff").cast("long").alias("top_dim_diff_micro"),
-            )
-        )
+        best.getField("dim").cast("int").alias("top_dim"),
+        best.getField("diff").cast("long").alias("top_dim_diff_micro"),
     )
 
 
@@ -1473,9 +1498,16 @@ WITH s AS (
 SELECT lang, CAST(n AS BIGINT) AS n_docs,
   round({_MOM_EXPR['mean']}, 6) AS mean_chars,
   round(sqrt({_MOM_EXPR['m2']}), 6) AS stddev_pop,
-  round({_MOM_EXPR['m3']} / pow({_MOM_EXPR['m2']}, 1.5), 6) AS skewness,
-  round({_MOM_EXPR['m4']} / ({_MOM_EXPR['m2']} * {_MOM_EXPR['m2']}) - 3.0, 6)
-    AS excess_kurtosis
+  -- zero-variance guard: Spark ANSI aborts even DOUBLE x/0 where DuckDB
+  -- yields NULL (degenerate-lake rule) — shape moments are undefined at
+  -- zero variance in both engines
+  CASE WHEN {_MOM_EXPR['m2']} <= 0.0 THEN NULL
+    ELSE round({_MOM_EXPR['m3']} / pow({_MOM_EXPR['m2']}, 1.5), 6)
+  END AS skewness,
+  CASE WHEN {_MOM_EXPR['m2']} <= 0.0 THEN NULL
+    ELSE round({_MOM_EXPR['m4']} / ({_MOM_EXPR['m2']} * {_MOM_EXPR['m2']})
+               - 3.0, 6)
+  END AS excess_kurtosis
 FROM s
 """
 
@@ -1507,12 +1539,16 @@ def q_doc_length_moments(spark, sf_dir):
         F.col("n").cast("long").alias("n_docs"),
         F.expr(f"round({_MOM_EXPR['mean']}, 6)").alias("mean_chars"),
         F.expr(f"round(sqrt({_MOM_EXPR['m2']}), 6)").alias("stddev_pop"),
+        # zero-variance guard mirrors the oracle (ANSI aborts double x/0)
         F.expr(
-            f"round({_MOM_EXPR['m3']} / pow({_MOM_EXPR['m2']}, 1.5), 6)"
+            f"CASE WHEN {_MOM_EXPR['m2']} <= 0.0 THEN NULL"
+            f" ELSE round({_MOM_EXPR['m3']} / pow({_MOM_EXPR['m2']}, 1.5), 6)"
+            " END"
         ).alias("skewness"),
         F.expr(
-            f"round({_MOM_EXPR['m4']} / ({_MOM_EXPR['m2']} * {_MOM_EXPR['m2']})"
-            " - 3.0, 6)"
+            f"CASE WHEN {_MOM_EXPR['m2']} <= 0.0 THEN NULL"
+            f" ELSE round({_MOM_EXPR['m4']}"
+            f" / ({_MOM_EXPR['m2']} * {_MOM_EXPR['m2']}) - 3.0, 6) END"
         ).alias("excess_kurtosis"),
     )
 
@@ -1598,8 +1634,16 @@ def q_neyman_allocation_plan(spark, sf_dir):
         "lang",
         "nh",
         "w_micro",
-        F.expr(f"({_NEYMAN_BUDGET} * w_micro) div wt").alias("n_base"),
-        F.expr(f"({_NEYMAN_BUDGET} * w_micro) % wt").alias("rem"),
+        # wt = 0 (every stratum zero-variance) -> NULL shares, matching
+        # DuckDB's NULL integer division (Spark ANSI would abort)
+        F.expr(
+            f"CASE WHEN wt = 0 THEN NULL"
+            f" ELSE ({_NEYMAN_BUDGET} * w_micro) div wt END"
+        ).alias("n_base"),
+        F.expr(
+            f"CASE WHEN wt = 0 THEN NULL"
+            f" ELSE ({_NEYMAN_BUDGET} * w_micro) % wt END"
+        ).alias("rem"),
     )
     short = base.agg(
         (F.lit(_NEYMAN_BUDGET) - F.sum("n_base")).alias("short")

@@ -355,14 +355,22 @@ ps AS (
   GROUP BY a.i, b.i
 ),
 cr AS (
+  -- zero-variance guard: constant/single-row dimensions make the
+  -- denominator 0; NULL corr in both engines (degenerate-lake rule)
   SELECT dim_i, dim_j,
-    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+    CASE WHEN CAST(n AS DOUBLE) * CAST(ma.sxx AS DOUBLE)
+              - CAST(ma.sx AS DOUBLE) * CAST(ma.sx AS DOUBLE) <= 0.0
+           OR CAST(n AS DOUBLE) * CAST(mb.sxx AS DOUBLE)
+              - CAST(mb.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) <= 0.0
+      THEN NULL
+      ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
            - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))
           / (sqrt(CAST(n AS DOUBLE) * CAST(ma.sxx AS DOUBLE)
                   - CAST(ma.sx AS DOUBLE) * CAST(ma.sx AS DOUBLE))
              * sqrt(CAST(n AS DOUBLE) * CAST(mb.sxx AS DOUBLE)
                     - CAST(mb.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE))),
-          6) AS corr
+          6)
+    END AS corr
   FROM ps
   JOIN mom ma ON ma.i = ps.dim_i
   JOIN mom mb ON mb.i = ps.dim_j
@@ -722,8 +730,13 @@ def q_source_lang_chi2(spark, sf_dir):
         .cast("long")
         .alias("dof")
     )
+    # empty-cell guard: DuckDB's list() over zero rows is NULL (so its
+    # fold is NULL) where Spark's aggregate seeds 0.0 — an empty table
+    # must report NULL chi2 in both (degenerate-lake rule)
     return folded.crossJoin(F.broadcast(dims)).select(
-        "n_cells", "dof", F.round("chi2", 6).alias("chi2")
+        "n_cells",
+        "dof",
+        F.when(F.col("n_cells") > 0, F.round("chi2", 6)).alias("chi2"),
     )
 
 

@@ -678,9 +678,12 @@ def q_data_quality_audit(spark, sf_dir):
         "rule",
         "n_checked",
         "n_violations",
-        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
-            "violation_rate"
-        ),
+        # empty-table guard: NULL rate on zero checked rows, matching the
+        # oracle's NULL division (ANSI would abort — degenerate-lake rule)
+        F.when(
+            F.col("n_checked") > 0,
+            F.round(F.col("n_violations") / F.col("n_checked"), 6),
+        ).alias("violation_rate"),
     )
 
 
@@ -794,11 +797,14 @@ cells AS (
 rows_ip AS (
   SELECT row_j, sum(n * n) AS ip FROM cells GROUP BY row_j
 )
+-- scalar-subquery form: on an empty stream rows_ip has ZERO rows and the
+-- old grouped cross join emitted zero rows where Spark's global agg emits
+-- one NULL row (degenerate-lake rule); identical values when non-empty
 SELECT e.exact_pairs,
-  CAST(min(r.ip) AS BIGINT) AS cms_est,
-  CAST(min(r.ip) - e.exact_pairs AS BIGINT) AS overestimate
-FROM rows_ip r CROSS JOIN exact e
-GROUP BY e.exact_pairs
+  CAST((SELECT min(ip) FROM rows_ip) AS BIGINT) AS cms_est,
+  CAST((SELECT min(ip) FROM rows_ip) - e.exact_pairs AS BIGINT)
+    AS overestimate
+FROM exact e
 """
 
 
@@ -893,10 +899,14 @@ def q_hll_overlap_estimate(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("hp"),
     )
+    # coalesce: an empty stream must report 0 users (sum over an empty
+    # frame is NULL; the oracle counts) — degenerate-lake rule
     exacts = flags.agg(
-        F.sum("hv").cast("long").alias("exact_view"),
-        F.sum("hp").cast("long").alias("exact_purchase"),
-        F.sum(F.col("hv") * F.col("hp")).cast("long").alias("exact_both"),
+        F.coalesce(F.sum("hv"), F.lit(0)).cast("long").alias("exact_view"),
+        F.coalesce(F.sum("hp"), F.lit(0)).cast("long").alias("exact_purchase"),
+        F.coalesce(F.sum(F.col("hv") * F.col("hp")), F.lit(0))
+        .cast("long")
+        .alias("exact_both"),
     )
     est = sk.select(
         F.hll_sketch_estimate("sk_v").alias("est_v"),
@@ -1114,8 +1124,10 @@ bvals AS (
 ),
 bounds AS (SELECT list(bv ORDER BY bv) AS bl FROM bvals),
 assigned AS (
-  SELECT CAST(len(list_filter(b.bl, rpb -> o.o_totalprice >= rpb)) AS INT)
-    AS bucket
+  -- coalesce: with an empty sample DuckDB's list() is NULL where Spark's
+  -- collect_list is [] — no boundaries means ONE bucket (0), not NULL
+  SELECT CAST(len(list_filter(coalesce(b.bl, []), rpb -> o.o_totalprice >= rpb))
+              AS INT) AS bucket
   FROM orders o CROSS JOIN bounds b
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders

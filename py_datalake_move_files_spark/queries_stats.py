@@ -656,6 +656,26 @@ def q_pca_top_component(spark, sf_dir):
         )
 
     m = [[cov(i, j) for j in range(d)] for i in range(d)]
+    trace = _fold(m[i][i] for i in range(d))
+    if trace == 0.0:
+        # single-row / constant corpus: the covariance is the zero matrix
+        # and the power iteration would divide by a zero norm — one NULL
+        # row per dimension, matching the oracle's NULL chain (the
+        # degenerate-lake rule; mirrors the n == 0 branch above)
+        rows = [(i, None, None, None) for i in range(d)]
+        raw = spark.createDataFrame(
+            rows, schema="dim int, loading double, lam double, lam_tr double"
+        )
+        return raw.select(
+            "dim",
+            F.round("loading", 6).alias("loading"),
+            F.round(F.col("lam") / F.lit(1_000_000_000_000.0), 6).alias(
+                "eigenvalue"
+            ),
+            F.expr("CAST(round(lam_tr * 1000000) AS BIGINT)").alias(
+                "explained_ppm"
+            ),
+        )
     v = [1.0 / math.sqrt(float(d))] * d
     for _ in range(_PCA_ITERS):
         w = [_fold(m[i][jj] * v[jj] for jj in range(d)) for i in range(d)]
@@ -663,7 +683,6 @@ def q_pca_top_component(spark, sf_dir):
         v = [x / nw for x in w]
     w = [_fold(m[i][jj] * v[jj] for jj in range(d)) for i in range(d)]
     lam = math.sqrt(_fold(x * x for x in w))
-    trace = _fold(m[i][i] for i in range(d))
 
     rows = [(i, v[i], lam, lam / trace) for i in range(d)]
     raw = spark.createDataFrame(

@@ -27,9 +27,11 @@ def basename(path: Column) -> Column:
 
 
 def parent_dir(path: Column) -> Column:
-    """Everything before the last ``/``; '' when no slash
-    (reference ``'/'.join(target.split('/')[:-1])``, app/main.py:168)."""
-    return F.when(
+    """Everything before the last ``/``; '' when no slash; NULL propagates
+    (reference ``'/'.join(target.split('/')[:-1])``, app/main.py:168 —
+    the old otherwise('') branch swallowed NULL paths because a NULL
+    when-condition falls through to otherwise; degenerate-lake rule)."""
+    return F.when(path.isNull(), F.lit(None).cast("string")).when(
         F.instr(path, "/") > 0,
         path.substr(F.lit(1), F.length(path) - F.length(basename(path)) - 1),
     ).otherwise(F.lit(""))

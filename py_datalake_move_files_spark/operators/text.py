@@ -256,7 +256,11 @@ def corpus_gate(
     into keep/drop with a first-failure reason column."""
     scored = repetition_stats(quality_score(df, text_col), text_col)
     reason = (
-        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        # NULL text first: every numeric gate condition is NULL on a NULL
+        # document and would fall through to otherwise('ok') — admitting
+        # exactly the rows with no content (degenerate-lake rule)
+        F.when(F.col(text_col).isNull(), F.lit("no_text"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
         .when(F.col("dup_word_frac") > max_dup_word_frac, F.lit("repetitive_words"))
         .when(F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("repetitive_bigram"))
         .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword"))

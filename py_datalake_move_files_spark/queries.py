@@ -133,7 +133,10 @@ _DD_FILENAME = "source || '/doc_' || doc_id::VARCHAR || '.json'"
 
 _ARCHIVE_ORACLE = f"""
 WITH manifest AS (SELECT {_DD_FILENAME} AS filename FROM documents),
-q AS (SELECT filename, 'lake/raw/' || filename AS source_path FROM manifest),
+-- WHERE mirrors the engine's P2 null-drop (qualify_manifest's na.drop —
+-- the reference drops manifest rows without a filename before probing)
+q AS (SELECT filename, 'lake/raw/' || filename AS source_path FROM manifest
+      WHERE filename IS NOT NULL),
 listing AS (
   SELECT 'lake/raw/' || {_DD_FILENAME} AS path FROM documents WHERE doc_id % 3 != 0
 )
@@ -187,7 +190,10 @@ WITH m AS (SELECT doc_id, source, {_DD_FILENAME} AS filename FROM documents)
 SELECT filename,
   'lake/raw/' || filename AS source_path,
   'lake/archive/' || filename AS target_path,
-  'doc_' || doc_id::VARCHAR || '.json' AS base_name,
+  -- NULL filenames propagate through every path op (the engine's
+  -- basename/parent_dir NULL-propagate; degenerate-lake rule)
+  CASE WHEN filename IS NULL THEN NULL
+       ELSE 'doc_' || doc_id::VARCHAR || '.json' END AS base_name,
   'lake/raw/' || source AS parent
 FROM m
 """,
@@ -531,7 +537,10 @@ def q_window_latest_order(spark, sf_dir):
     f"""
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
   round(CAST(sum(CAST(o_totalprice AS {_DEC})) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate NULLS FIRST, o_orderkey
+    -- NULLS FIRST pinned: Spark's ASC default is nulls-first, DuckDB's is
+    -- nulls-last — a NULL orderdate silently reorders the running sums
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spent
 FROM orders
 """,

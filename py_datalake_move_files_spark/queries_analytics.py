@@ -362,13 +362,19 @@ WITH fr AS (
   FROM events
 ),
 wt AS (
+  -- NULL values drop from the frame (Spark's collect_list skips NULLs;
+  -- DuckDB's list() keeps them) — the EWMA smooths over OBSERVED values
   SELECT event_id, user_id, value,
-    list_transform(vals, (x, i) -> x * power(0.5, CAST(len(vals) - i AS DOUBLE))) AS w
+    list_transform(list_filter(vals, lv -> lv IS NOT NULL),
+      (x, i) -> x * power(0.5, CAST(len(list_filter(vals, lw -> lw IS NOT NULL)) - i AS DOUBLE))) AS w
   FROM fr
 )
 SELECT event_id, user_id, value,
-  round(list_reduce(w, (a, x) -> a + x)
-        / (2.0 - power(0.5, CAST(len(w) - 1 AS DOUBLE))), 6) AS ewma
+  -- empty observed frame (an all-NULL stripe) -> NULL, never div-0
+  CASE WHEN len(w) = 0 THEN NULL
+    ELSE round(list_reduce(w, (a, x) -> a + x)
+        / (2.0 - power(0.5, CAST(len(w) - 1 AS DOUBLE))), 6)
+  END AS ewma
 FROM wt
 """
 
@@ -413,10 +419,15 @@ def q_ewma_user_values(spark, sf_dir):
         "event_id",
         "user_id",
         "value",
-        F.round(
-            F.expr("aggregate(__w, 0D, (ew_a, ew_x) -> ew_a + ew_x)")
-            / F.expr("2.0D - power(0.5D, CAST(size(__w) - 1 AS DOUBLE))"),
-            6,
+        # empty observed frame (all-NULL stripe) -> NULL, never an ANSI
+        # div-0 (collect_list already skips NULL values)
+        F.when(
+            F.expr("size(__w) > 0"),
+            F.round(
+                F.expr("aggregate(__w, 0D, (ew_a, ew_x) -> ew_a + ew_x)")
+                / F.expr("2.0D - power(0.5D, CAST(size(__w) - 1 AS DOUBLE))"),
+                6,
+            ),
         ).alias("ewma"),
     )
 
@@ -600,7 +611,11 @@ def q_pareto_quality_frontier(spark, sf_dir):
 def _mad_oracle() -> str:
     return """
 WITH cents AS (
+  -- NULL values are not measurements: excluded in both arms (they would
+  -- otherwise land on opposite ends of the engines' null ordering inside
+  -- the cumulative median window)
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL
 ),
 hist AS (
   SELECT event_type, c, count(*) AS n FROM cents GROUP BY event_type, c
@@ -674,7 +689,8 @@ def q_mad_outlier_events(spark, sf_dir):
     (measured: 17 exchanges vs 7); the deviation histogram is cut for the
     same reason (two consumers)."""
     ev = _t(spark, sf_dir, "events")
-    cents = ev.select(
+    # NULL values excluded in both arms (see oracle comment)
+    cents = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
@@ -1299,9 +1315,13 @@ def _leadtime_oracle() -> str:
     sel = ", ".join(pieces)
     return f"""
 WITH lt AS (
+  -- NULL lead times (undated order or shipment) carry no signal and
+  -- would land on opposite ends of the two engines' default null
+  -- ordering inside the cumulative window — excluded in BOTH arms
   SELECT o.o_orderpriority AS priority,
     CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS c
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
 ),
 hist AS (SELECT priority, c, count(*) AS n FROM lt GROUP BY priority, c),
 cum AS (
@@ -1328,9 +1348,16 @@ def q_lead_time_quartiles(spark, sf_dir):
     shuffle, co-keyed on the order key."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.col("o_orderpriority").alias("priority"),
-        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("c"),
+    lt = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        # NULL lead times excluded in both arms (see oracle comment)
+        .where(
+            F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("c"),
+        )
     )
     hist = lt.groupBy("priority", "c").agg(F.count(F.lit(1)).alias("n"))
     wcum = (

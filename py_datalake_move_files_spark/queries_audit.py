@@ -40,9 +40,10 @@ _TCLOSE_BUCKET = 1000.0
 
 _TCLOSE_ORACLE = f"""
 WITH rows_b AS (
+  -- NULL sensitive values carry no bucket and are excluded in both arms
   SELECT c_nationkey, c_mktsegment,
          CAST(floor(c_acctbal / {_TCLOSE_BUCKET}) AS BIGINT) AS b
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ),
 g AS (
   SELECT b, count(*) AS gn FROM rows_b GROUP BY b
@@ -122,7 +123,8 @@ def q_t_closeness_audit(spark, sf_dir):
     roll-up. At 100 TB everything after the two histogram aggregates is
     metadata-sized."""
     cust = _t(spark, sf_dir, "customer")
-    rows_b = cust.select(
+    # NULL sensitive values carry no bucket — excluded in both arms
+    rows_b = cust.where(F.col("c_acctbal").isNotNull()).select(
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / _TCLOSE_BUCKET).cast("long").alias("b"),
@@ -199,8 +201,11 @@ _MWU_B = "click"
 
 _MWU_ORACLE = f"""
 WITH ev AS (
+  -- NULL values are not rankable samples and would land on opposite ends
+  -- of the engines' default null ordering in the cumulative window
   SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
   FROM events WHERE event_type IN ('{_MWU_A}', '{_MWU_B}')
+    AND value IS NOT NULL
 ),
 h AS (
   SELECT v,
@@ -279,7 +284,10 @@ def q_mann_whitney_u_events(spark, sf_dir):
     """
     ev = (
         _t(spark, sf_dir, "events")
-        .where(F.col("event_type").isin(_MWU_A, _MWU_B))
+        .where(
+            F.col("event_type").isin(_MWU_A, _MWU_B)
+            & F.col("value").isNotNull()
+        )
         .select(
             "event_type",
             F.round(F.col("value") * 1_000_000).cast("long").alias("v"),

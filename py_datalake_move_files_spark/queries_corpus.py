@@ -68,7 +68,8 @@ WITH scored AS (
   FROM documents
 ), gated AS (
   SELECT doc_id,
-    CASE WHEN n_words < 10 THEN 'too_short'
+    CASE WHEN n_words IS NULL THEN 'no_text'
+         WHEN n_words < 10 THEN 'too_short'
          WHEN dup_word_frac > 0.6 THEN 'repetitive_words'
          WHEN top_bigram_frac > 0.18 THEN 'repetitive_bigram'
          ELSE 'ok' END AS gate_reason
@@ -1890,8 +1891,11 @@ def q_pmi_collocations(spark, sf_dir):
 
 _PCT_ORACLE = """
 WITH scored AS (
+  -- NULL texts have no score and are excluded in both arms (a NULL
+  -- histogram group sits on opposite ends of the engines' default null
+  -- ordering inside the cumulative window)
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 hist AS (
   SELECT n_tokens, count(*) AS n FROM scored GROUP BY n_tokens
@@ -1929,7 +1933,8 @@ def q_quality_percentile_ranks(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    scored = docs.select(
+    # NULL texts excluded in both arms (see oracle comment)
+    scored = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )

@@ -899,12 +899,15 @@ def _calib_oracle() -> str:
     from py_datalake_move_files_spark.queries import _QUALITY_ORACLE
 
     return f"""
-WITH q AS ({_QUALITY_ORACLE.strip()}),
+-- NULL texts have no quality score or digest and are excluded in both
+-- arms (a NULL quality bucket sits on opposite ends of the engines'
+-- default null ordering inside the decile window)
+WITH q AS (SELECT * FROM ({_QUALITY_ORACLE.strip()}) WHERE quality IS NOT NULL),
 fp AS (
   SELECT doc_id,
     CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END
       AS is_dup
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 hist AS (SELECT quality, count(*) AS hn FROM q GROUP BY quality),
 cum AS (
@@ -947,8 +950,11 @@ def q_quality_dup_calibration(spark, sf_dir):
     never text, on the exchange)."""
     from py_datalake_move_files_spark.operators.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
-    q = quality_score(docs).select("doc_id", "quality")
+    # NULL texts excluded in both arms (see oracle comment)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    q = quality_score(docs).select("doc_id", "quality").where(
+        F.col("quality").isNotNull()
+    )
     fp = docs.select(
         "doc_id",
         F.when(
@@ -1307,13 +1313,19 @@ CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
 """
 
 _RFM_ORACLE = f"""
-WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+WITH dated AS (
+  -- undated orders carry no recency signal and are excluded in both arms
+  -- (a NULL recency bucket sits on opposite ends of the engines' default
+  -- null ordering inside the quintile windows)
+  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
+),
+ref AS (SELECT max(o_orderdate) AS refd FROM dated),
 base AS (
   SELECT o_custkey,
     date_diff('day', max(o_orderdate), (SELECT refd FROM ref)) AS rec,
     CAST(count(*) AS BIGINT) AS frq,
     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
-  FROM orders GROUP BY o_custkey
+  FROM dated GROUP BY o_custkey
 ),
 b2 AS (SELECT *, mon_c // 10000 AS mon_bin FROM base),
 rh AS (SELECT rec AS v, count(*) AS hn FROM b2 GROUP BY rec),
@@ -1375,7 +1387,8 @@ def q_rfm_customer_segments(spark, sf_dir):
     it, and without the cut Catalyst re-derives the orders scan+aggregate
     per branch — 8 FileScans; with it, the orders table is read twice
     (reference date + the aggregate)."""
-    o = _t(spark, sf_dir, "orders")
+    # undated orders excluded in both arms (see oracle comment)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     ref = o.agg(F.max("o_orderdate").alias("refd"))
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
@@ -1641,9 +1654,15 @@ def q_ab_conversion_ztest(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _LTV_ORACLE = """
-WITH fo AS (
+WITH dated AS (
+  -- undated orders can neither seed a cohort nor land in an age cell;
+  -- excluded in both arms (a NULL age cell sits on opposite ends of the
+  -- engines' default null ordering inside the cumulative window)
+  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
+),
+fo AS (
   SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
-  FROM orders GROUP BY o_custkey
+  FROM dated GROUP BY o_custkey
 ),
 r AS (
   SELECT f.cohort,
@@ -1651,7 +1670,7 @@ r AS (
          AS BIGINT) AS age_months,
     o.o_custkey,
     CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+  FROM dated o JOIN fo f ON o.o_custkey = f.o_custkey
 ),
 cell AS (
   SELECT CAST(cohort AS DATE) AS cohort_month, age_months,
@@ -1681,7 +1700,8 @@ def q_cohort_ltv_matrix(spark, sf_dir):
     at ANY corpus size), and the cumulative window partitions BY COHORT
     over that bounded frame. Revenue folds as exact integer cents
     end-to-end."""
-    o = _t(spark, sf_dir, "orders")
+    # undated orders excluded in both arms (see oracle comment)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     fo = o.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
     )

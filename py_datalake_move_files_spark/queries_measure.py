@@ -309,8 +309,12 @@ _CRAMER_PAIRS = (
 )
 
 _CRAMER_ORACLE = (
-    "SELECT pair, n_rows, r_levels, c_levels, chi2_micro,"
-    " CASE WHEN n_rows = 0 OR least(r_levels, c_levels) <= 1 THEN NULL"
+    # coalesce mirrors the Spark arm: max/sum over an EMPTY contingency
+    # aggregate are NULL in DuckDB where the engine reports 0
+    "SELECT pair, coalesce(n_rows, 0) AS n_rows, r_levels, c_levels,"
+    " coalesce(chi2_micro, 0) AS chi2_micro,"
+    " CASE WHEN coalesce(n_rows, 0) = 0"
+    " OR least(r_levels, c_levels) <= 1 THEN NULL"
     " ELSE round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0"
     " / (CAST(n_rows AS DOUBLE) * (least(r_levels, c_levels) - 1))), 6)"
     " END AS cramers_v FROM ("

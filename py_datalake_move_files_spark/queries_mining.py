@@ -201,9 +201,12 @@ def q_simhash_dup_pairs(spark, sf_dir):
 
 _AUC_ORACLE = """
 WITH lab AS (
+  -- NULL values are not scoreable and are excluded in both arms (the
+  -- NULL histogram bucket sits on opposite ends of the engines' default
+  -- null ordering inside the cumulative window)
   SELECT CAST(round(value * 100) AS BIGINT) AS v_cents,
     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 hist AS (
   SELECT v_cents,
@@ -254,7 +257,8 @@ def q_value_purchase_auc(spark, sf_dir):
     cent histogram is domain-bounded so the window never buffers the
     corpus."""
     ev = _t(spark, sf_dir, "events")
-    lab = ev.select(
+    # NULL values excluded in both arms (see oracle comment)
+    lab = ev.where(F.col("value").isNotNull()).select(
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
             "pos"
@@ -2044,9 +2048,12 @@ def q_seasonal_adjusted_anomalies(spark, sf_dir):
 
 _LIFT_ORACLE = """
 WITH lab AS (
+  -- NULL values are not scoreable and are excluded in both arms (the
+  -- NULL histogram bucket sits on opposite ends of the engines' default
+  -- null ordering inside the cumulative window)
   SELECT CAST(round(value * 100) AS BIGINT) AS v_cents,
     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 hist AS (
   SELECT v_cents, CAST(count(*) AS BIGINT) AS hn,
@@ -2107,7 +2114,8 @@ def q_purchase_decile_lift(spark, sf_dir):
     top-down cumulative window. All integer ppm; NULL-guarded when no
     positives exist."""
     ev = _t(spark, sf_dir, "events")
-    lab = ev.select(
+    # NULL values excluded in both arms (see oracle comment)
+    lab = ev.where(F.col("value").isNotNull()).select(
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
             "pos"

@@ -253,9 +253,13 @@ def q_partition_compaction_plan(spark, sf_dir):
 
 _WATERFILL_ORACLE = """
 WITH g AS (
+  -- unattributed docs (NULL lang/source/text) form no budget pool and
+  -- are excluded in both arms (degenerate-lake rule)
   SELECT lang, source,
     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
-  FROM documents GROUP BY lang, source
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+  GROUP BY lang, source
 ),
 o AS (
   SELECT lang, source, cap,
@@ -301,10 +305,19 @@ def q_token_budget_waterfill(spark, sf_dir):
     |lang×source| pools — metadata-sized at any corpus scale; the corpus
     itself is touched by one map-side-combined token-count aggregate."""
     docs = _t(spark, sf_dir, "documents")
-    g = docs.groupBy("lang", "source").agg(
-        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
-        .cast("long")
-        .alias("cap")
+    # unattributed docs excluded in both arms (see oracle comment)
+    g = (
+        docs.where(
+            F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("text").isNotNull()
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+            .cast("long")
+            .alias("cap")
+        )
     )
     wo = Window.orderBy("cap", "lang", "source")
     wall = Window.partitionBy()

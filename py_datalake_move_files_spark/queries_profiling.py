@@ -380,8 +380,15 @@ def q_incremental_agg_merge(spark, sf_dir):
     base = partial_aggs(
         orders.where(F.col("o_orderdate") < cutoff), ["month"], ["price"]
     )
+    # undated rows satisfy NEITHER cutoff predicate (3VL) — route them
+    # into the delta batch so base ⊕ delta still covers every row and the
+    # NULL-month group survives the split (degenerate-lake rule)
     delta = partial_aggs(
-        orders.where(F.col("o_orderdate") >= cutoff), ["month"], ["price"]
+        orders.where(
+            (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+        ),
+        ["month"],
+        ["price"],
     )
     merged = merge_partials(base, delta, ["month"], ["price"])
     return merged.select(

@@ -961,7 +961,10 @@ SELECT event_id,
   list_aggregate(json_keys(props), 'min') AS first_key,
   CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
   CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
-  CASE WHEN len(json_keys(props)) > 0 THEN TRUE ELSE FALSE END AS has_keys
+  -- NULL props propagate NULL (Spark's NULL > 0 is NULL; the old ELSE
+  -- FALSE branch swallowed it — degenerate-lake rule)
+  CASE WHEN props IS NULL THEN NULL
+       WHEN len(json_keys(props)) > 0 THEN TRUE ELSE FALSE END AS has_keys
 FROM events
 """,
 )

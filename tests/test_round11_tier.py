@@ -188,3 +188,211 @@ def test_drift_report_nondegenerate_unchanged(spark):
         assert r.rows_a > 0 and r.rows_b > 0
         assert r.distinct_ratio_ppm is not None
         assert r.null_drift_ppm is not None
+
+
+# --------------------------------------------------------------------------
+# round-11 measurement tier: independent Python recomputations
+# --------------------------------------------------------------------------
+
+
+def _docs(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    return load_table(spark, SF_SMALL, "documents").collect()
+
+
+def test_vocab_coverage_matches_python(spark):
+    from collections import Counter
+
+    cnt = Counter(
+        t for r in _docs(spark) for t in r.text.split(" ") if t != ""
+    )
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    got = {r.k: r for r in QUERIES["vocab_coverage_curve"](spark, SF_SMALL).collect()}
+    assert set(got) == {100, 1000, 10000}
+    for k, row in got.items():
+        covered = sum(c for _, c in ranked[:k])
+        assert row.vocab_size == len(cnt)
+        assert row.covered_tokens == covered
+        assert row.coverage_ppm == covered * 1_000_000 // total
+
+
+def test_fleiss_kappa_matches_python(spark):
+    import math
+
+    stop = set(
+        __import__(
+            "py_datalake_move_files_spark.operators.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS
+    )
+    cs = []
+    for r in _docs(spark):
+        toks = r.text.split(" ")
+        c = (
+            (len(toks) >= 40)
+            + (sum(1 for t in toks if t in stop) * 5 >= len(toks))
+            + (
+                sum(1 for ch in r.text if not (ch.isalnum() or ch == " "))
+                * 10
+                <= len(r.text)
+            )
+        )
+        cs.append(c)
+    n = len(cs)
+    s1 = sum(cs)
+    s2 = sum(c * c + (3 - c) * (3 - c) for c in cs)
+    pbar = (s2 - 3 * n) / (6 * n)
+    pe = (s1 * s1 + (3 * n - s1) ** 2) / (9 * n * n)
+    want = (pbar - pe) / (1 - pe)
+    row = QUERIES["fleiss_kappa_raters"](spark, SF_SMALL).collect()[0]
+    assert row.n_docs == n and row.votes_pos == s1
+    assert math.isclose(row.fleiss_kappa, round(want, 6), abs_tol=2e-6)
+
+
+def test_runs_test_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from py_datalake_move_files_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += round(r.value * 1_000_000)
+    days = sorted(daily)
+    signs = []
+    for a, b in zip(days, days[1:]):
+        dx = daily[b] - daily[a]
+        if dx != 0:
+            signs.append(1 if dx > 0 else -1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n_up = signs.count(1)
+    n_dn = signs.count(-1)
+    n = len(signs)
+    mu = 1.0 + 2.0 * n_up * n_dn / n
+    var = (
+        (2.0 * n_up * n_dn)
+        * (2.0 * n_up * n_dn - n)
+        / (float(n) * n * (n - 1.0))
+    )
+    row = QUERIES["runs_test_daily_events"](spark, SF_SMALL).collect()[0]
+    assert (row.n_up, row.n_dn, row.runs) == (n_up, n_dn, runs)
+    assert math.isclose(
+        row.z_stat, round((runs - mu) / math.sqrt(var), 6), abs_tol=2e-6
+    )
+
+
+def test_page_hinkley_matches_python(spark):
+    from collections import defaultdict
+
+    from py_datalake_move_files_spark.catalog import load_table
+    from py_datalake_move_files_spark.queries_measure import (
+        _PH_DELTA_MICRO,
+        _PH_LAMBDA_MICRO,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").collect()
+    s = defaultdict(int)
+    nn = defaultdict(int)
+    for r in ev:
+        d = r.ts.date()
+        s[d] += round(r.value * 1_000_000)
+        nn[d] += 1
+    days = sorted(s)
+    xs = [s[d] // nn[d] for d in days]
+    got = QUERIES["page_hinkley_daily_events"](spark, SF_SMALL).collect()
+    assert [r.day for r in got] == days
+    cum = 0
+    uu = 0
+    umin = 0
+    for i, (d, row) in enumerate(zip(days, got)):
+        cum += xs[i]
+        mu = cum // (i + 1)
+        uu += xs[i] - mu - _PH_DELTA_MICRO
+        umin = min(umin, uu)
+        ph = uu - umin
+        assert row.day_mean_micro == xs[i]
+        assert row.ph_micro == ph
+        assert row.alarm == (ph > _PH_LAMBDA_MICRO)
+
+
+def test_isotropy_matches_bruteforce_pairs(spark):
+    import math
+
+    from py_datalake_move_files_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    us = []
+    for r in emb:
+        nrm2 = 0.0
+        for v in r.embedding:
+            nrm2 = nrm2 + float(v) * float(v)
+        if nrm2 > 0:
+            nrm = math.sqrt(nrm2)
+            us.append(
+                [round(float(v) / nrm * 1_000_000) for v in r.embedding]
+            )
+    n = len(us)
+    # Gram identity recomputed directly (the exact integers the query sums)
+    dim = len(us[0])
+    sd = [sum(u[i] for u in us) for i in range(dim)]
+    ss = sum(x * x for x in sd)
+    sq = sum(x * x for u in us for x in u)
+    want = round((ss - sq) / (n * (n - 1.0)) / 1e12, 6)
+    row = QUERIES["embedding_isotropy_stats"](spark, SF_SMALL).collect()[0]
+    assert row.n_vecs == n and row.dim == dim
+    assert row.mean_pairwise_cos == want
+    # and the identity really equals the O(N^2) mean pairwise cosine
+    brute = sum(
+        sum(a * b for a, b in zip(u, w))
+        for i, u in enumerate(us)
+        for j, w in enumerate(us)
+        if i != j
+    )
+    assert ss - sq == brute
+
+
+def test_brier_bins_match_python(spark):
+    from py_datalake_move_files_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    rows = []
+    for r in orders:
+        p = min(max(0.5 + (r.o_totalprice - 150000.0) / 600000.0, 0.0), 1.0)
+        pm = round(p * 1_000_000)
+        y = 1 if r.o_orderstatus == "F" else 0
+        rows.append((min(pm // 100_000, 9), pm, y))
+    total_sq = sum((pm - y * 1_000_000) ** 2 for _, pm, y in rows)
+    brier = total_sq // (len(rows) * 1_000_000)
+    got = QUERIES["brier_calibration_bins"](spark, SF_SMALL).collect()
+    bins = {}
+    for b, pm, y in rows:
+        n, sp, sy = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, sp + pm, sy + y)
+    assert {r.bin for r in got} == set(bins)
+    for r in got:
+        n, sp, sy = bins[r.bin]
+        assert r.n_orders == n
+        assert r.mean_pred_ppm == sp // n
+        assert r.event_rate_ppm == sy * 1_000_000 // n
+        assert r.brier_ppm == brier
+
+
+def test_grubbs_matches_python(spark):
+    import math
+
+    from py_datalake_move_files_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").collect()
+    pc = {r.o_orderkey: round(r.o_totalprice * 100) for r in orders}
+    n = len(pc)
+    sp = sum(pc.values())
+    spp = sum(v * v for v in pc.values())
+    key = min(pc, key=lambda k: (-abs(pc[k] * n - sp), k))
+    var = (spp - sp * sp / n) / (n - 1.0)
+    want_g = round((abs(pc[key] * n - sp) / n) / math.sqrt(var), 6)
+    row = QUERIES["grubbs_outlier_prices"](spark, SF_SMALL).collect()[0]
+    assert row.n_orders == n
+    assert row.outlier_orderkey == key
+    assert math.isclose(row.g_stat, want_g, abs_tol=2e-6)

@@ -23,10 +23,16 @@ real scale dims grow far slower than facts, and the broadcast-ability
 the plans rely on is exactly what the smoke must preserve.
 
 Run from the repo root:  python tools/make_stress_sf1.py
+(sf10 = the same recipe applied to the sf1 output:
+    python tools/make_stress_sf1.py --src .stress/sf1 --out .stress/sf10
+the anti-clone devices compose — replica-keyed token rewrites and key
+offsets stay collision-free because every second-level replica reuses a
+fresh max-key offset computed from its source.)
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -38,7 +44,7 @@ OUT = ROOT / ".stress" / "sf1"
 REPS = 10
 
 
-def main() -> None:
+def main(src: str = SRC, out_dir: Path = OUT, reps: int = REPS) -> None:
     from pyspark.sql import functions as F
 
     from py_datalake_move_files_spark.catalog import TABLES, load_table
@@ -47,7 +53,7 @@ def main() -> None:
     spark = get_spark("make-stress-sf1")
     spark.sparkContext.setLogLevel("ERROR")
 
-    t = {name: load_table(spark, SRC, name) for name in TABLES}
+    t = {name: load_table(spark, src, name) for name in TABLES}
     off = {
         "cust": t["customer"].agg(F.max("c_custkey")).first()[0] + 1,
         "order": t["orders"].agg(F.max("o_orderkey")).first()[0] + 1,
@@ -57,7 +63,7 @@ def main() -> None:
         "vec": t["embeddings"].agg(F.max("vec_id")).first()[0] + 1,
     }
 
-    reps = spark.range(REPS).withColumnRenamed("id", "__r")
+    reps = spark.range(reps).withColumnRenamed("id", "__r")
 
     def fan(df):
         # replicate map-side: one broadcast-nested-loop over 10 literal
@@ -140,13 +146,18 @@ def main() -> None:
     for dim in ("region", "nation", "part", "supplier"):
         out[dim] = t[dim]
 
-    OUT.mkdir(parents=True, exist_ok=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
     for name, df in out.items():
-        path = str(OUT / f"{name}.parquet")
+        path = str(out_dir / f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}")
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--out", default=str(OUT))
+    ap.add_argument("--reps", type=int, default=REPS)
+    a = ap.parse_args()
+    main(a.src, Path(a.out), a.reps)

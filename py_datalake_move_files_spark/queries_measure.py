@@ -283,8 +283,11 @@ def _cramers_pair_dd(pair: str, table: str, x: str, y: str) -> str:
     return f"""
   SELECT '{pair}' AS pair, chi2_micro, r_levels, c_levels, n_rows FROM (
     WITH o AS (
+      -- NULL categories are unattributed rows, not a level: excluded in
+      -- both arms (Spark's countDistinct ignores NULL where the level
+      -- subqueries here would count the NULL cell row)
       SELECT {x} AS x, {y} AS y, CAST(count(*) AS BIGINT) AS o
-      FROM {table} GROUP BY 1, 2
+      FROM {table} WHERE {x} IS NOT NULL AND {y} IS NOT NULL GROUP BY 1, 2
     ),
     rt AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY x),
     ct AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY y),
@@ -346,9 +349,12 @@ def q_cramers_v_categorical(spark, sf_dir):
     outs = []
     for pair, table, x, y in _CRAMER_PAIRS:
         t = _t(spark, sf_dir, table)
-        o = t.groupBy(
-            F.col(x).alias("x"), F.col(y).alias("y")
-        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # NULL categories excluded in both arms (see oracle comment)
+        o = (
+            t.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+            .groupBy(F.col(x).alias("x"), F.col(y).alias("y"))
+            .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        )
         o = o.localCheckpoint(eager=True)
         rt = o.groupBy("x").agg(F.sum("o").cast("long").alias("rt"))
         ct = o.groupBy("y").agg(F.sum("o").cast("long").alias("ct"))
@@ -417,9 +423,12 @@ _SP_RULE_PUNCT = (
 
 _MCNEMAR_ORACLE = f"""
 WITH r AS (
+  -- NULL texts are unratable: excluded in both arms (a NULL rule
+  -- condition falls to the 0 branch in SQL CASE but to no branch in
+  -- Spark's conditional counts)
   SELECT CASE WHEN {_DD_RULE_LEN} THEN 1 ELSE 0 END AS r1,
          CASE WHEN {_DD_RULE_STOP} THEN 1 ELSE 0 END AS r2
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 c AS (
   SELECT
@@ -455,7 +464,8 @@ def q_mcnemar_quality_rules(spark, sf_dir):
 
     100 TB shape: one conditional-count aggregate over one scan — the
     rules evaluate inline, no joins, 4-counter combine."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL texts excluded in both arms (see oracle comment)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     r1 = F.expr(_SP_RULE_LEN)
     r2 = F.expr(_SP_RULE_STOP)
     c = docs.agg(
@@ -484,10 +494,11 @@ def q_mcnemar_quality_rules(spark, sf_dir):
 
 _FLEISS_ORACLE = f"""
 WITH v AS (
+  -- NULL texts are unratable (the McNemar rule)
   SELECT (CASE WHEN {_DD_RULE_LEN} THEN 1 ELSE 0 END)
        + (CASE WHEN {_DD_RULE_STOP} THEN 1 ELSE 0 END)
        + (CASE WHEN {_DD_RULE_PUNCT} THEN 1 ELSE 0 END) AS c
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -531,7 +542,8 @@ def q_fleiss_kappa_raters(spark, sf_dir):
 
     100 TB shape: one conditional-sum aggregate over one scan; the vote
     count c evaluates inline — no joins, 3-counter combine."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL texts excluded in both arms (the McNemar rule)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     c = (
         F.expr(f"CASE WHEN {_SP_RULE_LEN} THEN 1 ELSE 0 END")
         + F.expr(f"CASE WHEN {_SP_RULE_STOP} THEN 1 ELSE 0 END")
@@ -1457,9 +1469,11 @@ def q_wilcoxon_signed_rank_users(spark, sf_dir):
 
 _BF_ORACLE = """
 WITH v AS (
+  -- NULL values are not measurements (they would land on opposite ends
+  -- of the engines' default null ordering in the median window)
   SELECT event_type,
     CAST(round(value * 1000000) AS BIGINT) AS vm
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 h AS (
   SELECT event_type, vm, CAST(count(*) AS BIGINT) AS cnt
@@ -1535,7 +1549,8 @@ def q_brown_forsythe_events(spark, sf_dir):
     join of ≤|types| medians back onto the scan, one grouped + one 1-row
     aggregate."""
     ev = _t(spark, sf_dir, "events")
-    v = ev.select(
+    # NULL values excluded in both arms (see oracle comment)
+    v = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vm"),
     )

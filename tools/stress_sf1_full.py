@@ -36,11 +36,28 @@ def plan_counts(df) -> tuple[int, int, int, int]:
 
 
 def main() -> None:
+    import argparse
+
     from py_datalake_move_files_spark.catalog import TABLES, load_table
     from py_datalake_move_files_spark.queries import QUERIES
     from py_datalake_move_files_spark.session import get_spark
 
-    names = sorted(QUERIES)
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset (post-sweep registrations); the"
+        " sidecar then MERGES into the existing BENCH_sf1_full.json",
+    )
+    args = ap.parse_args()
+    names = (
+        [n for n in args.queries.split(",") if n]
+        if args.queries
+        else sorted(QUERIES)
+    )
+    unknown = set(names) - set(QUERIES)
+    if unknown:
+        ap.error(f"unknown queries: {sorted(unknown)}")
     spark = get_spark("stress-sf1-full")
     spark.sparkContext.setLogLevel("ERROR")
     for t in TABLES:
@@ -67,17 +84,30 @@ def main() -> None:
             print(f"[{i + 1}/{len(names)}] {name}: ERROR {errors[name][:120]}",
                   flush=True)
 
-    out = {
-        "metric": "registry_sf1_full_sweep",
-        "unit": "sec",
-        "sf": 1.0,
-        "queries_timed": len(rows),
-        "total": round(sum(rows.values()), 3),
-        "errors": errors,
-        "plan_flips": flips or "none",
-        "queries": rows,
-    }
-    (ROOT / "BENCH_sf1_full.json").write_text(json.dumps(out, indent=2) + "\n")
+    side = ROOT / "BENCH_sf1_full.json"
+    if args.queries and side.exists():
+        # subset run: merge the new timings into the full-sweep sidecar so
+        # every registered query keeps exactly one sf1 row
+        out = json.loads(side.read_text())
+        out["queries"].update(rows)
+        out["queries_timed"] = len(out["queries"])
+        out["total"] = round(sum(out["queries"].values()), 3)
+        prior = out.get("plan_flips")
+        prior = [] if prior in ("none", None) else list(prior)
+        out["plan_flips"] = (prior + flips) or "none"
+        out.setdefault("errors", {}).update(errors)
+    else:
+        out = {
+            "metric": "registry_sf1_full_sweep",
+            "unit": "sec",
+            "sf": 1.0,
+            "queries_timed": len(rows),
+            "total": round(sum(rows.values()), 3),
+            "errors": errors,
+            "plan_flips": flips or "none",
+            "queries": rows,
+        }
+    side.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps({k: out[k] for k in
                       ("queries_timed", "total", "plan_flips")},
                      default=str))

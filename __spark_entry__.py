@@ -21,90 +21,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-11 window:
+#: The driver hash-checks the FIRST 50 registered queries. Round-12 window:
 #: the ledger (CORRECTNESS_CUMULATIVE.json, regenerated at round start by
-#: tools/make_cumulative.py — the single source of truth) holds 284
-#: cumulatively driver-green queries after folding round 10's 50/50 green
+#: tools/make_cumulative.py — the single source of truth) holds 299
+#: cumulatively driver-green queries after folding round 11's 50/50 green
 #: artifact. The only registered queries without a driver row are the 15
-#: round-10 additions that were queued last round (the governance/
-#: measurement tier + the two sanctioned scale variants); ALL 15 fill this
-#: window (listed first), alongside 35 cumulative-green anchors chosen by
-#: STALENESS — the 35 ledger queries least recently re-verified by a
-#: driver round (all last green in rounds 2-4), so rotation is now a
-#: deterministic least-recently-verified policy instead of a hand-picked
-#: set, while still spanning every §2 family (ANN/LSH, dedup/fingerprint,
-#: windows, TPC-H joins/aggs, streaming batch-twins, multimodal, graph).
-#: A green round 11 means 299/299 registered-through-r10 queries own a
-#: driver-green row. Queries ADDED in round 11 land in
-#: QUEUED_FOR_NEXT_WINDOW and rotate in next round; until then they are
-#: covered by the local DuckDB parity mirror (tests/test_oracle_parity.py
-#: runs EVERY registered query at BOTH sf0.001 and sf0.01).
-#: tests/test_rotation_accounting.py asserts the three lists exactly tile
-#: the registry, so a query can never silently drop out of the accounting.
+#: round-11 additions that were queued last round (the measurement tier in
+#: queries_measure.py); ALL 15 fill this window (listed first), alongside
+#: 35 cumulative-green anchors chosen by STALENESS — the 35 ledger queries
+#: least recently re-verified by a driver round (all last green in rounds
+#: 4-5), so rotation stays a deterministic least-recently-verified policy.
+#: The anchor set happens to include `lsh_quality_eval` and
+#: `table_profile_orders` — both touched by this round's scale work — so
+#: their updated oracles get a fresh driver row immediately. A green round
+#: 12 means 314/314 registered-through-r11 queries own a driver-green row.
+#: Queries ADDED in round 12 land in QUEUED_FOR_NEXT_WINDOW and rotate in
+#: next round; until then they are covered by the local DuckDB parity
+#: mirror (tests/test_oracle_parity.py runs EVERY registered query at BOTH
+#: sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts the
+#: three lists exactly tile the registry, so a query can never silently
+#: drop out of the accounting.
 CURATED_FIRST = [
-    # round-10 additions, never driver-checked (queued last round) — all 15
-    "doc_novelty_scores_sampled",
-    "table_profile_orders_approx_only",
-    "t_closeness_audit",
-    "mann_whitney_u_events",
-    "bpe_merge_candidates",
-    "mattr_lexical_diversity",
-    "chernoff_sample_size_plan",
-    "decision_stump_quality",
-    "token_log_odds_langs",
-    "dataset_card_summary",
-    "spearman_chars_tokens",
-    "kendall_tau_rankers",
-    "mixture_temperature_sweep",
-    "ab_power_sample_size",
-    "hapax_legomena_rate",
-    # anchors — the 35 least-recently-driver-verified ledger queries
-    # (last green r2-r4), re-verified breadth-first by staleness
-    "ann_lsh_multitable",
-    "doc_fingerprint",
-    "orders_by_month",
-    "union_all_activity",
-    "window_rank_parts",
-    "ann_lsh_bucketed",
-    "approx_distinct_users",
-    "explode_token_topk",
-    "hourly_event_stats",
-    "pii_redaction",
-    "q4_priority_exists",
-    "repetition_stats",
-    "topk_per_group_parts",
-    "cohort_retention",
-    "corpus_gate_counts",
-    "date_gap_fill",
-    "event_dedup_tumbling",
-    "funnel_conversion",
-    "heavy_hitter_tokens",
-    "incremental_agg_merge",
-    "ivf_list_sizes",
-    "lateral_topk_orders",
-    "multimodal_audio_features",
-    "pagerank_nation_flow",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_latency_priority_counts",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_price_supplier",
-]
-
-#: Queries registered DURING round 11 (after this window was fixed). They
-#: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-11 window. tests/test_rotation_accounting.py enforces
-#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
-#: the registry, and that every queued name actually runs at sf0.001
-#: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = [
-    # r11 model-eval & measurement tier 2 (queries_measure.py)
+    # round-11 additions, never driver-checked (queued last round) — all 15
     "compression_ratio_stats",
     "vocab_coverage_curve",
     "odds_ratio_priority_ci",
@@ -120,7 +58,52 @@ QUEUED_FOR_NEXT_WINDOW: list[str] = [
     "brier_calibration_bins",
     "wilcoxon_signed_rank_users",
     "brown_forsythe_events",
+    # anchors — the 35 least-recently-driver-verified ledger queries
+    # (last green r4-r5), re-verified breadth-first by staleness
+    "q6_revenue_filter",
+    "q7_bilateral_volume",
+    "recursive_cte_tree_depth",
+    "regr_trend_by_nation",
+    "sequence_packing_stats",
+    "snapshot_diff_counts",
+    "source_mixture_counts",
+    "table_profile_orders",
+    "tfidf_top_terms",
+    "value_histogram",
+    "winsorized_value_stats",
+    "zorder_locality",
+    "ann_recall_ivf",
+    "ann_recall_ivf_refined",
+    "ann_recall_ivfpq",
+    "ann_recall_pq",
+    "boilerplate_char_windows",
+    "cdc_upsert_apply",
+    "char_entropy_stats",
+    "cluster_canonical_docs",
+    "data_quality_audit",
+    "dataset_split_counts",
+    "decontamination_overlap",
+    "deterministic_group_sample",
+    "document_chunks",
+    "embedding_quantization",
+    "ewma_user_values",
+    "hard_negative_mining",
+    "incremental_dedup_batch",
+    "key_skew_profile",
+    "kmeans_cluster_profile",
+    "lang_temperature_resample",
+    "length_bucket_padding",
+    "lsh_quality_eval",
+    "pq_code_histogram",
 ]
+
+#: Queries registered DURING round 12 (after this window was fixed). They
+#: are covered by the local two-scale DuckDB parity mirror now and rotate
+#: into the round-13 window. tests/test_rotation_accounting.py enforces
+#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
+#: the registry, and that every queued name actually runs at sf0.001
+#: (the r6 snapshot-commit gate).
+QUEUED_FOR_NEXT_WINDOW: list[str] = []
 
 
 def _cumulative_green() -> set[str]:

@@ -289,16 +289,16 @@ def lsh_candidate_pairs(
         ).alias("band_key"),
     )
     if max_bucket is not None:
-        # window count over the SAME key the self-join shuffles on —
-        # co-partitioned, no extra exchange pattern
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band_key")
-        banded = (
-            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        # the house cap device (similarity._cap_bucket_size): window count
+        # over the SAME key the self-join shuffles on — co-partitioned, no
+        # extra exchange pattern — with the always-on CollectMetrics node
+        # (rows_dropped / buckets_capped / max_bucket_n) so the drop is
+        # never silent (VERDICT r8 #3 discipline)
+        from py_datalake_move_files_spark.operators.similarity import (
+            _cap_bucket_size,
         )
+
+        banded = _cap_bucket_size(banded, ["band_key"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -322,8 +322,24 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     strategy: str = "inverted",
     materialize_shingles: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    ``max_df`` (inverted strategy only) is the scale guard for the posting
+    self-join: shingles whose document frequency exceeds the cap are
+    EXCLUDED from candidate discovery (the standard stop-shingle drop —
+    a shingle shared by thousands of documents carries ~no per-pair
+    Jaccard signal but costs df² join work), bounding the discovery join
+    at Σ min(df, max_df)² instead of Σ df², which goes quadratic in corpus
+    size on template-heavy corpora (measured: sf10/sf1 posting-pair mass
+    41.7× uncapped vs 3.6× at max_df=128 on the stress lakes). Discovered
+    pairs are then verified EXACTLY over their FULL shingle sets (the
+    candidates path below), so emitted Jaccard values are unchanged — the
+    cap only loses pairs whose every shared shingle is hotter than the
+    cap, i.e. pairs living entirely inside a >max_df near-dup family,
+    which exact dedup upstream collapses first. The drop is observable
+    (similarity._cap_bucket_size attaches its CollectMetrics node).
 
     ``materialize_shingles`` (default): the shingle frame is consumed 2-3
     times below (both join sides / postings + sizes); localCheckpoint
@@ -362,7 +378,9 @@ def jaccard_pairs(
     if materialize_shingles:
         sh = sh.localCheckpoint(eager=True)
 
-    if candidates is not None:
+    def _verify(cand: DataFrame) -> DataFrame:
+        """Exact scoring of candidate pairs over the FULL shingle sets —
+        reuses the (checkpointed) shingle frame, never re-shingles."""
         a = sh.select(
             F.col("doc").alias("id_a"), F.col("shingle_set").alias("set_a")
         )
@@ -371,7 +389,7 @@ def jaccard_pairs(
         )
         inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
         return (
-            candidates.join(a, "id_a")
+            cand.join(a, "id_a")
             .join(b, "id_b")
             .withColumn(
                 "jaccard",
@@ -382,6 +400,9 @@ def jaccard_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+
+    if candidates is not None:
+        return _verify(candidates)
 
     from pyspark.sql import Window
 
@@ -418,9 +439,7 @@ def jaccard_pairs(
             .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
             .distinct()
         )
-        return jaccard_pairs(
-            df, id_col, text_col, k=k, threshold=threshold, candidates=cand
-        )
+        return _verify(cand)
 
     # per-doc sizes side: broadcast only while provably small (a checkpointed
     # sh makes the count metadata-cheap; unmaterialized → unknown → plain join)
@@ -436,6 +455,26 @@ def jaccard_pairs(
         .where(F.col("__df") > 1)
         .drop("__df")
     )
+    if max_df is not None:
+        # capped DISCOVERY + exact verify: hot postings are dropped from
+        # the self-join (observably — _cap_bucket_size's metrics node;
+        # the window shares the existing df window's shingle exchange),
+        # then the surviving distinct pairs are scored over their FULL
+        # shingle sets, so Jaccard values are exact — only pairs whose
+        # every shared shingle is hotter than max_df are missed.
+        from py_datalake_move_files_spark.operators.similarity import (
+            _cap_bucket_size,
+        )
+
+        capped = _cap_bucket_size(inv, ["shingle"], max_df)
+        cand = (
+            capped.alias("a")
+            .join(capped.alias("b"), "shingle")
+            .where(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
+        )
+        return _verify(cand)
     pair_inter = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")

@@ -71,6 +71,25 @@ BANDS = 4
 JACCARD_T = 0.5
 NEAR_DUP_T = 0.30
 
+#: Scale caps for the quadratic pair-generation stages (VERDICT r11 #1;
+#: mirrored in every oracle that nests the capped fragments, exactly as
+#: semantic_dedup_summary's cap is). Values chosen from measured bucket
+#: distributions on the harness + stress lakes so the guards are inert at
+#: the parity scales and bind where the quadratic blows up:
+#:
+#: - DF_CAP: shingle document-frequency cap for exact-Jaccard candidate
+#:   DISCOVERY (the stop-shingle drop; discovered pairs still verify over
+#:   FULL shingle sets, so emitted Jaccard values are exact). Max observed
+#:   df: 7 (sf0.01), 25 (sf0.1), 151 (stress sf1), 929 (stress sf10);
+#:   posting-pair mass Σdf² grows 41.7× for 10× data uncapped vs 3.6× at
+#:   128 — the sf10 scale-killer the round-11 sweep measured.
+#: - LSH_BUCKET_CAP: MinHash band-bucket cap (lsh_candidate_pairs
+#:   max_bucket). Max observed bucket: 3 (sf0.01), 10 (sf0.1), 63 (sf1),
+#:   382 (sf10) — inert through sf1, trims only degenerate sf10+ buckets
+#:   (byte-identical families belong to exact dedup upstream).
+DF_CAP = 128
+LSH_BUCKET_CAP = 64
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -935,6 +954,37 @@ def q_dedup_exact(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+def dd_jaccard_pairs_ctes(threshold: float) -> tuple[str, str]:
+    """(CTE list, final select) of the capped exact-Jaccard pair oracle —
+    the DuckDB mirror of ``operators/dedup.jaccard_pairs(max_df=DF_CAP)``:
+    shingles with document frequency above DF_CAP are excluded from
+    candidate DISCOVERY (the stop-shingle drop), surviving distinct pairs
+    are then scored EXACTLY over the full shingle sets, so the emitted
+    jaccard values are identical to the uncapped query wherever the cap
+    is inert (every parity scale). CTE names are ``j``-prefixed so the
+    fragment composes with _minhash_ctes in one WITH clause."""
+    li = "len(list_intersect(da.ss, db.ss))"
+    ctes = f"""jd AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
+jsh AS (SELECT doc_id, unnest(ss) AS shingle FROM jd),
+jshc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM jsh
+  ) WHERE df <= {DF_CAP}
+),
+jcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM jshc a JOIN jshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)"""
+    final = f"""SELECT jcand.id_a, jcand.id_b,
+  round({li} / (len(da.ss) + len(db.ss) - {li}), 6) AS jaccard
+FROM jcand
+JOIN jd da ON da.doc_id = jcand.id_a
+JOIN jd db ON db.doc_id = jcand.id_b
+WHERE round({li} / (len(da.ss) + len(db.ss) - {li}), 6) >= {threshold}"""
+    return ctes, final
+
+
 def _minhash_ctes() -> tuple[str, str]:
     """(CTE list, final pair-select) of the minhash-LSH oracle — shared by
     the pair query and the recursive connected-components oracle."""
@@ -963,9 +1013,15 @@ def _minhash_ctes() -> tuple[str, str]:
 sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
 sig AS (SELECT doc_id, {sig_cols} FROM d),
 bands AS ({band_selects}),
+bandsc AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key, count(*) OVER (PARTITION BY band_key) AS bn
+    FROM bands
+  ) WHERE bn <= {LSH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r USING (band_key) WHERE l.doc_id < r.doc_id
+  FROM bandsc l JOIN bandsc r USING (band_key) WHERE l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -990,36 +1046,34 @@ def _minhash_oracle() -> str:
 @register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified: shingle → minhash
-    signature → band buckets → candidate pairs → verify ≥ threshold."""
+    signature → band buckets (capped at LSH_BUCKET_CAP — the degenerate-
+    corpus guard, inert through stress sf1) → candidate pairs → verify ≥
+    threshold."""
     docs = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
-    cands = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS)
+    cands = D.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS,
+        max_bucket=LSH_BUCKET_CAP,
+    )
     return D.jaccard_pairs(docs, "doc_id", threshold=JACCARD_T, candidates=cands)
 
 
 def _jaccard_oracle() -> str:
-    return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle FROM documents
-),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {JACCARD_T}
-"""
+    ctes, final = dd_jaccard_pairs_ctes(JACCARD_T)
+    return f"WITH {ctes}\n{final}"
 
 
 @register("dedup_ngram_jaccard", _jaccard_oracle())
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs via shingle inverted index (no all-pairs)."""
-    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", threshold=JACCARD_T)
+    """Exact n-gram Jaccard pairs via the shingle inverted index — never
+    all-pairs, and since r12 never quadratic either: discovery drops
+    postings hotter than DF_CAP (inert at every parity scale), pairs then
+    verify exactly over full shingle sets (operators/dedup.jaccard_pairs
+    ``max_df`` docstring has the measured Σdf² numbers)."""
+    return D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=JACCARD_T,
+        max_df=DF_CAP,
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -1791,7 +1845,8 @@ def dedup_cluster_cc(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         sigs = D.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
         cands = D.lsh_candidate_pairs(
-            sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS
+            sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS,
+            max_bucket=LSH_BUCKET_CAP,
         )
         pairs = D.jaccard_pairs(
             docs, "doc_id", threshold=JACCARD_T, candidates=cands
@@ -1804,6 +1859,7 @@ def dedup_cluster_cc(spark, sf_dir):
         MINHASHES,
         BANDS,
         JACCARD_T,
+        LSH_BUCKET_CAP,
     )
     return shared_artifact(spark, key, build)
 

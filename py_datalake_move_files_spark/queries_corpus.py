@@ -20,7 +20,13 @@ from py_datalake_move_files_spark.functions.scaling import ensure_parallelism
 from py_datalake_move_files_spark.operators import dedup as DD
 from py_datalake_move_files_spark.operators import text as TXT
 from py_datalake_move_files_spark.queries import QUERIES as QUERIES_REF
-from py_datalake_move_files_spark.queries import _t, dd_shingles, register
+from py_datalake_move_files_spark.queries import (
+    DF_CAP,
+    LSH_BUCKET_CAP,
+    _t,
+    dd_shingles,
+    register,
+)
 
 # --- DuckDB twins of the repetition HOFs (1-based list indexing) ----------
 
@@ -1443,24 +1449,14 @@ def q_weighted_sample_docs(spark, sf_dir):
 
 _SOM_T = 0.5
 
-_SOM_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({dd_shingles('text')}) AS shingle FROM documents
-),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pr AS (
-  SELECT i.id_a, i.id_b,
-    round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.id_a
-  JOIN sizes sb ON sb.doc_id = i.id_b
-  WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {_SOM_T}
-),
+
+def _som_oracle() -> str:
+    from py_datalake_move_files_spark.queries import dd_jaccard_pairs_ctes
+
+    ctes, final = dd_jaccard_pairs_ctes(_SOM_T)
+    return f"""
+WITH {ctes},
+pr AS ({final}),
 src AS (SELECT doc_id, source FROM documents),
 m AS (
   SELECT least(s1.source, s2.source) AS source_a,
@@ -1477,11 +1473,13 @@ FROM m GROUP BY source_a, source_b
 """
 
 
-@register("source_overlap_matrix", _SOM_ORACLE)
+@register("source_overlap_matrix", _som_oracle())
 def q_source_overlap_matrix(spark, sf_dir):
     """Cross-source duplication matrix: verified near-dup pairs
-    (exact n-gram Jaccard ≥ {_SOM_T} over the inverted shingle index —
-    never all-pairs) attributed to their (source, source) cell. The
+    (exact n-gram Jaccard ≥ {_SOM_T} over the DF_CAP-capped inverted
+    shingle index — never all-pairs, never quadratic: hot postings are
+    excluded from discovery, survivors verify exactly over full shingle
+    sets) attributed to their (source, source) cell. The
     data-mixing diagnostic: heavy off-diagonal mass means two acquisition
     sources ship the same content and their mixture weights double-count
     it; heavy diagonal mass means a source self-duplicates.
@@ -1494,7 +1492,7 @@ def q_source_overlap_matrix(spark, sf_dir):
     (broadcast while it fits, shuffle beyond — one pass over the pair
     list either way)."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    pairs = DD.jaccard_pairs(docs, "doc_id", threshold=_SOM_T)
+    pairs = DD.jaccard_pairs(docs, "doc_id", threshold=_SOM_T, max_df=DF_CAP)
     src = docs.select("doc_id", "source")
     s1 = src.select(
         F.col("doc_id").alias("__id_a"), F.col("source").alias("__src_a")
@@ -2225,19 +2223,20 @@ _CURVE_PERMILLE = [300, 400, 500, 600, 700, 800, 900]
 
 
 def _lsh_curve_oracle() -> str:
-    from py_datalake_move_files_spark.queries import _minhash_ctes
+    from py_datalake_move_files_spark.queries import (
+        _minhash_ctes,
+        dd_jaccard_pairs_ctes,
+    )
 
     ctes, _ = _minhash_ctes()
+    jctes, jfinal = dd_jaccard_pairs_ctes(_CURVE_FLOOR)
     li = "len(list_intersect(da.ss, db.ss))"
     tms = ", ".join(str(t) for t in _CURVE_PERMILLE)
     return f"""
 WITH {ctes},
+{jctes},
 truth AS (
-  SELECT i.id_a, i.id_b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS j
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.id_a
-  JOIN sizes sb ON sb.doc_id = i.id_b
-  WHERE round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) >= {_CURVE_FLOOR}
+  SELECT id_a, id_b, jaccard AS j FROM ({jfinal})
 ),
 scored_cand AS (
   SELECT cand.id_a, cand.id_b,
@@ -2299,12 +2298,13 @@ def q_lsh_threshold_curve(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from py_datalake_move_files_spark.queries import BANDS, MINHASHES
 
-    truth = DD.jaccard_pairs(docs, "doc_id", threshold=_CURVE_FLOOR).select(
-        "id_a", "id_b", F.col("jaccard").alias("jt")
-    )
+    truth = DD.jaccard_pairs(
+        docs, "doc_id", threshold=_CURVE_FLOOR, max_df=DF_CAP
+    ).select("id_a", "id_b", F.col("jaccard").alias("jt"))
     sigs = DD.minhash_signatures(docs, "doc_id", num_hashes=MINHASHES)
     cands = DD.lsh_candidate_pairs(
-        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS
+        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS,
+        max_bucket=LSH_BUCKET_CAP,
     )
     scored = DD.jaccard_pairs(
         docs, "doc_id", threshold=0.0, candidates=cands

@@ -91,6 +91,18 @@ _SIMHASH_BITS = 32  # pairs tier: wider than the 16-bit fingerprint query
 _SIMHASH_BANDS = 4  # 8-bit bands; pigeonhole-complete for hamming <= bands-1
 _BAND_WIDTH = _SIMHASH_BITS // _SIMHASH_BANDS
 _HAMMING_MAX = 3
+#: Band-bucket cap (VERDICT r11 #1) — the scale guard for the band
+#: self-join. SimHash band values are MAJORITY SIGNS, so buckets are far
+#: more skewed than MinHash's: measured Σ bucket² was 5.6M at sf0.1,
+#: 394M at stress sf1, 28.0 BILLION at sf10 (max bucket 79,502 — the
+#: 21.9× sf10 wall the round-11 sweep caught). Capped at 256 the mass is
+#: 1.2M / 4.3M / 6.6M — sf10/sf1 ratio 1.5×. Inert at the parity scales
+#: (max bucket 128 at sf0.01). Pairs whose EVERY matching band sits in an
+#: over-cap bucket are missed (the pigeonhole completeness becomes
+#: "complete below the cap") — those live in giant template families that
+#: exact dedup collapses upstream; the drop is observable via the cap
+#: device's CollectMetrics node and mirrored exactly in the oracle.
+_SIMHASH_BUCKET_CAP = 256
 
 
 def _simhash_fp_cte() -> str:
@@ -127,10 +139,15 @@ bands AS (
   SELECT doc_id, simhash, u.bi AS bi,
     (simhash >> (u.bi * 8)) & 255 AS bv
   FROM fp, unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS u(bi)
+),
+bandsc AS (
+  SELECT doc_id, simhash, bi, bv FROM (
+    SELECT *, count(*) OVER (PARTITION BY bi, bv) AS bn FROM bands
+  ) WHERE bn <= {_SIMHASH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+FROM bandsc a JOIN bandsc b ON a.bi = b.bi AND a.bv = b.bv
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 """
@@ -142,8 +159,10 @@ def q_simhash_dup_pairs(spark, sf_dir):
     banding: 4 byte bands, candidate pairs share at least one band,
     exact Hamming verify (``bit_count`` of the XOR) keeps distance ≤ 3.
     Pigeonhole guarantee: 4 disjoint bands and ≤ 3 differing bits force
-    ≥ 1 identical band, so banding misses NOTHING the threshold admits —
-    this is a complete index, not an approximation. 32 bits (not the
+    ≥ 1 identical band, so banding misses nothing the threshold admits
+    BELOW the bucket cap (_SIMHASH_BUCKET_CAP: bands landing in over-cap
+    buckets are excluded from pairing — the r12 scale guard; see the
+    constant's measured Σ bucket² rationale). 32 bits (not the
     fingerprint query's 16) because pair generation needs collision
     headroom: at 16 bits ~1% of RANDOM doc pairs sit within Hamming 3
     (measured: 14.7k pairs over 500 harness docs), at 32 bits ~1e-6.
@@ -155,6 +174,10 @@ def q_simhash_dup_pairs(spark, sf_dir):
     the verify is a per-row popcount. At 100 TB the production pinning
     is a 64-bit fingerprint with 4×16-bit bands — identical plan, wider
     hash, sparser buckets."""
+    from py_datalake_move_files_spark.operators.similarity import (
+        _cap_bucket_size,
+    )
+
     fp = D.simhash(
         _t(spark, sf_dir, "documents"), "doc_id", bits=_SIMHASH_BITS
     )
@@ -170,6 +193,7 @@ def q_simhash_dup_pairs(spark, sf_dir):
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.bi", "band.bv")
+    bands = _cap_bucket_size(bands, ["bi", "bv"], _SIMHASH_BUCKET_CAP)
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sim_a"),

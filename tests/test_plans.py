@@ -293,13 +293,19 @@ def test_r7_bounded_stat_queries_single_corpus_exchange(spark):
 def test_simhash_pairs_single_band_join(spark):
     """Banded near-dup pairs: fingerprints are map-only (no exchange
     below the band join), ONE equi-join on (band, value) generates the
-    candidates, and nothing sorts the corpus."""
+    candidates, and nothing sorts the corpus. Since r12 the bucket cap
+    adds a window count per join side on the SAME (bi, bv) key the join
+    shuffles on — co-partitioned, so the budget is exactly the two join-
+    side exchanges plus the final distinct: 3, never more."""
     plan = _plan(spark, "simhash_dup_pairs")
     assert "CartesianProduct" not in plan
-    # exactly the candidate-join + distinct exchanges; a fingerprint
-    # stage that started shuffling would add more
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_ex <= 2, f"simhash pairs plan grew to {n_ex} exchanges"
+    assert n_ex <= 3, f"simhash pairs plan grew to {n_ex} exchanges"
+    # the cap window must ride the join's own partitioning: every
+    # exchange is on (bi, bv) or the final distinct key, nothing else
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for k in keys:
+        assert k.startswith(("bi#", "id_a#")), f"unexpected exchange key {k}"
     assert "rangepartitioning" not in plan.lower()
 
 

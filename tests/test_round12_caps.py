@@ -1,0 +1,222 @@
+"""Round-12 pair-generator cap tests (VERDICT r11 "Next round" #1).
+
+The round-11 sf10 sweep measured the four uncapped MinHash/SimHash pair
+generators at 14-31.5× wall for 10× data — quadratic candidate pairs at
+fixed banding/df parameters. Round 12 wires the house cap device
+(similarity._cap_bucket_size and its oracle mirror, the
+semantic_dedup_summary convention) into the whole family:
+
+- ``jaccard_pairs(max_df=DF_CAP)``: shingles hotter than DF_CAP are
+  excluded from candidate DISCOVERY; surviving pairs verify EXACTLY over
+  full shingle sets (dedup_ngram_jaccard, source_overlap_matrix, the
+  lsh_threshold_curve truth arm, the lsh_quality_eval exact arm).
+- ``lsh_candidate_pairs(max_bucket=LSH_BUCKET_CAP)``: MinHash band
+  buckets above the cap are dropped before the self-join
+  (dedup_minhash_lsh and every query composing it).
+- ``simhash_dup_pairs``: (band, value) buckets above _SIMHASH_BUCKET_CAP
+  are dropped before the band self-join.
+
+The registered parity scales are cap-INERT by design (max observed df 25
+at sf0.1 vs DF_CAP=128), so tests/test_oracle_parity.py proves outputs
+unchanged there. THESE tests prove the other half: on synthetic hot
+corpora where the caps BIND, (a) the quadratic family is actually
+dropped, (b) survivors keep exact values, and (c) Spark and the DuckDB
+oracle still agree cell-for-cell — the degenerate-sweep contract, applied
+to the cap-active regime the driver never reaches at sf0.01.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_datalake_move_files_spark.functions.parity import canon_rows
+from py_datalake_move_files_spark.operators import dedup as D
+from py_datalake_move_files_spark.queries import (
+    DF_CAP,
+    LSH_BUCKET_CAP,
+    ORACLE,
+    QUERIES,
+)
+from py_datalake_move_files_spark.queries_mining import _SIMHASH_BUCKET_CAP
+
+
+def _write_docs(tmp_path, texts: list[str]) -> str:
+    """Materialize a documents-only lake both engines read."""
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def _oracle_rows(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _assert_parity(spark, sf_dir: str, name: str):
+    df = QUERIES[name](spark, sf_dir)
+    s = canon_rows(list(df.columns), [tuple(r) for r in df.collect()])
+    o_cols, o_rows = _oracle_rows(sf_dir, ORACLE[name])
+    o = canon_rows(o_cols, o_rows)
+    assert s == o, f"{name}: cap-active engine split ({len(s)} vs {len(o)})"
+    return s
+
+
+# --------------------------------------------------------------------------
+# operator-level: jaccard_pairs max_df semantics
+# --------------------------------------------------------------------------
+
+
+def test_max_df_drops_hot_family_keeps_exact_survivors(spark):
+    """A 9-strong identical family (every shingle df=9 > cap 8) produces
+    ZERO pairs under the cap, while a cold pair elsewhere survives with
+    its exact hand-computed Jaccard."""
+    hot = ["common shingle words tail"] * 9
+    cold = ["zz qq ww ee rr", "zz qq ww ee tt"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hot + cold)], "doc_id long, text string"
+    )
+    got = D.jaccard_pairs(
+        docs, "doc_id", threshold=0.5, max_df=8
+    ).collect()
+    # cold pair: shingle sets {zz qq ww, qq ww ee, ww ee rr} vs
+    # {..., ww ee tt}: |∩|=2, |∪|=4 → exactly 0.5
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(9, 10, 0.5)]
+    # uncapped control: the hot family's C(9,2)=36 identical pairs appear
+    un = D.jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    assert len(un) == 37
+
+
+def test_max_df_inert_when_loose(spark):
+    """A cap above every df leaves the result set bit-identical."""
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma epsilon",
+        "unrelated words entirely here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    capped = sorted(
+        map(tuple, D.jaccard_pairs(docs, "doc_id", threshold=0.3, max_df=99).collect())
+    )
+    plain = sorted(
+        map(tuple, D.jaccard_pairs(docs, "doc_id", threshold=0.3).collect())
+    )
+    assert capped == plain and len(plain) == 1
+
+
+# --------------------------------------------------------------------------
+# registered-query level: cap-active engine parity on synthetic hot lakes
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_jaccard_lake(tmp_path_factory):
+    """DF_CAP+12 identical docs (hot family, every shingle over-cap) plus
+    one cold near-dup pair at J=0.5."""
+    texts = ["common shingle words tail"] * (DF_CAP + 12) + [
+        "zz qq ww ee rr",
+        "zz qq ww ee tt",
+    ]
+    return _write_docs(tmp_path_factory.mktemp("hotjac"), texts)
+
+
+def test_dedup_ngram_jaccard_cap_active_parity(spark, hot_jaccard_lake):
+    rows = _assert_parity(spark, hot_jaccard_lake, "dedup_ngram_jaccard")
+    # the cap BINDS: uncapped output would be C(140,2)+1 pairs; capped is
+    # exactly the cold survivor
+    assert len(rows) == 1
+
+
+def test_source_overlap_matrix_cap_active_parity(spark, hot_jaccard_lake):
+    rows = _assert_parity(spark, hot_jaccard_lake, "source_overlap_matrix")
+    # one (web, web) cell with n_pairs=1 — the hot family contributed none
+    assert len(rows) == 1
+
+
+@pytest.fixture(scope="module")
+def hot_minhash_lake(tmp_path_factory):
+    """LSH_BUCKET_CAP+6 identical docs (every band bucket over-cap) plus a
+    cold near-dup pair that shares its own 2-doc band buckets."""
+    texts = ["common shingle words tail"] * (LSH_BUCKET_CAP + 6) + [
+        "zz qq ww ee rr",
+        "zz qq ww ee tt",
+    ]
+    return _write_docs(tmp_path_factory.mktemp("hotmh"), texts)
+
+
+def test_dedup_minhash_lsh_cap_active_parity(spark, hot_minhash_lake):
+    rows = _assert_parity(spark, hot_minhash_lake, "dedup_minhash_lsh")
+    assert len(rows) == 1  # the identical family is upstream-dedup's job
+
+
+def test_lsh_quality_eval_cap_active_parity(spark, hot_minhash_lake):
+    # composes BOTH capped arms; recall stays defined and equal on the
+    # 1-pair survivor set
+    rows = _assert_parity(spark, hot_minhash_lake, "lsh_quality_eval")
+    assert rows[0][-2:] == ("1", "1") or rows[0][0] == "1"
+
+
+def test_lsh_threshold_curve_cap_active_parity(spark, hot_minhash_lake):
+    rows = _assert_parity(spark, hot_minhash_lake, "lsh_threshold_curve")
+    assert len(rows) == 7  # one row per threshold, engines agree cell-wise
+
+
+@pytest.fixture(scope="module")
+def hot_simhash_lake(tmp_path_factory):
+    """_SIMHASH_BUCKET_CAP+14 identical docs — one over-cap (band, value)
+    bucket per band — plus one isolated near-dup pair."""
+    texts = ["common shingle words tail stuffing more tokens here"] * (
+        _SIMHASH_BUCKET_CAP + 14
+    ) + [
+        "zz qq ww ee rr aa bb cc dd",
+        "zz qq ww ee rr aa bb cc xx",
+    ]
+    return _write_docs(tmp_path_factory.mktemp("hotsim"), texts)
+
+
+def test_simhash_dup_pairs_cap_active_parity(spark, hot_simhash_lake):
+    rows = _assert_parity(spark, hot_simhash_lake, "simhash_dup_pairs")
+    # the 270-strong identical family (C(270,2)=36k pairs uncapped) is
+    # excluded; only sub-cap buckets pair up
+    n = _SIMHASH_BUCKET_CAP + 14
+    assert len(rows) < n * (n - 1) // 2
+
+
+def test_cap_drop_is_observable(spark):
+    """No-silent-caps: the cap device's CollectMetrics node reports the
+    dropped mass when the guard fires inside jaccard_pairs discovery."""
+    from pyspark.sql import Observation
+
+    from py_datalake_move_files_spark.operators.similarity import (
+        _cap_bucket_size,
+    )
+
+    obs = Observation()
+    df = spark.createDataFrame(
+        [(i, "k") for i in range(10)] + [(99, "solo")], "id long, b string"
+    )
+    capped = _cap_bucket_size(df, ["b"], 4, observation=obs)
+    assert capped.count() == 1
+    got = obs.get
+    assert got["rows_dropped"] == 10 and got["buckets_capped"] == 1
+    assert got["max_bucket_n"] == 10

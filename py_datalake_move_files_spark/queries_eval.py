@@ -1068,14 +1068,12 @@ obs_s AS (
     sum(CASE WHEN event_type = '{_PERM_B}' THEN 1 ELSE 0 END) AS nb
   FROM ev
 ),
--- sign-split: Spark div truncates toward zero, DuckDB // floors — they
--- diverge by 1 micro on negative sums (refund-valued events). Same
--- device as the MMD oracle (ADVICE r9 low #1).
+-- DuckDB // on BIGINT truncates toward zero exactly like Spark div
+-- (-9//5 = -1, not a floor), so plain // is already the mirror even on
+-- negative sums (ADVICE r11: the earlier sign-split device was a no-op
+-- built on a floor-semantics misreading)
 obs AS (
-  SELECT abs(
-    (CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
-    - (CASE WHEN sb >= 0 THEN sb // nb ELSE -((-sb) // nb) END)
-  ) AS d FROM obs_s
+  SELECT abs((sa // na) - (sb // nb)) AS d FROM obs_s
 ),
 perms AS (SELECT unnest(generate_series(1, {_PERM_P})) AS p),
 lab AS (
@@ -1093,10 +1091,7 @@ pd_s AS (
   FROM lab GROUP BY p
 ),
 pd AS (
-  SELECT p, abs(
-    (CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
-    - (CASE WHEN sb >= 0 THEN sb // nb ELSE -((-sb) // nb) END)
-  ) AS d FROM pd_s
+  SELECT p, abs((sa // na) - (sb // nb)) AS d FROM pd_s
 )
 SELECT CAST((SELECT d FROM obs) AS BIGINT) AS observed_diff_micro,
   CAST({_PERM_P} AS BIGINT) AS n_permutations,
@@ -1366,11 +1361,10 @@ d AS (
   -- absent-group guard: a lake missing one label makes na/nb = 0; the
   -- per-dim mean difference is undefined (NULL), never a div-0 split
   SELECT dim,
+    -- BIGINT // truncates toward zero like Spark div (ADVICE r11), so
+    -- plain division mirrors even when a sum is negative
     CASE WHEN na = 0 OR nb = 0 THEN NULL
-      ELSE CAST(CASE WHEN sa >= 0 THEN sa // na
-           ELSE -((-sa) // na) END
-         - CASE WHEN sb >= 0 THEN sb // nb
-           ELSE -((-sb) // nb) END AS BIGINT)
+      ELSE CAST((sa // na) - (sb // nb) AS BIGINT)
     END AS diff
   FROM s
 )
@@ -1398,9 +1392,9 @@ def q_embedding_mean_shift_mmd(spark, sf_dir):
 
     Determinism: coordinates go to fixed-point micros HALF-AWAY-FROM-ZERO
     (the ``gram_moments`` encoding) so per-dim sums are exact BIGINTs;
-    per-dim means use truncating integer division (mirrored sign-split in
-    the oracle — Spark ``div`` truncates, DuckDB ``//`` floors, so
-    negative sums must be sign-split); MMD² is an exact integer Σdiff².
+    per-dim means use truncating integer division (Spark ``div`` and
+    DuckDB BIGINT ``//`` both truncate toward zero — no sign handling
+    needed); MMD² is an exact integer Σdiff².
 
     100 TB shape: one posexplode (×dim, map-side) + one combined
     aggregate to |dims| rows + a |dims|-row reduce. No join touches row
@@ -1433,8 +1427,8 @@ def q_embedding_mean_shift_mmd(spark, sf_dir):
         "dim",
         "na",
         "nb",
-        # Spark div truncates toward zero — matches the oracle's
-        # sign-split; absent-group guard mirrors the oracle (ANSI div-0)
+        # Spark div truncates toward zero — as does the oracle's BIGINT
+        # //; absent-group guard mirrors the oracle (ANSI div-0)
         F.expr(
             "CASE WHEN na = 0 OR nb = 0 THEN NULL"
             " ELSE CAST(sa div na - sb div nb AS BIGINT) END"

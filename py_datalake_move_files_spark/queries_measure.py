@@ -38,9 +38,10 @@ SELECT lang, source,
   CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS total_chars,
   CAST(sum(CAST(len(regexp_extract_all(text, '{TXT.BPE_ISH_PATTERN}'))
       AS DECIMAL(38,0))) AS BIGINT) AS total_tokens,
-  -- HUGEINT floor division: DuckDB's // on DECIMAL operands ROUNDS to
-  -- nearest (off-by-one vs Spark's truncating `div`); // on HUGEINT is
-  -- a true floor
+  -- Integer division semantics (ADVICE r11): DuckDB's // on DECIMAL
+  -- operands is PLAIN division (7//2 = 3.5 — no integer result at all),
+  -- so the operands must be cast to HUGEINT first; // on HUGEINT/BIGINT
+  -- truncates toward zero exactly like Spark's `div`
   CASE WHEN sum(CAST(len(regexp_extract_all(text, '{TXT.BPE_ISH_PATTERN}'))
       AS DECIMAL(38,0))) = 0 THEN NULL
     ELSE CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS HUGEINT) * 1000000
@@ -1313,7 +1314,22 @@ def q_brier_calibration_bins(spark, sf_dir):
     w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return g.select(
+    # ADVICE r11: brier_ppm must be a truncating integer division like its
+    # siblings — true division + cast('long') rounds HALF_UP at the decimal
+    # result scale before the cast, an off-by-one ppm vs the oracle's
+    # HUGEINT floor on adversarial sums. Stage the two window totals as
+    # columns so the final projection is the same `div` device as the rest.
+    staged = g.select(
+        "bin",
+        "n",
+        "sp",
+        "sy",
+        F.sum("se2").over(w).alias("__se2t"),
+        (F.sum("n").over(w).cast("decimal(38,0)") * F.lit(1_000_000)).alias(
+            "__dent"
+        ),
+    )
+    return staged.select(
         F.col("bin").cast("long").alias("bin"),
         F.col("n").alias("n_orders"),
         F.expr("CAST(sp div n AS BIGINT)").alias("mean_pred_ppm"),
@@ -1322,12 +1338,7 @@ def q_brier_calibration_bins(spark, sf_dir):
             "abs(CAST(sp div n AS BIGINT)"
             " - CAST(sy * 1000000 div n AS BIGINT))"
         ).alias("abs_gap_ppm"),
-        (
-            F.sum("se2").over(w)
-            / (F.sum("n").over(w) * F.lit(1_000_000))
-        )
-        .cast("long")
-        .alias("brier_ppm"),
+        F.expr("CAST(__se2t div __dent AS BIGINT)").alias("brier_ppm"),
     ).orderBy("bin")
 
 

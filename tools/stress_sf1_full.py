@@ -87,15 +87,23 @@ def main() -> None:
     side = ROOT / "BENCH_sf1_full.json"
     if args.queries and side.exists():
         # subset run: merge the new timings into the full-sweep sidecar so
-        # every registered query keeps exactly one sf1 row
+        # every registered query keeps exactly one sf1 row. Reconcile state
+        # transitions (ADVICE r11): a re-run name leaves whichever of
+        # {timed, errored} it no longer is — otherwise a recovered query
+        # kept its stale error and a newly-broken one kept its stale time.
         out = json.loads(side.read_text())
+        stale_err = out.setdefault("errors", {})
+        for name in names:
+            stale_err.pop(name, None)
+        for name in errors:
+            out["queries"].pop(name, None)
         out["queries"].update(rows)
         out["queries_timed"] = len(out["queries"])
         out["total"] = round(sum(out["queries"].values()), 3)
         prior = out.get("plan_flips")
         prior = [] if prior in ("none", None) else list(prior)
         out["plan_flips"] = (prior + flips) or "none"
-        out.setdefault("errors", {}).update(errors)
+        stale_err.update(errors)
     else:
         out = {
             "metric": "registry_sf1_full_sweep",

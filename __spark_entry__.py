@@ -103,7 +103,11 @@ CURATED_FIRST = [
 #: that this list + CURATED_FIRST + the cumulative ledger exactly cover
 #: the registry, and that every queued name actually runs at sf0.001
 #: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = []
+QUEUED_FOR_NEXT_WINDOW: list[str] = [
+    # r12 sampled production twins of the pair-eval queries (VERDICT r11 #4)
+    "lsh_quality_eval_sampled",
+    "lsh_threshold_curve_sampled",
+]
 
 
 def _cumulative_green() -> set[str]:

@@ -954,7 +954,9 @@ def q_dedup_exact(spark, sf_dir):
     return D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id")
 
 
-def dd_jaccard_pairs_ctes(threshold: float) -> tuple[str, str]:
+def dd_jaccard_pairs_ctes(
+    threshold: float, src: str = "documents"
+) -> tuple[str, str]:
     """(CTE list, final select) of the capped exact-Jaccard pair oracle —
     the DuckDB mirror of ``operators/dedup.jaccard_pairs(max_df=DF_CAP)``:
     shingles with document frequency above DF_CAP are excluded from
@@ -964,7 +966,7 @@ def dd_jaccard_pairs_ctes(threshold: float) -> tuple[str, str]:
     is inert (every parity scale). CTE names are ``j``-prefixed so the
     fragment composes with _minhash_ctes in one WITH clause."""
     li = "len(list_intersect(da.ss, db.ss))"
-    ctes = f"""jd AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
+    ctes = f"""jd AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM {src}),
 jsh AS (SELECT doc_id, unnest(ss) AS shingle FROM jd),
 jshc AS (
   SELECT doc_id, shingle FROM (
@@ -985,9 +987,10 @@ WHERE round({li} / (len(da.ss) + len(db.ss) - {li}), 6) >= {threshold}"""
     return ctes, final
 
 
-def _minhash_ctes() -> tuple[str, str]:
+def _minhash_ctes(src: str = "documents") -> tuple[str, str]:
     """(CTE list, final pair-select) of the minhash-LSH oracle — shared by
-    the pair query and the recursive connected-components oracle."""
+    the pair query, the recursive connected-components oracle, and (via
+    ``src``) the doc-sampled eval twins."""
     # mirror of operators/dedup.minhash_signatures: hash i = 32-bit integer
     # slice of a 2-md5 digest string, minimized (hex_value_sql arithmetic is
     # valid in both engines)
@@ -1009,7 +1012,7 @@ def _minhash_ctes() -> tuple[str, str]:
         )
         for b in range(BANDS)
     )
-    ctes = f"""d AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM documents),
+    ctes = f"""d AS (SELECT doc_id, {dd_shingles('text')} AS ss FROM {src}),
 sh AS (SELECT doc_id, unnest(ss) AS shingle FROM d),
 sig AS (SELECT doc_id, {sig_cols} FROM d),
 bands AS ({band_selects}),

@@ -667,12 +667,17 @@ def q_lsh_quality_eval(spark, sf_dir):
     full-outer join of the two pair sets marks presence on each side, so
     each (expensive) arm is scanned exactly once — the earlier semi-join +
     per-arm-count formulation re-executed both pipelines twice."""
-    exact = QUERIES_REF["dedup_ngram_jaccard"](spark, sf_dir).select(
-        "id_a", "id_b", F.lit(1).alias("__e")
-    )
-    lsh = QUERIES_REF["dedup_minhash_lsh"](spark, sf_dir).select(
-        "id_a", "id_b", F.lit(1).alias("__l")
-    )
+    exact = QUERIES_REF["dedup_ngram_jaccard"](spark, sf_dir)
+    lsh = QUERIES_REF["dedup_minhash_lsh"](spark, sf_dir)
+    return _lsh_quality_agg(exact, lsh)
+
+
+def _lsh_quality_agg(exact, lsh):
+    """The recall aggregate both the full and the doc-sampled quality
+    evals share: ONE full-outer join of the two pair sets marks side
+    membership, so each (expensive) arm is scanned exactly once."""
+    exact = exact.select("id_a", "id_b", F.lit(1).alias("__e"))
+    lsh = lsh.select("id_a", "id_b", F.lit(1).alias("__l"))
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     # coalesce: on an empty corpus both pair sets are empty and sums are
     # NULL where the oracle's counts are 0; the recall guard keeps the
@@ -2309,6 +2314,13 @@ def q_lsh_threshold_curve(spark, sf_dir):
     scored = DD.jaccard_pairs(
         docs, "doc_id", threshold=0.0, candidates=cands
     ).select("id_a", "id_b", F.col("jaccard").alias("jc"))
+    return _curve_agg(truth, scored)
+
+
+def _curve_agg(truth, scored):
+    """The 7-threshold precision/recall sweep both the full and the
+    doc-sampled curves share: one full-outer join marks side membership,
+    the sweep is a literal explode over the small pair frame."""
     u = truth.join(scored, ["id_a", "id_b"], "full_outer").select(
         F.coalesce("jt", "jc").alias("j"),
         F.col("jc").isNotNull().alias("in_cand"),
@@ -2345,6 +2357,165 @@ def q_lsh_threshold_curve(spark, sf_dir):
             "CAST(CASE WHEN n_true > 0 THEN tp * 1000000 DIV n_true END"
             " AS BIGINT)"
         ).alias("recall_ppm"),
+    )
+
+
+# --- doc-sampled production twins of the two pair-eval queries (r12) -------
+
+#: 1-in-K deterministic DOCUMENT sample for the eval twins (VERDICT r11
+#: #4). Both evals estimate pair-level RATIOS (precision/recall), so a
+#: uniform doc subsample estimates them unbiasedly while cutting the
+#: quadratic pair work by ~K² — the production knob the full queries'
+#: docstrings name ("run the curve on a sample, serve the banded index on
+#: the corpus"). Raise K with corpus size to hold the eval budget flat.
+_EVAL_SAMPLE_K = 2
+
+#: engine-split residue idiom (the doc_novelty_scores_sampled device):
+#: same 48-bit md5 prefix value, Spark via conv(), DuckDB via '0x' cast
+_EVAL_SAMPLE_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+    f" AS BIGINT) % {_EVAL_SAMPLE_K} = 0"
+)
+_EVAL_SAMPLE_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+    f" % {_EVAL_SAMPLE_K} = 0"
+)
+_SDOCS_CTE = f"sdocs AS (SELECT * FROM documents WHERE {_EVAL_SAMPLE_DUCK})"
+
+
+def _sampled_arms(spark, sf_dir, *, truth_threshold: float):
+    """The two eval arms over the deterministic doc sample: capped exact
+    Jaccard pairs (truth) and capped MinHash-LSH candidates scored
+    exactly (the approximation under eval)."""
+    from py_datalake_move_files_spark.queries import BANDS, MINHASHES
+
+    sdocs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").where(F.expr(_EVAL_SAMPLE_SPARK))
+    )
+    truth = DD.jaccard_pairs(
+        sdocs, "doc_id", threshold=truth_threshold, max_df=DF_CAP
+    )
+    sigs = DD.minhash_signatures(sdocs, "doc_id", num_hashes=MINHASHES)
+    cands = DD.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASHES, bands=BANDS,
+        max_bucket=LSH_BUCKET_CAP,
+    )
+    scored = DD.jaccard_pairs(sdocs, "doc_id", threshold=0.0, candidates=cands)
+    return truth, scored
+
+
+def _lsh_quality_sampled_oracle() -> str:
+    from py_datalake_move_files_spark.queries import (
+        JACCARD_T,
+        _minhash_ctes,
+        dd_jaccard_pairs_ctes,
+    )
+
+    mctes, mfinal = _minhash_ctes(src="sdocs")
+    jctes, jfinal = dd_jaccard_pairs_ctes(JACCARD_T, src="sdocs")
+    return f"""
+WITH {_SDOCS_CTE},
+{mctes},
+{jctes},
+exact AS ({jfinal}),
+lsh AS ({mfinal}),
+hits AS (
+  SELECT e.id_a, e.id_b FROM exact e
+  JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+  round(CAST((SELECT count(*) FROM hits) AS BIGINT)
+        / CAST((SELECT count(*) FROM exact) AS BIGINT), 6) AS lsh_recall
+"""
+
+
+@register("lsh_quality_eval_sampled", _lsh_quality_sampled_oracle())
+def q_lsh_quality_eval_sampled(spark, sf_dir):
+    """The sanctioned 100 TB variant of ``lsh_quality_eval`` (VERDICT r11
+    #4): banding recall estimated on a deterministic 1-in-{_EVAL_SAMPLE_K}
+    DOCUMENT sample (48-bit md5 residue on doc_id — no RNG, identical in
+    both engines). Recall is a ratio over pairs, and a uniform doc sample
+    induces a uniform sample of pairs, so the estimate is unbiased while
+    the candidate-pair work falls ~K²; in production this runs at K
+    sized to a 1-10 M-doc sample while ``dedup_minhash_lsh`` serves the
+    full corpus. Both arms inherit the r12 caps (DF_CAP discovery,
+    LSH_BUCKET_CAP banding) — the sample bounds the eval's COST, the caps
+    bound its worst case."""
+    from py_datalake_move_files_spark.queries import JACCARD_T
+
+    truth, scored = _sampled_arms(spark, sf_dir, truth_threshold=JACCARD_T)
+    # the LSH arm of the quality eval verifies candidates at the SAME
+    # threshold as truth (dedup_minhash_lsh semantics)
+    lsh = scored.where(F.col("jaccard") >= JACCARD_T)
+    return _lsh_quality_agg(truth, lsh)
+
+
+def _lsh_curve_sampled_oracle() -> str:
+    from py_datalake_move_files_spark.queries import (
+        _minhash_ctes,
+        dd_jaccard_pairs_ctes,
+    )
+
+    mctes, _ = _minhash_ctes(src="sdocs")
+    jctes, jfinal = dd_jaccard_pairs_ctes(_CURVE_FLOOR, src="sdocs")
+    li = "len(list_intersect(da.ss, db.ss))"
+    tms = ", ".join(str(t) for t in _CURVE_PERMILLE)
+    return f"""
+WITH {_SDOCS_CTE},
+{mctes},
+{jctes},
+truth AS (
+  SELECT id_a, id_b, jaccard AS j FROM ({jfinal})
+),
+scored_cand AS (
+  SELECT cand.id_a, cand.id_b,
+    round({li} / (len(da.ss) + len(db.ss) - {li}), 6) AS j
+  FROM cand
+  JOIN d da ON da.doc_id = cand.id_a
+  JOIN d db ON db.doc_id = cand.id_b
+),
+u AS (
+  SELECT coalesce(t.j, c.j) AS j, c.id_a IS NOT NULL AS in_cand
+  FROM truth t
+  FULL OUTER JOIN scored_cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+th AS (SELECT unnest([{tms}]) AS tm)
+SELECT CAST(tm AS INT) AS threshold_permille,
+  CAST(sum(CASE WHEN j >= tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN in_cand AND j < tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN NOT in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(CASE WHEN sum(CASE WHEN in_cand THEN 1 ELSE 0 END) > 0
+    THEN sum(CASE WHEN in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) * 1000000
+         // sum(CASE WHEN in_cand THEN 1 ELSE 0 END) END AS BIGINT)
+    AS precision_ppm,
+  CAST(CASE WHEN sum(CASE WHEN j >= tm / 1000.0 THEN 1 ELSE 0 END) > 0
+    THEN sum(CASE WHEN in_cand AND j >= tm / 1000.0 THEN 1 ELSE 0 END) * 1000000
+         // sum(CASE WHEN j >= tm / 1000.0 THEN 1 ELSE 0 END) END AS BIGINT)
+    AS recall_ppm
+FROM th CROSS JOIN u
+GROUP BY tm
+"""
+
+
+@register("lsh_threshold_curve_sampled", _lsh_curve_sampled_oracle())
+def q_lsh_threshold_curve_sampled(spark, sf_dir):
+    """The sanctioned 100 TB variant of ``lsh_threshold_curve`` (VERDICT
+    r11 #4): the banding tuning curve on the deterministic
+    1-in-{_EVAL_SAMPLE_K} document sample — exactly the production
+    protocol the full curve's docstring prescribes ("run it on a uniform
+    document sample, pick bands/hashes from the curve, then run only the
+    LSH candidate path over the full corpus"), now registered and
+    oracle-checked. Precision/recall are ratio estimates, unbiased under
+    a uniform doc sample; both arms inherit the r12 caps. Same plan
+    shape as the full curve with every pair stage cut ~K²."""
+    truth, scored = _sampled_arms(spark, sf_dir, truth_threshold=_CURVE_FLOOR)
+    return _curve_agg(
+        truth.select("id_a", "id_b", F.col("jaccard").alias("jt")),
+        scored.select("id_a", "id_b", F.col("jaccard").alias("jc")),
     )
 
 

@@ -450,31 +450,91 @@ def jaccard_pairs(
     # doc can never contribute an intersection — the window shuffles on the
     # same key the join uses, so the posting lists arrive co-partitioned
     ws = Window.partitionBy("shingle")
+    if max_df is not None:
+        # capped DISCOVERY + exact verify: hot postings are dropped from
+        # the self-join, then the surviving distinct pairs are scored over
+        # their FULL shingle sets, so Jaccard values are exact — only
+        # pairs whose every shared shingle is hotter than max_df are
+        # missed. The cap rides the SAME window as the singleton prune
+        # (one pass over the exploded postings, not two), with the house
+        # observability metrics (no-silent-caps) computed from the same
+        # __df column _cap_bucket_size would window for.
+        from py_datalake_move_files_spark.operators.similarity import _CAP_OBS
+
+        flagged = inv.withColumn("__df", F.count(F.lit(1)).over(ws))
+        dropped = F.col("__df") > F.lit(max_df)
+        flagged = flagged.observe(
+            f"bucket_cap:{next(_CAP_OBS)}",
+            F.sum(dropped.cast("long")).alias("rows_dropped"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(dropped, F.lit(1.0) / F.col("__df"))),
+                    F.lit(0.0),
+                )
+            )
+            .cast("long")
+            .alias("buckets_capped"),
+            F.max("__df").alias("max_bucket_n"),
+        )
+        capped = flagged.where(
+            (F.col("__df") > 1) & ~dropped
+        ).drop("__df")
+        # count-first discovery (the classic inverted-index shape, map-side
+        # combined — NOT distinct + verify-everything, which re-intersected
+        # full arrays for every co-occurring pair and cost 4x at sf0.1):
+        # c_cold = shared postings under the cap, exact wherever nothing is
+        # hot. The exact-verify join then runs ONLY on pairs whose UPPER
+        # BOUND on full Jaccard clears the threshold: true_inter ≤ c_cold +
+        # min(n_hot_a, n_hot_b) with n_hot = postings hotter than the cap
+        # (zero at every parity scale → the prune is exact and verify sees
+        # just the output pairs). Same round(…, 6) ≥ t test as the verify,
+        # and Jaccard is monotone in the intersection, so the prune can
+        # never drop a qualifying pair — the oracle needs no mirror of it.
+        c_cold = (
+            capped.alias("a")
+            .join(capped.alias("b"), "shingle")
+            .where(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(
+                F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("__c_cold"))
+        )
+        hot = flagged.where(dropped).groupBy("doc").agg(
+            F.count(F.lit(1)).alias("__n_hot")
+        )
+        szh = sizes.join(hot, "doc", "left").select(
+            "doc",
+            "n_sh",
+            F.coalesce(F.col("__n_hot"), F.lit(0)).alias("__n_hot"),
+        )
+        sa = szh.select(
+            F.col("doc").alias("id_a"),
+            F.col("n_sh").alias("__n_a"),
+            F.col("__n_hot").alias("__h_a"),
+        )
+        sb = szh.select(
+            F.col("doc").alias("id_b"),
+            F.col("n_sh").alias("__n_b"),
+            F.col("__n_hot").alias("__h_b"),
+        )
+        upper = F.col("__c_cold") + F.least(F.col("__h_a"), F.col("__h_b"))
+        cand = (
+            c_cold.join(_maybe_broadcast(sa, n_docs), "id_a")
+            .join(_maybe_broadcast(sb, n_docs), "id_b")
+            .where(
+                F.round(
+                    upper / (F.col("__n_a") + F.col("__n_b") - upper), 6
+                )
+                >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+        return _verify(cand)
     inv = (
         inv.withColumn("__df", F.count(F.lit(1)).over(ws))
         .where(F.col("__df") > 1)
         .drop("__df")
     )
-    if max_df is not None:
-        # capped DISCOVERY + exact verify: hot postings are dropped from
-        # the self-join (observably — _cap_bucket_size's metrics node;
-        # the window shares the existing df window's shingle exchange),
-        # then the surviving distinct pairs are scored over their FULL
-        # shingle sets, so Jaccard values are exact — only pairs whose
-        # every shared shingle is hotter than max_df are missed.
-        from py_datalake_move_files_spark.operators.similarity import (
-            _cap_bucket_size,
-        )
-
-        capped = _cap_bucket_size(inv, ["shingle"], max_df)
-        cand = (
-            capped.alias("a")
-            .join(capped.alias("b"), "shingle")
-            .where(F.col("a.doc") < F.col("b.doc"))
-            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-            .distinct()
-        )
-        return _verify(cand)
     pair_inter = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")

@@ -281,7 +281,7 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     *,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     n_tables: int = 1,
     max_bucket: int | None = None,
@@ -298,7 +298,11 @@ def lsh_bucketed_topk(
     (multi-table LSH — recall recovery; see :func:`hyperplanes` for the
     n_planes/n_tables scaling rule); the corpus is scanned ONCE and exploded
     per table, never re-read. ``max_bucket`` bounds degenerate corpus buckets
-    (see :func:`_cap_bucket_size`)."""
+    (see :func:`_cap_bucket_size`). ``n_planes=None`` sizes the index with
+    :func:`auto_n_planes` from the corpus count (the log2(N/B) rule as the
+    in-code default; registered queries pass their oracle-pinned value)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     planes_per_table = [hyperplanes(n_planes, dim, table=t) for t in range(n_tables)]
     c, keys = _multi_bucketed(
         ensure_parallelism(corpus), "neighbor_id", "c_vec", id_col, vec_col,
@@ -488,10 +492,49 @@ def embedding_near_dup_pairs(
 # IVF (inverted-file) ANN index — the centroid-partitioned scale path
 # --------------------------------------------------------------------------
 
+def auto_n_lists(n_vectors: int, *, floor: int = 8) -> int:
+    """The FAISS sizing rule as code, not docs (VERDICT r11 #3):
+    ``n_lists ≈ sqrt(N)``, rounded UP to a power of two, never below
+    ``floor``. Candidate volume in an all-vectors kNN join is
+    ``N²·n_probe/n_lists``, so n_lists must track sqrt(N) to keep the
+    join ~N^1.5 — the round-11 sf10 sweep priced the alternative: the
+    kNN edge artifact at a FIXED test-scale n_lists=16 over 200k vectors
+    took ~30 min to build. Power-of-two rounding keeps centroid counts
+    cache-friendly and the growth monotone in N (the unit-test contract).
+
+    Registered queries PIN their n_lists (the oracle must recompute the
+    identical index in SQL); this auto default is for artifact builds and
+    un-oracled production use, where the corpus size is the right input.
+    """
+    import math
+
+    if n_vectors <= 1:
+        return floor
+    return max(floor, 2 ** math.ceil(math.log2(math.sqrt(n_vectors))))
+
+
+def auto_n_planes(
+    n_vectors: int, *, target_bucket: int = 1024, floor: int = 4, cap: int = 24
+) -> int:
+    """The hyperplane-LSH twin of :func:`auto_n_lists`:
+    ``n_planes ≈ log2(N / target_bucket)`` (the :func:`hyperplanes`
+    docstring rule, now executable) — each plane halves the expected
+    bucket, so this holds expected bucket size ≈ ``target_bucket`` as the
+    corpus grows; recall lost to finer buckets is bought back with
+    ``n_tables``. Clamped to [floor, cap] (2^cap buckets is plenty for
+    any corpus this engine will see; below 2^floor the index is a scan).
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 def ivf_centroids(
     corpus: DataFrame,
     *,
-    n_lists: int = 8,
+    n_lists: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
@@ -508,7 +551,14 @@ def ivf_centroids(
     below ``max_literal_k`` (fastest, zero shuffles, linear in k), a
     broadcast centroid table above it (constant-size plan; a literal plan
     embeds k·dim constants and outgrows expression-tree budgets long
-    before data volume matters)."""
+    before data volume matters).
+
+    ``n_lists=None`` applies :func:`auto_n_lists` to the corpus count —
+    the sqrt(N) FAISS sizing as the in-code default for artifact builds
+    (one metadata-cheap count at train time; registered queries pass
+    their oracle-pinned value instead)."""
+    if n_lists is None:
+        n_lists = auto_n_lists(corpus.count())
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.md5(F.col("cid").cast("string")).asc())
@@ -1337,7 +1387,7 @@ def knn_graph(
     corpus: DataFrame,
     *,
     k: int = 5,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     n_probe: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
@@ -1360,7 +1410,10 @@ def knn_graph(
     over centroid literals) and candidates come from ONE co-partitioned
     shuffle join on that key. Candidate volume is Σ_l probe_l·|list_l| ≈
     N²·n_probe/n_lists, so n_lists must scale ~sqrt(N) (the FAISS rule)
-    to keep it ~N^1.5; hot lists from a skewed embedding distribution are
+    to keep it ~N^1.5 — and since r12 the DEFAULT does exactly that:
+    ``n_lists=None`` sizes the index via :func:`auto_n_lists` from the
+    corpus count (registered queries pass their oracle-pinned value
+    instead); hot lists from a skewed embedding distribution are
     bounded by ``max_list_size`` (over-cap lists are excluded from the
     INDEX side via :func:`_cap_bucket_size` — recall degrades gracefully
     instead of the join going quadratic) and by the session's AQE

@@ -61,3 +61,36 @@ def test_bench_emits_one_compact_json_line_and_sidecar(tmp_path):
         assert all(v >= 0 for v in full[field].values()), full[field]
     assert full["shuffle_write_mb"]["q1_pricing_summary"] > 0
     assert summary["shuffle_read_mb_total"] >= 0
+
+
+def test_shuffle_volume_within_budget(spark):
+    """Exchange-volume regression gate (VERDICT r11 #5). Per-query shuffle
+    read/write is deterministic (0.12 MB max back-to-back delta over full
+    sweeps) where wall time carries 2-10x host noise — so volume is the
+    per-query metric worth gating hard. For the top-20 shuffle queries
+    (by committed sf0.1 volume), re-measure the per-run executor shuffle
+    delta at sf0.01 under the bench protocol (warm-up run first, so
+    artifact builds and JIT never pollute the delta) and fail on growth
+    beyond max(1.2x, +0.5 MB) per metric vs the committed
+    SHUFFLE_BUDGET.json. An injected repartition(), a lost broadcast, or
+    a widened shuffle payload goes red HERE, in-suite, without waiting
+    for the next bench sweep. Regenerate the budget only for adjudicated
+    changes:  python tools/make_shuffle_budget.py
+    """
+    sys.path.insert(0, str(ROOT / "tools"))
+    import make_shuffle_budget as msb
+
+    artifact = json.loads((ROOT / "SHUFFLE_BUDGET.json").read_text())
+    budget = artifact["queries"]
+    measured = msb.measure(spark, list(budget), msb.SF_DIR)
+    over = []
+    for name, b in budget.items():
+        m = measured[name]
+        for metric in ("read_mb", "write_mb"):
+            cap = max(b[metric] * 1.2, b[metric] + 0.5)
+            if m[metric] > cap:
+                over.append(
+                    f"{name}.{metric}: {m[metric]} MB > budget "
+                    f"{b[metric]} MB (cap {round(cap, 3)})"
+                )
+    assert not over, "exchange-volume regressions:\n" + "\n".join(over)

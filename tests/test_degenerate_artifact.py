@@ -1,8 +1,8 @@
 """Degenerate-lake contract guard (VERDICT r10 #3).
 
-tools/degenerate_sweep.py runs EVERY registered query against four
-pathological lakes (empty / single-row / null-striped / one-language) on
-BOTH engines and demands they AGREE — both succeed with canonically equal
+tools/degenerate_sweep.py runs EVERY registered query against five
+pathological lakes (empty / single-row / null-striped / one-language /
+one-key-total-skew) on BOTH engines and demands they AGREE — both succeed with canonically equal
 rows, or both reject. The committed DEGENERATE.json is that run's
 artifact; these tests pin that
 
@@ -26,7 +26,7 @@ from py_datalake_move_files_spark.queries import QUERIES
 
 ROOT = Path(__file__).resolve().parent.parent
 ARTIFACT = ROOT / "DEGENERATE.json"
-FIXTURES = ("empty", "single", "nullopt", "onelang")
+FIXTURES = ("empty", "single", "nullopt", "onelang", "onekey")
 AGREE = ("match", "both_reject")
 
 

@@ -220,3 +220,56 @@ def test_cap_drop_is_observable(spark):
     got = obs.get
     assert got["rows_dropped"] == 10 and got["buckets_capped"] == 1
     assert got["max_bucket_n"] == 10
+
+
+# --------------------------------------------------------------------------
+# N-scaled index parameters (VERDICT r11 #3): the FAISS sqrt(N) rule and
+# the LSH log2(N/B) rule as in-code defaults, not docstring guidance
+# --------------------------------------------------------------------------
+
+
+def test_auto_n_lists_tracks_sqrt_n():
+    from py_datalake_move_files_spark.operators.similarity import auto_n_lists
+
+    prev = 0
+    for n in [0, 100, 2_000, 200_000, 20_000_000, 2_000_000_000]:
+        v = auto_n_lists(n)
+        assert v >= prev, "n_lists must grow monotonically with N"
+        prev = v
+        if n > 64:
+            # within the power-of-two rounding band of sqrt(N)
+            assert n**0.5 <= v < 2 * n**0.5
+    assert auto_n_lists(200_000) == 512  # the sf10 kNN corpus: 16 -> 512
+
+
+def test_auto_n_planes_holds_target_bucket():
+    from py_datalake_move_files_spark.operators.similarity import (
+        auto_n_planes,
+    )
+
+    prev = 0
+    for n in [0, 1_000, 100_000, 10_000_000, 10**10]:
+        v = auto_n_planes(n)
+        assert v >= prev
+        prev = v
+        if n > 1024:
+            # expected bucket n/2^planes lands in [B/2, B] before the cap
+            assert n / 2**v <= 1024 or v == 24
+    assert auto_n_planes(10**10) == 24  # clamped
+
+
+def test_knn_graph_auto_default_applies_sqrt_rule(spark):
+    """knn_graph(n_lists=None) must size the index from the corpus count —
+    the centroid count equals auto_n_lists(N), not a fixed test pin."""
+    from py_datalake_move_files_spark.operators.similarity import (
+        auto_n_lists,
+        ivf_centroids,
+    )
+
+    n = 300
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(emb, n_lists=None)
+    assert len(cents) == auto_n_lists(n) == 32

@@ -22,6 +22,11 @@ both engines read):
 - ``onelang``    sf0.001 with documents.lang constant — one-language
                  corpus (zero-entropy language marginals, single-group
                  language joins)
+- ``onekey``     sf0.001 with ALL events on one user_id and ALL documents
+                 from one source (r12, VERDICT r11 #6) — total key skew:
+                 the salted join, sessionize, per-user windows, and every
+                 groupBy-heavy query exercise their single-hot-key paths
+                 under the same both-engines-agree contract
 
 Usage: python tools/degenerate_sweep.py [--fixtures empty,single,...]
        [--queries name,name,...] [--out DEGENERATE.json]
@@ -49,7 +54,7 @@ sys.path.insert(0, str(ROOT))
 
 SRC = "/root/testdata/sf0.001"
 
-FIXTURES = ("empty", "single", "nullopt", "onelang")
+FIXTURES = ("empty", "single", "nullopt", "onelang", "onekey")
 
 #: optional columns nulled on the 1-in-3 stripe in the ``nullopt`` fixture
 NULL_STRIPE: dict[str, tuple[str, ...]] = {
@@ -94,6 +99,21 @@ def build_fixture(con: duckdb.DuckDBPyConnection, kind: str, out_dir: Path) -> N
         elif kind == "onelang" and t == "documents":
             sel = (
                 "SELECT doc_id, text, 'en' AS lang, source, n_chars"
+                f" FROM {src}"
+            )
+        elif kind == "onekey" and t == "events":
+            # every event on ONE user: per-user windows/sessionize collapse
+            # to a single giant partition, the salted join's hot key is the
+            # ONLY key, user-grouped stats become one group
+            sel = (
+                "SELECT event_id, ts, CAST(1 AS BIGINT) AS user_id,"
+                f" event_type, value, props FROM {src}"
+            )
+        elif kind == "onekey" and t == "documents":
+            # every document from ONE source: source marginals are a point
+            # mass, per-source sampling quotas see one group
+            sel = (
+                "SELECT doc_id, text, lang, 'web' AS source, n_chars"
                 f" FROM {src}"
             )
         else:

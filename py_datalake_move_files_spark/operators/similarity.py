@@ -598,6 +598,85 @@ def _centroid_sims(vec_col: str, centroids: list[tuple[int, list[float]]]) -> li
 IVF_LITERAL_MAX_K = 64
 
 
+def _probe_lists(
+    q: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    n_probe: int,
+    vec_col: str = "q_vec",
+    nrm_col: str = "q_nrm",
+    max_literal_k: int | None = None,
+) -> DataFrame:
+    """Per-query probe lists: the ``n_probe`` nearest centroid ids, ties
+    to the lowest cid — one exploded ``list_id`` row per (query, probe).
+    Shared by :func:`ivf_topk` and :func:`knn_graph`, and — like
+    :func:`ivf_assign` — dispatched on centroid count:
+
+    - ``k <= max_literal_k``: per-centroid literal cosine expressions +
+      struct sort (zero shuffle, fastest while codegen-friendly).
+    - ``k > max_literal_k``: the whole centroid table rides ONE broadcast
+      single-row ``array<struct>`` column and the ranking is a HOF loop
+      (``transform`` → ``array_sort`` → ``slice``) — constant plan size,
+      tiny bytecode, still ZERO shuffle at any n_lists. This is the
+      regime :func:`auto_n_lists` reaches (512 lists at 200k vectors):
+      the r12 re-pricing found the unrolled literal path compiles 512
+      aggregate expressions past the 64 KB codegen budget and falls back
+      to interpreted eval — the r4 "literal-table expressions as HOF
+      loops" rule applied to probing. Rounded cosines are bit-identical
+      between paths (same zip_with/aggregate fold, same Python-side norm
+      chain)."""
+    if max_literal_k is None:
+        max_literal_k = IVF_LITERAL_MAX_K
+    if len(centroids) <= max_literal_k:
+        sims = _centroid_sims(vec_col, centroids)
+        probe_structs = F.array(
+            *[
+                F.struct((-s).alias("neg"), F.lit(cid).alias("cid"))
+                for cid, s in sims
+            ]
+        )
+        return q.withColumn(
+            "list_id",
+            F.explode(
+                F.slice(F.array_sort(probe_structs), 1, n_probe).getField(
+                    "cid"
+                )
+            ),
+        )
+    import math
+
+    rows = []
+    for cid, cv in sorted(centroids):
+        acc = 0.0
+        for v in cv:
+            acc = acc + v * v
+        rows.append((int(cid), [float(v) for v in cv], math.sqrt(acc)))
+    cdf = q.sparkSession.createDataFrame(
+        [(rows,)],
+        "___cents array<struct<___cid: bigint, ___cv: array<double>, ___cn: double>>",
+    )
+    u = _u()
+    elem = (
+        f"named_struct('neg', -round(aggregate(zip_with({vec_col}, "
+        f"c{u}.___cv, (x{u}, y{u}) -> cast(x{u} as double) * y{u}), 0D, "
+        f"(acc{u}, v{u}) -> acc{u} + v{u}) / ({nrm_col} * c{u}.___cn), 6), "
+        f"'cid', c{u}.___cid)"
+    )
+    return (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(___cents, c{u} -> {elem}))"
+                    f", 1, {n_probe})"
+                ).getField("cid")
+            ),
+        )
+        .drop("___cents")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -683,30 +762,34 @@ def _ivf_assign_broadcast(
             acc = acc + v * v
         rows.append((int(cid), [float(v) for v in cv], math.sqrt(acc)))
     cdf = corpus.sparkSession.createDataFrame(
-        rows, "___cid bigint, ___cv array<double>, ___cn double"
+        [(rows,)],
+        "___cents array<struct<___cid: bigint, ___cv: array<double>, ___cn: double>>",
     )
-    sim = F.round(dot(vec_col, "___cv") / (norm(vec_col) * F.col("___cn")), 6)
-    best = (
-        corpus.select(F.col(id_col).alias("___id"), F.col(vec_col))
+    # per-ROW argmin via one HOF loop over the broadcast centroid array —
+    # no k-times row explode, no argmin shuffle, no join-back (the r12
+    # re-pricing found the previous crossJoin+max_by shape materialized
+    # N·k rows and two N-row exchanges; at 200k×512 those fixed stages
+    # dominated the whole index build). array_min of (−sim, cid) structs
+    # is the literal path's exact argmax/tie-break; the dot is the same
+    # sequential zip_with/aggregate fold, so assignments stay
+    # bit-identical between all three paths.
+    u = _u()
+    elem = (
+        f"named_struct('neg', -round(aggregate(zip_with({vec_col}, "
+        f"c{u}.___cv, (x{u}, y{u}) -> cast(x{u} as double) * y{u}), 0D, "
+        f"(acc{u}, v{u}) -> acc{u} + v{u}) / (___nrm{u} * c{u}.___cn), 6), "
+        f"'cid', c{u}.___cid)"
+    )
+    return (
+        corpus.withColumn(f"___nrm{u}", norm(vec_col))
         .crossJoin(F.broadcast(cdf))
-        .select(
-            "___id",
-            F.col("___cid"),
-            sim.alias("___s"),
+        .withColumn(
+            out,
+            F.expr(f"array_min(transform(___cents, c{u} -> {elem}))").getField(
+                "cid"
+            ),
         )
-        # max of (sim, -cid) struct == highest sim, ties to LOWEST cid —
-        # the literal path's exact tie-break; partial max_by combines
-        # map-side so the shuffle carries one row per corpus row
-        .groupBy("___id")
-        .agg(
-            F.max_by(
-                F.col("___cid"),
-                F.struct(F.col("___s"), (-F.col("___cid")).alias("___n")),
-            ).alias(out)
-        )
-    )
-    return corpus.join(
-        best.withColumnRenamed("___id", id_col), id_col
+        .drop("___cents", f"___nrm{u}")
     )
 
 
@@ -883,16 +966,7 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_nrm", norm("q_vec"))
-    sims = _centroid_sims("q_vec", cents)
-    probe_structs = F.array(
-        *[F.struct((-s).alias("neg"), F.lit(cid).alias("cid")) for cid, s in sims]
-    )
-    probes = q.withColumn(
-        "list_id",
-        F.explode(
-            F.slice(F.array_sort(probe_structs), 1, n_probe).getField("cid")
-        ),
-    )
+    probes = _probe_lists(q, cents, n_probe=n_probe)
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -1434,8 +1508,9 @@ def knn_graph(
                 F.lit(None).cast("int").alias("rnk"),
             )
         )
+    par = ensure_parallelism(corpus)
     indexed = ivf_assign(
-        ensure_parallelism(corpus).select(
+        par.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
         cents,
@@ -1444,19 +1519,13 @@ def knn_graph(
     )
     indexed = _cap_bucket_size(indexed, ["list_id"], max_list_size)
     indexed = indexed.withColumn("c_nrm", norm("c_vec"))
-    q = corpus.select(
+    # probe side shares the parallelism guard: at auto-scaled n_lists the
+    # per-row probe loop is the compute-heavy map stage (k·dim flops/row)
+    # and must not run on a handful of scan splits
+    q = par.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_nrm", norm("q_vec"))
-    sims = _centroid_sims("q_vec", cents)
-    probe_structs = F.array(
-        *[F.struct((-s).alias("neg"), F.lit(cid).alias("cid")) for cid, s in sims]
-    )
-    probes = q.withColumn(
-        "list_id",
-        F.explode(
-            F.slice(F.array_sort(probe_structs), 1, n_probe).getField("cid")
-        ),
-    )
+    probes = _probe_lists(q, cents, n_probe=n_probe)
     scored = (
         indexed.join(probes, "list_id")  # co-partitioned shuffle join — see above
         .where(F.col("neighbor_id") != F.col("query_id"))

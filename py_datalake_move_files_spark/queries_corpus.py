@@ -2299,7 +2299,10 @@ def q_lsh_threshold_curve(spark, sf_dir):
     join the same way the bucket caps do — precision/recall are ratio
     estimates, so a sample estimates them unbiasedly), pick bands/hashes
     from the curve, then run only the LSH candidate path
-    (``dedup_minhash_lsh``) over the full corpus."""
+    (``dedup_minhash_lsh``) over the full corpus. That protocol is now a
+    REGISTERED, oracle-checked query: ``lsh_threshold_curve_sampled``
+    (r12). Both arms additionally carry the r12 caps (DF_CAP discovery,
+    LSH_BUCKET_CAP banding), bounding even the exact arm's worst case."""
     docs = _t(spark, sf_dir, "documents")
     from py_datalake_move_files_spark.queries import BANDS, MINHASHES
 

@@ -273,3 +273,40 @@ def test_knn_graph_auto_default_applies_sqrt_rule(spark):
     )
     cents = ivf_centroids(emb, n_lists=None)
     assert len(cents) == auto_n_lists(n) == 32
+
+
+def test_probe_lists_large_k_matches_literal_path(spark):
+    """The probe stage's two dispatch paths (per-centroid literal
+    expressions vs the broadcast array<struct> HOF loop) must produce
+    IDENTICAL probe lists — same rounded cosines, same (−sim, cid) tie
+    order — exactly like ivf_assign's two paths."""
+    from py_datalake_move_files_spark.operators.similarity import (
+        _probe_lists,
+        ivf_centroids,
+        norm,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(emb, n_lists=12)
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("q_nrm", norm("q_vec"))
+    lit_rows = sorted(
+        (r.query_id, r.list_id)
+        for r in _probe_lists(
+            q, cents, n_probe=3, max_literal_k=64
+        ).select("query_id", "list_id").collect()
+    )
+    hof_rows = sorted(
+        (r.query_id, r.list_id)
+        for r in _probe_lists(
+            q, cents, n_probe=3, max_literal_k=4
+        ).select("query_id", "list_id").collect()
+    )
+    assert lit_rows == hof_rows and len(lit_rows) == 40 * 3

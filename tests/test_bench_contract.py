@@ -71,7 +71,7 @@ def test_shuffle_volume_within_budget(spark):
     (by committed sf0.1 volume), re-measure the per-run executor shuffle
     delta at sf0.01 under the bench protocol (warm-up run first, so
     artifact builds and JIT never pollute the delta) and fail on growth
-    beyond max(1.2x, +0.5 MB) per metric vs the committed
+    beyond max(1.2x, +0.15 MB) per metric vs the committed
     SHUFFLE_BUDGET.json. An injected repartition(), a lost broadcast, or
     a widened shuffle payload goes red HERE, in-suite, without waiting
     for the next bench sweep. Regenerate the budget only for adjudicated
@@ -87,7 +87,10 @@ def test_shuffle_volume_within_budget(spark):
     for name, b in budget.items():
         m = measured[name]
         for metric in ("read_mb", "write_mb"):
-            cap = max(b[metric] * 1.2, b[metric] + 0.5)
+            # +0.15 MB absolute floor: the metric is deterministic to
+            # 0.12 MB, and a looser floor (0.5) swallowed a real
+            # injected repartition of the 15k-row orders table at sf0.01
+            cap = max(b[metric] * 1.2, b[metric] + 0.15)
             if m[metric] > cap:
                 over.append(
                     f"{name}.{metric}: {m[metric]} MB > budget "

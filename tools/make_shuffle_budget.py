@@ -92,7 +92,7 @@ def main() -> None:
         "_meta": {
             "sf_dir": SF_DIR,
             "selection": f"top {TOP_N} by BENCH_full.json sf0.1 volume",
-            "tolerance": "gate fails above max(1.2x, +0.5 MB) per metric",
+            "tolerance": "gate fails above max(1.2x, +0.15 MB) per metric",
         },
         "queries": rows,
     }

@@ -518,7 +518,7 @@ def jaccard_pairs(
             F.col("__n_hot").alias("__h_b"),
         )
         upper = F.col("__c_cold") + F.least(F.col("__h_a"), F.col("__h_b"))
-        cand = (
+        scored = (
             c_cold.join(_maybe_broadcast(sa, n_docs), "id_a")
             .join(_maybe_broadcast(sb, n_docs), "id_b")
             .where(
@@ -527,9 +527,35 @@ def jaccard_pairs(
                 )
                 >= threshold
             )
-            .select("id_a", "id_b")
         )
-        return _verify(cand)
+        if materialize_shingles:
+            # both arms below consume this frame; without the cut the
+            # union re-executes the whole discovery join per arm (measured
+            # ~2x exchange READ at sf0.1). The surviving-pair frame is
+            # output-sized — cheap to materialize once.
+            scored = scored.localCheckpoint(eager=False)
+        # hot-free pairs close WITHOUT the array verify: when neither side
+        # owns a single over-cap posting, c_cold IS the exact intersection,
+        # so the count-derived Jaccard is the final value — no shingle-set
+        # payload ever shuffles for them. That is EVERY pair at cap-inert
+        # scales; only hot-adjacent pairs (none below stress sf1) pay the
+        # full-array verify join.
+        hot_free = (F.col("__h_a") == 0) & (F.col("__h_b") == 0)
+        jc = F.round(
+            F.col("__c_cold")
+            / (F.col("__n_a") + F.col("__n_b") - F.col("__c_cold")),
+            6,
+        )
+        exact_arm = (
+            scored.where(hot_free)
+            .withColumn("jaccard", jc)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        verify_arm = _verify(
+            scored.where(~hot_free).select("id_a", "id_b")
+        )
+        return exact_arm.unionByName(verify_arm)
     inv = (
         inv.withColumn("__df", F.count(F.lit(1)).over(ws))
         .where(F.col("__df") > 1)

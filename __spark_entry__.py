@@ -21,93 +21,87 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from py_datalake_move_files_spark.queries import ORACLE, QUERIES  # noqa: E402
 
-#: The driver hash-checks the FIRST 50 registered queries. Round-12 window:
+#: The driver hash-checks the FIRST 50 registered queries. Round-13 window:
 #: the ledger (CORRECTNESS_CUMULATIVE.json, regenerated at round start by
-#: tools/make_cumulative.py — the single source of truth) holds 299
-#: cumulatively driver-green queries after folding round 11's 50/50 green
-#: artifact. The only registered queries without a driver row are the 15
-#: round-11 additions that were queued last round (the measurement tier in
-#: queries_measure.py); ALL 15 fill this window (listed first), alongside
-#: 35 cumulative-green anchors chosen by STALENESS — the 35 ledger queries
-#: least recently re-verified by a driver round (all last green in rounds
-#: 4-5), so rotation stays a deterministic least-recently-verified policy.
-#: The anchor set happens to include `lsh_quality_eval` and
-#: `table_profile_orders` — both touched by this round's scale work — so
-#: their updated oracles get a fresh driver row immediately. A green round
-#: 12 means 314/314 registered-through-r11 queries own a driver-green row.
-#: Queries ADDED in round 12 land in QUEUED_FOR_NEXT_WINDOW and rotate in
-#: next round; until then they are covered by the local DuckDB parity
-#: mirror (tests/test_oracle_parity.py runs EVERY registered query at BOTH
-#: sf0.001 and sf0.01). tests/test_rotation_accounting.py asserts the
-#: three lists exactly tile the registry, so a query can never silently
-#: drop out of the accounting.
+#: tools/make_cumulative.py — the single source of truth) holds 314
+#: cumulatively driver-green queries after folding round 12's 50/50 green
+#: artifact. The only registered queries without a driver row are the two
+#: r12 sampled eval twins queued last round; both fill this window (listed
+#: first), alongside 48 cumulative-green anchors chosen by STALENESS — the
+#: 48 ledger queries least recently re-verified by a driver round (all
+#: last green in rounds 5-7), deterministic (last-green round, then name).
+#: The anchor set happens to include `split_leakage_audit`,
+#: `source_overlap_matrix`, and `doc_novelty_scores` — all plan-touched or
+#: re-measured by this optimization round — so they get fresh driver rows
+#: immediately. No queries were added in round 13 (optimization round), so
+#: QUEUED_FOR_NEXT_WINDOW is empty; every registered query is covered by
+#: the local two-scale DuckDB parity mirror regardless
+#: (tests/test_oracle_parity.py). tests/test_rotation_accounting.py
+#: asserts the three lists exactly tile the registry, so a query can never
+#: silently drop out of the accounting.
 CURATED_FIRST = [
-    # round-11 additions, never driver-checked (queued last round) — all 15
-    "compression_ratio_stats",
-    "vocab_coverage_curve",
-    "odds_ratio_priority_ci",
-    "cramers_v_categorical",
-    "mcnemar_quality_rules",
-    "fleiss_kappa_raters",
-    "grubbs_outlier_prices",
-    "runs_test_daily_events",
-    "page_hinkley_daily_events",
-    "bhattacharyya_lang_lengths",
-    "kl_source_unigram",
-    "embedding_isotropy_stats",
-    "brier_calibration_bins",
-    "wilcoxon_signed_rank_users",
-    "brown_forsythe_events",
-    # anchors — the 35 least-recently-driver-verified ledger queries
-    # (last green r4-r5), re-verified breadth-first by staleness
-    "q6_revenue_filter",
-    "q7_bilateral_volume",
-    "recursive_cte_tree_depth",
-    "regr_trend_by_nation",
-    "sequence_packing_stats",
-    "snapshot_diff_counts",
-    "source_mixture_counts",
-    "table_profile_orders",
-    "tfidf_top_terms",
-    "value_histogram",
-    "winsorized_value_stats",
-    "zorder_locality",
-    "ann_recall_ivf",
-    "ann_recall_ivf_refined",
-    "ann_recall_ivfpq",
-    "ann_recall_pq",
-    "boilerplate_char_windows",
-    "cdc_upsert_apply",
-    "char_entropy_stats",
-    "cluster_canonical_docs",
-    "data_quality_audit",
-    "dataset_split_counts",
-    "decontamination_overlap",
-    "deterministic_group_sample",
-    "document_chunks",
-    "embedding_quantization",
-    "ewma_user_values",
-    "hard_negative_mining",
-    "incremental_dedup_batch",
-    "key_skew_profile",
-    "kmeans_cluster_profile",
-    "lang_temperature_resample",
-    "length_bucket_padding",
-    "lsh_quality_eval",
-    "pq_code_histogram",
-]
-
-#: Queries registered DURING round 12 (after this window was fixed). They
-#: are covered by the local two-scale DuckDB parity mirror now and rotate
-#: into the round-13 window. tests/test_rotation_accounting.py enforces
-#: that this list + CURATED_FIRST + the cumulative ledger exactly cover
-#: the registry, and that every queued name actually runs at sf0.001
-#: (the r6 snapshot-commit gate).
-QUEUED_FOR_NEXT_WINDOW: list[str] = [
-    # r12 sampled production twins of the pair-eval queries (VERDICT r11 #4)
+    # round-12 additions, never driver-checked (queued last round) — both
     "lsh_quality_eval_sampled",
     "lsh_threshold_curve_sampled",
+    # anchors — the 48 least-recently-driver-verified ledger queries
+    # (last green r5-r7), re-verified breadth-first by staleness
+    "quality_classifier_scores",
+    "scd2_order_history",
+    "split_leakage_audit",
+    "stats_corr_quantity_price",
+    "stratified_split_counts",
+    "text_normalize",
+    "unigram_logfreq_scores",
+    "vocab_oov_rate",
+    "window_lead_gap",
+    "ann_recall_sq",
+    "ann_sq_topk",
+    "basket_pair_lift",
+    "bigram_lm_scores",
+    "cluster_safe_split",
+    "cms_join_size_estimate",
+    "containment_dup_pairs",
+    "conversion_latency_quartiles",
+    "doc_novelty_scores",
+    "duplicated_span_coverage",
+    "embedding_norm_outliers",
+    "event_transition_matrix",
+    "hourly_autocorrelation",
+    "image_phash_dedup",
+    "ivf_assignment_drift",
+    "knn_density_scores",
+    "knn_graph_edges",
+    "knn_label_agreement",
+    "knn_triangle_count",
+    "label_centroid_similarity",
+    "lang_balanced_sample",
+    "lang_confusion_matrix",
+    "lang_kappa_score",
+    "lang_relative_quality_gate",
+    "mad_outlier_events",
+    "mixture_epoch_plan",
+    "pareto_quality_frontier",
+    "pmi_collocations",
+    "quality_percentile_ranks",
+    "range_partition_plan",
+    "repeated_ngram_spans",
+    "rp_distance_preservation",
+    "session_pattern_match",
+    "source_overlap_matrix",
+    "value_drift_psi",
+    "weighted_sample_docs",
+    "ab_conversion_ztest",
+    "benford_order_values",
+    "cohort_ltv_matrix",
 ]
+
+#: Queries registered DURING the current round (after this window was
+#: fixed). Round 13 is an optimization round and registers no new queries.
+#: tests/test_rotation_accounting.py enforces that this list +
+#: CURATED_FIRST + the cumulative ledger exactly cover the registry, and
+#: that every queued name actually runs at sf0.001 (the r6
+#: snapshot-commit gate).
+QUEUED_FOR_NEXT_WINDOW: list[str] = []
 
 
 def _cumulative_green() -> set[str]:

@@ -289,9 +289,10 @@ def lsh_candidate_pairs(
         ).alias("band_key"),
     )
     if max_bucket is not None:
-        # the house cap device (similarity._cap_bucket_size): window count
-        # over the SAME key the self-join shuffles on — co-partitioned, no
-        # extra exchange pattern — with the always-on CollectMetrics node
+        # the house cap device (similarity._cap_bucket_size): map-side-
+        # combined bucket counts + broadcast anti-join on the over-cap
+        # keys (empty at cap-inert scales, so the banded frame gains no
+        # exchange or sort) — with the always-on CollectMetrics node
         # (rows_dropped / buckets_capped / max_bucket_n) so the drop is
         # never silent (VERDICT r8 #3 discipline)
         from py_datalake_move_files_spark.operators.similarity import (

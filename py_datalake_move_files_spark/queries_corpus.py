@@ -1964,15 +1964,22 @@ _NOVELTY_ORACLE = f"""
 WITH s AS (
   SELECT doc_id, unnest({dd_shingles('text')}) AS sh FROM documents
 ),
-d AS (SELECT doc_id, md5(sh) AS dg FROM s),
-owner AS (SELECT dg, min(doc_id) AS first_doc FROM d GROUP BY dg)
+d AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS dg1,
+    ('0x' || substr(md5(sh), 16, 15))::BIGINT AS dg2
+  FROM s
+),
+owner AS (
+  SELECT dg1, dg2, min(doc_id) AS first_doc FROM d GROUP BY dg1, dg2
+)
 SELECT d.doc_id,
   CAST(count(*) AS BIGINT) AS n_shingles,
   CAST(sum(CASE WHEN o.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
     AS n_first,
   round(CAST(sum(CASE WHEN o.first_doc = d.doc_id THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
-FROM d JOIN owner o USING (dg)
+FROM d JOIN owner o USING (dg1, dg2)
 GROUP BY d.doc_id
 """
 
@@ -1988,12 +1995,18 @@ def q_doc_novelty_scores(spark, sf_dir):
     doc is REPEATED, this measures how much it CONTRIBUTED in id order).
 
     Shuffle discipline: shingles are md5-hashed before the first-owner
-    aggregate, so both exchanges (owner min, digest re-join) carry 32-byte
-    digests plus ids — never shingle text; the re-join is co-partitioned
-    with the aggregate's own exchange. Ratio rounds to 6 dp after an
-    identical-op-order division. The digest table is checkpointed so the
-    shingling pass runs once, not once per consumer (owner aggregate +
-    re-join).
+    aggregate; since r13 the digest key is TWO BIGINTs (the first 30 hex
+    chars of the md5 as 2×60-bit integers — guide §2.3 "narrower types"):
+    16 bytes per key instead of a 32-char string, so the checkpointed
+    frame and both exchanges carry ~40% fewer bytes and the owner
+    hash-aggregate compares longs, not strings. 120 digest bits keep the
+    collision regime of the full md5 for any feasible corpus (a count
+    could shift only if two distinct shingles agreed on their first 30
+    md5 hex chars), and the oracle mirrors the same split via the house
+    '0x'-cast idiom, so grouping is identical in both engines. Ratio
+    rounds to 6 dp after an identical-op-order division. The digest table
+    is checkpointed so the shingling pass runs once, not once per
+    consumer.
 
     Scale policy (r9 stress: 0.84 of 10×-linear in a dedicated min-of-3
     run — the registry's closest-to-linear; the cost driver is the
@@ -2007,9 +2020,15 @@ def q_doc_novelty_scores(spark, sf_dir):
     s = DD.with_shingles(docs.select("doc_id", "text")).select(
         "doc_id", F.explode("shingle_set").alias("sh")
     )
-    d = s.select("doc_id", F.md5(F.col("sh")).alias("dg")).localCheckpoint(
-        eager=False
-    )
+    d = s.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("dg1"),
+        F.expr(
+            "CAST(conv(substring(md5(sh), 16, 15), 16, 10) AS BIGINT)"
+        ).alias("dg2"),
+    ).localCheckpoint(eager=False)
     # no digest-stream re-join needed: every digest has exactly ONE first
     # owner (who by construction holds that shingle), so n_first(doc) is
     # just a count over the owner table — the corpus-sized join the oracle
@@ -2019,7 +2038,7 @@ def q_doc_novelty_scores(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
     firsts = (
-        d.groupBy("dg")
+        d.groupBy("dg1", "dg2")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy("first_doc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
@@ -2048,13 +2067,16 @@ WITH s AS (
   SELECT doc_id, unnest({dd_shingles('text')}) AS sh FROM documents
 ),
 d AS (
-  SELECT doc_id, dg FROM (SELECT doc_id, md5(sh) AS dg FROM s)
+  SELECT doc_id,
+    ('0x' || substr(dg, 1, 15))::BIGINT AS dg1,
+    ('0x' || substr(dg, 16, 15))::BIGINT AS dg2
+  FROM (SELECT doc_id, md5(sh) AS dg FROM s)
   WHERE ('0x' || substr(dg, 1, 12))::BIGINT % {_NOVELTY_SAMPLE_K} = 0
 ),
 per_doc AS (SELECT doc_id, count(*) AS ns FROM d GROUP BY doc_id),
 firsts AS (
   SELECT first_doc AS doc_id, count(*) AS nf FROM (
-    SELECT dg, min(doc_id) AS first_doc FROM d GROUP BY dg
+    SELECT dg1, dg2, min(doc_id) AS first_doc FROM d GROUP BY dg1, dg2
   ) GROUP BY first_doc
 )
 SELECT p.doc_id,
@@ -2106,13 +2128,25 @@ def q_doc_novelty_scores_sampled(spark, sf_dir):
                 f" % {_NOVELTY_SAMPLE_K} = 0"
             )
         )
+        # r13: narrow the checkpointed/shuffled key to 2×60-bit ints (the
+        # exact arm's device; sampling residue above stays on the md5
+        # string so the sample is unchanged)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(dg, 1, 15), 16, 10) AS BIGINT)"
+            ).alias("dg1"),
+            F.expr(
+                "CAST(conv(substring(dg, 16, 15), 16, 10) AS BIGINT)"
+            ).alias("dg2"),
+        )
         .localCheckpoint(eager=False)
     )
     per_doc = d.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles_sampled")
     )
     firsts = (
-        d.groupBy("dg")
+        d.groupBy("dg1", "dg2")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy("first_doc")
         .agg(F.count(F.lit(1)).cast("long").alias("nf"))
@@ -2373,12 +2407,35 @@ def _curve_agg(truth, scored):
 #: the corpus"). Raise K with corpus size to hold the eval budget flat.
 _EVAL_SAMPLE_K = 2
 
-#: engine-split residue idiom (the doc_novelty_scores_sampled device):
-#: same 48-bit md5 prefix value, Spark via conv(), DuckDB via '0x' cast
-_EVAL_SAMPLE_SPARK = (
-    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
-    f" AS BIGINT) % {_EVAL_SAMPLE_K} = 0"
-)
+#: eval-budget target for the auto-scaled K below: the full queries'
+#: docstrings prescribe holding the eval at a 1-10 M-doc sample while the
+#: banded index serves the whole corpus; 4M sits mid-band
+_EVAL_TARGET_DOCS = 4_000_000
+
+
+def auto_eval_sample_k(n_docs: int, *, target_docs: int = _EVAL_TARGET_DOCS) -> int:
+    """Corpus-count-derived eval-sample modulus (VERDICT r12 #3, the
+    ``auto_n_lists`` pattern): the smallest K whose 1-in-K doc sample
+    holds the eval at ≤ ``target_docs`` documents, floor 1. Monotone
+    nondecreasing in N, so the eval's pair work stays ~flat (≤ target²
+    pair candidates) as the corpus grows. Registered queries pass the
+    oracle-pinned ``_EVAL_SAMPLE_K`` instead — their results never move;
+    this default governs un-oracled production use of
+    :func:`_sampled_arms`-style evals."""
+    return max(1, -(-int(n_docs) // int(target_docs)))
+
+
+def _eval_sample_spark(k: int) -> str:
+    """Engine-split residue idiom (the doc_novelty_scores_sampled device):
+    48-bit md5 prefix value via conv() — deterministic, no rand(), so
+    task retries resample identically (guide §2.5)."""
+    return (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        f" AS BIGINT) % {k} = 0"
+    )
+
+
+_EVAL_SAMPLE_SPARK = _eval_sample_spark(_EVAL_SAMPLE_K)
 _EVAL_SAMPLE_DUCK = (
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
     f" % {_EVAL_SAMPLE_K} = 0"
@@ -2386,14 +2443,23 @@ _EVAL_SAMPLE_DUCK = (
 _SDOCS_CTE = f"sdocs AS (SELECT * FROM documents WHERE {_EVAL_SAMPLE_DUCK})"
 
 
-def _sampled_arms(spark, sf_dir, *, truth_threshold: float):
+def _sampled_arms(spark, sf_dir, *, truth_threshold: float,
+                  sample_k: int | None = _EVAL_SAMPLE_K):
     """The two eval arms over the deterministic doc sample: capped exact
     Jaccard pairs (truth) and capped MinHash-LSH candidates scored
-    exactly (the approximation under eval)."""
+    exactly (the approximation under eval).
+
+    ``sample_k``: the 1-in-K doc-sample modulus. The registered twins
+    keep the oracle-pinned default; ``None`` derives K from the corpus
+    count via :func:`auto_eval_sample_k` (the production default — one
+    metadata-cheap count, then the same deterministic residue filter)."""
     from py_datalake_move_files_spark.queries import BANDS, MINHASHES
 
+    docs = _t(spark, sf_dir, "documents")
+    if sample_k is None:
+        sample_k = auto_eval_sample_k(docs.count())
     sdocs = ensure_parallelism(
-        _t(spark, sf_dir, "documents").where(F.expr(_EVAL_SAMPLE_SPARK))
+        docs.where(F.expr(_eval_sample_spark(sample_k)))
     )
     truth = DD.jaccard_pairs(
         sdocs, "doc_id", threshold=truth_threshold, max_df=DF_CAP

@@ -14,6 +14,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 ROOT = Path(__file__).resolve().parent.parent
 
 
@@ -63,6 +65,7 @@ def test_bench_emits_one_compact_json_line_and_sidecar(tmp_path):
     assert summary["shuffle_read_mb_total"] >= 0
 
 
+@pytest.mark.heavy
 def test_shuffle_volume_within_budget(spark):
     """Exchange-volume regression gate (VERDICT r11 #5). Per-query shuffle
     read/write is deterministic (0.12 MB max back-to-back delta over full
